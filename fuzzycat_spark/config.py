@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the dedup workload: heavy shuffles on block keys, AQE for skewed
+blocks (boilerplate/near-empty pages produce hot keys — the reference caps
+these manually at /root/reference/fuzzycat/__main__.py:220-223; we let AQE
+split skewed partitions AND cap pair explosion explicitly in operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "fuzzycat-spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession configured like production would be.
+
+    On a real cluster the same confs apply (minus master); AQE handles
+    runtime re-planning, skew-join splitting and partition coalescing so the
+    plans survive a 100x scale-up without retuning shuffle_partitions.
+    """
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # hot LSH bands are the skew risk; split aggressively
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

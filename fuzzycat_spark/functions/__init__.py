@@ -1,0 +1,22 @@
+from fuzzycat_spark.functions.normalize import (  # noqa: F401
+    slug_text,
+    tokens_col,
+    word_shingles,
+    char_shingles,
+    num_project,
+    unicode_slugify_udf,
+    unicode_slugify,
+)
+from fuzzycat_spark.functions.text import (  # noqa: F401
+    jaccard_col,
+    token_count,
+    quality_score_cols,
+    lang_id_col,
+    doc_fingerprint,
+)
+from fuzzycat_spark.functions.hashing import (  # noqa: F401
+    content_hash,
+    minhash_signature_sql,
+    minhash_signature_udf,
+    simhash32,
+)

@@ -1,0 +1,153 @@
+"""Unit tests for the scalar/column kernels.
+
+Modeled on the reference's kernel tests
+(`/root/reference/tests/test_utils.py:9-139` exact-value asserts,
+`/root/reference/fuzzycat/sandcrawler.py:93-157` table-driven slugifier
+cases — semantics re-checked here, not copied).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fuzzycat_spark.functions import (
+    content_hash,
+    doc_fingerprint,
+    jaccard_col,
+    lang_id_col,
+    num_project,
+    simhash32,
+    slug_text,
+    token_count,
+    tokens_col,
+    unicode_slugify,
+    unicode_slugify_udf,
+    word_shingles,
+)
+from fuzzycat_spark.functions.hashing import (
+    hamming32,
+    minhash_signature_sql,
+    minhash_signature_udf,
+)
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first().v
+
+
+# --- unicode slugify (sandcrawler-semantics: diacritic fold, punct strip) ---
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Hello, World!", "hello world"),
+        ("Héllo Wörld", "hello world"),  # NFKD fold
+        ("  spaces\t\tand\nnewlines ", "spaces and newlines"),
+        ("MiXeD CaSe 123", "mixed case 123"),
+        ("ﬁ ligature", "fi ligature"),  # NFKD compatibility decomposition
+        ("em—dash and … ellipsis", "em dash and ellipsis"),
+        ("", ""),
+        (None, None),
+    ],
+)
+def test_unicode_slugify_scalar(raw, expected):
+    assert unicode_slugify(raw) == expected
+
+
+def test_unicode_slugify_udf_matches_scalar(spark):
+    cases = ["Héllo, Wörld!", "ﬁn—al…", "ascii only", "", "ＦＵＬＬＷＩＤＴＨ"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r.v for r in df.select(unicode_slugify_udf(F.col("text")).alias("v")).collect()]
+    assert got == [unicode_slugify(c) for c in cases]
+
+
+# --- native slug/tokens/shingles ---
+
+def test_slug_text(spark):
+    assert one(spark, "Hello, World! 42", slug_text("text")) == "hello world 42"
+    assert one(spark, "--- ---", slug_text("text")) == ""
+
+
+def test_word_shingles(spark):
+    v = one(spark, "a b c d", word_shingles("text", 3))
+    assert v == ["a b c", "b c d"]
+    # shorter than n -> whole slug as one shingle
+    assert one(spark, "a b", word_shingles("text", 3)) == ["a b"]
+    assert one(spark, "", word_shingles("text", 3)) == []
+
+
+def test_num_project(spark):
+    # reference semantics: utils.py:185-192
+    assert one(spark, "page 123 of 4567", num_project("text")) == "page <NUM> of <NUM>"
+
+
+def test_token_count(spark):
+    assert one(spark, "one two three", token_count("text")) == 3
+    assert one(spark, "", token_count("text")) == 0
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
+    v = df.select(jaccard_col(F.col("a"), F.col("b")).alias("v")).first().v
+    assert v == pytest.approx(2 / 4)
+
+
+def test_lang_id(spark):
+    assert one(spark, "the cat and the dog is in the house", lang_id_col("text")) == "en"
+    assert one(spark, "der hund und die katze ist nicht da", lang_id_col("text")) == "de"
+    assert one(spark, "xyzzy plugh", lang_id_col("text")) == "und"
+
+
+# --- hashing ---
+
+def test_content_hash_exact_dup(spark):
+    df = spark.createDataFrame([("same text",), ("same text",), ("other",)], "text string")
+    hashes = [r.v for r in df.select(content_hash("text").alias("v")).collect()]
+    assert hashes[0] == hashes[1] != hashes[2]
+
+
+def test_fingerprint_stable_under_small_edit(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")  # one token changed -> min-shingle usually survives
+    fa = one(spark, a, doc_fingerprint("text"))
+    fb = one(spark, b, doc_fingerprint("text"))
+    assert fa == fb  # deterministic for this fixture
+
+
+def test_minhash_sql_jaccard_estimate(spark):
+    df = spark.createDataFrame(
+        [("x", "a b c d e f g h i j k l m n o p"), ("y", "a b c d e f g h i j k l m n o q")],
+        "id string, text string",
+    )
+    sigs = {
+        r.id: r.sig
+        for r in df.select("id", minhash_signature_sql(word_shingles("text", 3), 32).alias("sig")).collect()
+    }
+    agree = sum(a == b for a, b in zip(sigs["x"], sigs["y"])) / 32
+    # true shingle jaccard = 12/16 = 0.75 (last 3 shingles + 1 differ)
+    assert 0.4 < agree <= 1.0
+
+
+def test_minhash_udf_identical_inputs_identical_sigs(spark):
+    df = spark.createDataFrame([("a b c d e",), ("a b c d e",), ("z y x w v",)], "text string")
+    udf = minhash_signature_udf(16)
+    sigs = [r.v for r in df.select(udf(word_shingles("text", 3)).alias("v")).collect()]
+    assert sigs[0] == sigs[1] != sigs[2]
+
+
+def test_simhash_close_for_similar_far_for_different(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog " * 3),
+            ("b", "the quick brown fox leaps over the lazy dog " * 3),
+            ("c", "completely unrelated gibberish tokens here entirely distinct corpus"),
+        ],
+        "id string, text string",
+    )
+    fp = {r.id: r.v for r in df.select("id", simhash32(tokens_col("text")).alias("v")).collect()}
+    d = spark.createDataFrame([(fp["a"], fp["b"]), (fp["a"], fp["c"])], "x long, y long")
+    hams = [r.v for r in d.select(hamming32(F.col("x"), F.col("y")).alias("v")).collect()]
+    assert hams[0] < hams[1]
+    assert hams[0] <= 8
