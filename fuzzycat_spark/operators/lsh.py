@@ -1,0 +1,177 @@
+"""MinHash-LSH and SimHash candidate generation.
+
+The north-star replacement for fuzzycat's single sorted-key blocking
+(`/root/reference/notes/old_pipeline.md:19-23`): MinHash signatures over
+word shingles, banded into LSH buckets; plus SimHash bucketing for
+Hamming-near fingerprints. Candidates = self-join on (band_id, band_hash).
+
+Scale design:
+- Only (id, band_id, band_hash) rows are exploded and shuffled — one row
+  per band per doc, never the text.
+- Hot buckets (boilerplate) are the skew risk: buckets above
+  `max_bucket_size` are excluded from the quadratic join but surfaced via
+  `oversize_blocks`-style accounting; AQE skew-join handles residual skew.
+- `salt_hot_buckets` optionally shards a hot bucket's members into salted
+  sub-buckets so SOME pairs inside mega-clusters still surface (the
+  reference just drops clusters > max size, `verify.py:130-131`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.functions.hashing import (
+    _seed_min_expr,
+    lsh_band_keys,
+    minhash_band_keys_sql,
+    minhash_signature_udf,
+    simhash32,
+)
+from fuzzycat_spark.functions.normalize import tokens_col, word_shingles
+
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 16
+DEFAULT_ROWS = 2  # bands * rows == num_perm
+DEFAULT_UNIT_BANDS = 4
+DEFAULT_MAX_BUCKET = 200
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    shingle_n: int = 3,
+    use_udf: bool = True,
+    unit_bands: int = DEFAULT_UNIT_BANDS,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per band per document.
+
+    use_udf=True (default) → numpy-vectorized Broder permutations, Arrow
+    batches, one ArrowEvalPython per doc batch (fast path; the DuckDB
+    oracle reproduces it from `minhash_params`);
+    use_udf=False → pure-Catalyst md5 signature (no Python anywhere).
+
+    Besides the `bands` r-row bands, the first `unit_bands` signature
+    entries are ALSO emitted as single-row bands (band ids `bands`..).
+    They reuse the same signature (no extra hashing) and give containment
+    dups — whose jaccard is too low for r-row bands — a per-band hit
+    probability of the full jaccard itself. Hot buckets that single-row
+    bands produce on popular shingles are handled by the bucket-size cap.
+    """
+    assert bands * rows == num_perm, "bands * rows must equal num_perm"
+    shingles = word_shingles(text_col, shingle_n)
+    if use_udf:
+        sig = minhash_signature_udf(num_perm)(shingles)
+        # sig is an ArrowEvalPython output attribute, so the per-band slice
+        # below re-reads the materialized array instead of re-running Python
+        keys = lsh_band_keys(F.col("sig"), bands, rows)
+        if unit_bands:
+            keys = F.concat(
+                keys,
+                F.transform(
+                    F.slice(F.col("sig"), 1, unit_bands), lambda x: x.cast("string")
+                ),
+            )
+        return df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+            "id", F.posexplode(keys).alias("band_id", "band_hash")
+        )
+    # native path: band keys built straight from per-seed expressions —
+    # see minhash_band_keys_sql for why we never slice a full signature here
+    keys = minhash_band_keys_sql(shingles, bands, rows)
+    if unit_bands:
+        keys = F.concat(
+            keys, F.array(*[_seed_min_expr(shingles, i) for i in range(unit_bands)])
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(keys).alias("band_id", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(
+    band_table: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidates from bucket self-joins.
+
+    A pair colliding in several bands is emitted once (distinct) — the
+    map-side of the distinct runs partial aggregation, so the shuffle
+    carries near-deduped pairs.
+    """
+    # the band table feeds three plan branches (bucket sizes + both join
+    # sides); materialize it once so the signature UDF isn't re-run per
+    # branch (cluster deployments checkpoint this stage to Iceberg instead)
+    b = band_table.localCheckpoint()
+    if max_bucket_size is not None:
+        sizes = b.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("bucket_size")
+        )
+        b = b.join(
+            sizes.filter(F.col("bucket_size") <= max_bucket_size),
+            on=["band_id", "band_hash"],
+        ).drop("bucket_size")
+    left = b.select("band_id", "band_hash", F.col("id").alias("id_a"))
+    right = b.select("band_id", "band_hash", F.col("id").alias("id_b"))
+    return (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def salt_hot_buckets(
+    band_table: DataFrame,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Re-key oversized buckets into `salt_buckets` salted shards.
+
+    Members of a hot bucket land in shards of ~size/salt_buckets; pairs
+    within a shard still surface, cross-shard pairs are sacrificed (they
+    reconnect through connected components when any member links them).
+    """
+    sizes = band_table.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    t = band_table.join(sizes, on=["band_id", "band_hash"])
+    salted = F.when(
+        F.col("bucket_size") > max_bucket_size,
+        F.concat(
+            F.col("band_hash"),
+            F.lit("#"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(salt_buckets)).cast("string"),
+        ),
+    ).otherwise(F.col("band_hash"))
+    return t.select("id", "band_id", salted.alias("band_hash"))
+
+
+def simhash_bucket_table(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    band_bits: int = 8,
+) -> DataFrame:
+    """(id, band_id, band_hash) from SimHash fingerprints.
+
+    The 32-bit fingerprint splits into 32/band_bits chunks; docs within
+    Hamming distance < number-of-chunks collide on at least one chunk
+    (pigeonhole) — the standard Charikar bucketing.
+    """
+    n_bands = 32 // band_bits
+    fp = simhash32(tokens_col(text_col))
+    keyed = df.select(F.col(id_col).alias("id"), fp.alias("fp")).filter(
+        F.col("fp").isNotNull() & (F.col("fp") >= 0)
+    )
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.shiftright(F.col("fp"), i * band_bits).bitwiseAND(F.lit(mask)).cast("string")
+            for i in range(n_bands)
+        ]
+    )
+    return keyed.select("id", F.posexplode(bands).alias("band_id", "band_hash"))

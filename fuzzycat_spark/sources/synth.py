@@ -22,7 +22,7 @@ Duplicate families (4 docs per family, kind chosen per-variant):
 | reorder     | token rotation by k (order noise)       | cluster = family |
 | edit        | ~5 % token churn                        | cluster = family |
 | unicode     | vowels → diacritic variants             | cluster = family |
-| year        | same text + differing year suffix       | own cluster      |
+| numedit     | digit tokens interleaved, numbers differ | own cluster      |
 | unique      | unrelated text                          | own cluster      |
 
 Plus a **hot-key spam block**: `n_spam` near-identical near-empty pages
@@ -52,7 +52,7 @@ _BOILER_FOOTERS = ["privacy terms copyright", "all rights reserved sitemap", "fo
 _LANGS = ["en", "en", "en", "en", "en", "en", "en", "de", "fr", "es"]  # skewed ~70% en
 
 KINDS = ["exact", "exact", "boilerplate", "boilerplate", "truncate", "reorder",
-         "edit", "unicode", "year", "unique"]
+         "edit", "unicode", "numedit", "unique"]
 DUP_KINDS = {"original", "exact", "boilerplate", "truncate", "reorder", "edit", "unicode"}
 
 _HTML_PRE = '<html><head><meta charset="utf-8"><title>'
@@ -71,11 +71,16 @@ def _vocab_at(idx: Column) -> Column:
 
 
 def _family_tokens(fid: Column, salt: str = "w") -> Column:
-    """Base token array for a family: length 30–169, words by position hash."""
+    """Base token array for a family: length 30–169, words by position hash.
+
+    The word index hashes (fid, salt, position) jointly — XOR-combining
+    separate hashes would make the index depend only on the low bits of each
+    side, giving whole-family token-stream collisions mod |VOCAB|.
+    """
     length = (F.pmod(_h(fid, "len", salt), F.lit(140)) + 30).cast("int")
     return F.transform(
         F.sequence(F.lit(0), length - 1),
-        lambda j: _vocab_at(_h(fid, salt).bitwiseXOR(F.xxhash64(j))),
+        lambda j: _vocab_at(_h(fid, salt, j)),
     )
 
 
@@ -116,19 +121,30 @@ def synth_pages(
     edited = F.transform(
         base,
         lambda w, j: F.when(
-            F.pmod(_h(F.col("fid"), F.col("vidx")).bitwiseXOR(F.xxhash64(j)), F.lit(20)) == 0,
-            _vocab_at(_h(F.col("fid"), F.col("vidx"), "repl").bitwiseXOR(F.xxhash64(j))),
+            F.pmod(_h(F.col("fid"), F.col("vidx"), "edit", j), F.lit(20)) == 0,
+            _vocab_at(_h(F.col("fid"), F.col("vidx"), "repl", j)),
         ).otherwise(w),
     )
     header = F.element_at(F.lit(_BOILER_HEADERS), (F.pmod(_h(F.col("doc_id"), "hdr"), F.lit(3)) + 1).cast("int"))
     footer = F.element_at(F.lit(_BOILER_FOOTERS), (F.pmod(_h(F.col("doc_id"), "ftr"), F.lit(3)) + 1).cast("int"))
-    year = (F.pmod(_h(F.col("doc_id"), "yr"), F.lit(30)) + 1995).cast("string")
+    # numedit: every 4th word REPLACED by a digit token; digits are doc-unique
+    # (doc_id-offset) so two numedit variants of one family share the word
+    # skeleton (digit-projections equal -> NUM_DIFF negative) while ~25 %
+    # churn keeps them below the dup thresholds vs the rest of the family
+    numedited = F.transform(
+        base,
+        lambda w, j: F.when(
+            F.pmod(j, F.lit(4)) == 3,
+            (F.pmod(F.col("doc_id") * 7 + j, F.lit(1000))).cast("string"),
+        ).otherwise(w),
+    )
 
     toks = (
         F.when(F.col("kind") == "truncate", F.slice(base, 1, trunc_len))
         .when(F.col("kind") == "reorder",
               F.concat(F.slice(base, rot + 1, n - rot), F.slice(base, 1, rot)))
         .when(F.col("kind") == "edit", edited)
+        .when(F.col("kind") == "numedit", numedited)
         .when(F.col("kind") == "unique", _family_tokens(_h(F.col("doc_id"), "uniq")))
         .otherwise(base)
     )
@@ -137,7 +153,6 @@ def synth_pages(
         F.when(F.col("kind") == "boilerplate",
                F.concat_ws(" ", header, body, footer))
         .when(F.col("kind") == "unicode", F.translate(body, "aeiou", "àéîöü"))
-        .when(F.col("kind") == "year", F.concat(body, F.lit(" copyright "), year))
         .otherwise(body)
     )
 
@@ -149,6 +164,8 @@ def synth_pages(
         ),
     )
 
+    # hot-key block: one of 3 near-identical boilerplate texts per page, so
+    # three giant exact-dup clusters (labels -1, -2, -3)
     spam = spark.range(n_spam).select(
         F.lit(-1).cast("long").alias("fid"),
         F.lit(0).alias("vidx"),
@@ -158,7 +175,7 @@ def synth_pages(
             F.lit("welcome to the home page "),
             F.element_at(F.lit(_BOILER_FOOTERS), (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")),
         ).alias("text"),
-        F.lit(-1).cast("long").alias("true_cluster_id"),
+        (-1 - F.pmod(F.col("id"), F.lit(3))).cast("long").alias("true_cluster_id"),
     )
     labeled = labeled.unionByName(spam)
 

@@ -1,0 +1,120 @@
+"""Operator-level tests: blocking, pair generation, LSH, verify cascade,
+connected components."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fuzzycat_spark.functions.hashing import content_hash
+from fuzzycat_spark.functions.normalize import slug_text
+from fuzzycat_spark.operators.blocking import block_stats, with_block_key
+from fuzzycat_spark.operators.components import connected_components
+from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
+from fuzzycat_spark.operators.pairs import block_pairs, oversize_blocks
+from fuzzycat_spark.operators.verify import page_features, verify_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog today", "en"),
+        ("u2", "the quick brown fox jumps over the lazy dog today", "en"),  # exact dup
+        ("u3", "The quick brown fox jumps over the lazy dog, today!", "en"),  # slug dup
+        ("u4", "something entirely different about spark engines", "en"),
+        ("u5", "", "en"),  # empty
+        ("u6", None, "en"),  # null
+    ]
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def test_block_pairs_exact(docs):
+    pairs = block_pairs(docs, content_hash("text")).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("u1", "u2")}
+
+
+def test_block_pairs_slug(docs):
+    pairs = block_pairs(docs, F.md5(slug_text("text").cast("binary"))).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("u1", "u2"), ("u1", "u3"), ("u2", "u3")}
+
+
+def test_block_pairs_max_size(spark):
+    # 5 docs in one block, cap at 4 -> no pairs, but counted in oversize
+    df = spark.createDataFrame([(f"u{i}", "same text here") for i in range(5)], "url string, text string")
+    key = content_hash("text")
+    assert block_pairs(df, key, max_block_size=4).count() == 0
+    over = oversize_blocks(df, key, max_block_size=4).collect()
+    assert len(over) == 1 and over[0].block_size == 5
+    assert block_pairs(df, key, max_block_size=None).count() == 10  # 5C2
+
+
+def test_block_stats(docs):
+    s = block_stats(docs, F.md5(slug_text("text").cast("binary"))).first()
+    # u5 empty slug -> md5("") is still a key; u6 null -> key_empty
+    assert s.key_empty == 1
+    assert s.key_ok == 5
+    assert s.num_clusters == 3  # {u1,u2,u3}, {u4}, {u5}
+    assert s.num_multi_clusters == 1
+
+
+def test_lsh_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    edited = base.replace("delta", "memo", 2)
+    rows = [("a", base), ("b", edited), ("c", "totally unrelated words without any overlap whatsoever in this document")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    pairs = lsh_candidate_pairs(minhash_band_table(df), None).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert ("a", "b") in got
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_verify_cascade_statuses(spark):
+    rows = [
+        ("exact1", "the quick brown fox jumps over the lazy dog again and again", "en"),
+        ("exact2", "the quick brown fox jumps over the lazy dog again and again", "en"),
+        ("slugv", "The quick brown fox: jumps over the lazy dog again, and again?", "en"),
+        ("short1", "tiny text", "en"),
+        ("short2", "tiny text two", "en"),
+        ("contai", "the quick brown fox jumps over the lazy dog again and again plus an extra trailing sentence of new words", "en"),
+        ("numed1", "chapter 12 begins on page 100 of the printed book edition series", "en"),
+        ("numed2", "chapter 13 begins on page 150 of the printed book edition series", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    pairs = spark.createDataFrame(
+        [("exact1", "exact2"), ("exact1", "slugv"), ("short1", "short2"),
+         ("contai", "exact1"), ("numed1", "numed2")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.status, r.reason)
+        for r in verify_pairs(pairs, page_features(df)).collect()
+    }
+    assert got[("exact1", "exact2")] == ("exact", "CONTENT_HASH")
+    assert got[("exact1", "slugv")] == ("exact", "SLUG_MATCH")
+    assert got[("short1", "short2")] == ("ambiguous", "SHORT_TEXT")
+    assert got[("contai", "exact1")] == ("strong", "CONTAINMENT")
+    assert got[("numed1", "numed2")] == ("different", "NUM_DIFF")
+
+
+def test_connected_components_shapes(spark):
+    # chain a-b-c-d, triangle e-f-g, isolated pair h-i
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "g"), ("e", "g"), ("h", "i")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "e": "e", "f": "e", "g": "e",
+        "h": "h", "i": "h",
+    }
+
+
+def test_connected_components_long_chain(spark):
+    # 33-node chain exercises pointer jumping (O(log d) not O(d))
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(32)], "id_a string, id_b string"
+    )
+    labels = connected_components(edges, max_iterations=8).collect()
+    assert {r.cluster_id for r in labels} == {"n00"}
+    assert len(labels) == 33
