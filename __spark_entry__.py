@@ -1,38 +1,628 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship dedup pipeline on sf0.001.
+`queries()` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the DuckDB-
+equivalent SQL for each (tables pre-registered as views). The oracle SQL
+reproduces the Spark results bit-for-bit, including the MinHash signatures
+(splitmix64 mixing done in 32-bit limbs, see
+fuzzycat_spark/functions/hashing.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.functions.hashing import (
+    content_hash,
+    minhash_params,
+    minhash_signature_udf,
+    simhash32,
+    splitmix64_sql,
+)
+from fuzzycat_spark.functions.normalize import (
+    num_project,
+    slug_text,
+    tokens_col,
+    word_shingles,
+)
+from fuzzycat_spark.functions.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    lang_id_col,
+    quality_score_cols,
+    token_count,
+)
+from fuzzycat_spark.operators.blocking import block_stats
+from fuzzycat_spark.operators.components import connected_components
+from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dup_stats
+from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
+from fuzzycat_spark.operators.pairs import block_pairs
+from fuzzycat_spark.operators.verify import page_features, verify_pairs
+
+# ---------------------------------------------------------------------------
+# shared config (the "shingle/signature config" recall is defined at)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32
+BANDS = 16
+ROWS = 2
+UNIT_BANDS = 4
+MAX_BUCKET = 200
+MAX_BLOCK = 100
+SHINGLE_N = 3
+
+DOC_CFG = DedupConfig(
+    id_col="doc_id",
+    text_col="text",
+    strategies=("exact", "slug", "minhash"),
+    num_perm=NUM_PERM,
+    bands=BANDS,
+    rows=ROWS,
+    shingle_n=SHINGLE_N,
+    minhash_udf=True,
+    max_block_size=MAX_BLOCK,
+    max_bucket_size=MAX_BUCKET,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the Spark kernels
+# ---------------------------------------------------------------------------
+
+_SLUG = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+# base CTEs: slug, tokens, distinct word-3-gram shingles (same fallbacks as
+# fuzzycat_spark.functions.normalize: <n tokens -> whole slug; empty -> [])
+_BASE_CTES = f"""
+t AS (SELECT doc_id, text, lang, {_SLUG} AS slug FROM documents),
+tok AS (
+  SELECT *, CASE WHEN slug = '' THEN []::VARCHAR[]
+                 ELSE string_split(slug, ' ') END AS toks
+  FROM t
+),
+sh AS (
+  SELECT *, CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+    ELSE list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        for i in range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1)])
+    END AS shingles
+  FROM tok
+)"""
+
+_PERM_VALUES = ", ".join(
+    f"({i}, {c}::UBIGINT)" for i, c in enumerate(minhash_params(NUM_PERM))
+)
+
+# MinHash signature rows (doc_id, perm_id, sig) — bit-identical to
+# minhash_signature_udf. NULL sentinel shingle -> h=0 for empty docs.
+_SIG_CTES = f"""{_BASE_CTES},
+exploded AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(shingles) = 0 THEN [CAST(NULL AS VARCHAR)]
+                     ELSE shingles END) AS s
+  FROM sh
+),
+hashed AS (
+  SELECT doc_id,
+         CASE WHEN s IS NULL THEN 0::UBIGINT
+              ELSE ('0x' || substr(md5(s), 1, 16))::UBIGINT END AS h
+  FROM exploded
+),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) AS p(perm_id, c)),
+sigs AS (
+  SELECT doc_id, perm_id, min({splitmix64_sql('xor(h, c)')}) AS sig
+  FROM hashed CROSS JOIN perms
+  GROUP BY doc_id, perm_id
+)"""
+
+_R2_BANDS = ", ".join(
+    f"md5(l[{2 * b + 1}]::VARCHAR || '|' || l[{2 * b + 2}]::VARCHAR)"
+    for b in range(BANDS)
+)
+_UNIT_BAND_LIST = ", ".join(f"l[{i}]::VARCHAR" for i in range(1, UNIT_BANDS + 1))
+
+_BAND_CTES = f"""{_SIG_CTES},
+sig_list AS (SELECT doc_id, list(sig ORDER BY perm_id) AS l FROM sigs GROUP BY doc_id),
+band_rows AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(bk, 1) - 1 AS BIGINT) AS band_id,
+         unnest(bk) AS band_hash
+  FROM (SELECT doc_id, [{_R2_BANDS}] || [{_UNIT_BAND_LIST}] AS bk FROM sig_list)
+)"""
+
+_CAND_CTES = f"""{_BAND_CTES},
+bucket_ok AS (
+  SELECT band_id, band_hash FROM band_rows
+  GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+),
+br AS (SELECT band_rows.* FROM band_rows JOIN bucket_ok USING (band_id, band_hash)),
+lsh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM br a JOIN br b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+exact_keyed AS (
+  SELECT doc_id, md5(text) AS k, count(*) OVER (PARTITION BY md5(text)) AS bs FROM t
+),
+exact_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM exact_keyed a JOIN exact_keyed b USING (k)
+  WHERE a.doc_id < b.doc_id AND a.bs BETWEEN 2 AND {MAX_BLOCK}
+),
+slug_keyed AS (
+  SELECT doc_id, md5(slug) AS k, count(*) OVER (PARTITION BY md5(slug)) AS bs FROM t
+  WHERE slug IS NOT NULL AND md5(slug) != ''
+),
+slug_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM slug_keyed a JOIN slug_keyed b USING (k)
+  WHERE a.doc_id < b.doc_id AND a.bs BETWEEN 2 AND {MAX_BLOCK}
+),
+cand AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM lsh_cand UNION ALL SELECT * FROM exact_cand
+    UNION ALL SELECT * FROM slug_cand
+  )
+)"""
+
+_NPROJ = "regexp_replace(slug, '[0-9]+', '<NUM>', 'g')"
+
+_FEAT_CTES = f"""{_CAND_CTES},
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM cand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+)"""
+
+_JAC_SH = (
+    "CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(a_sh, b_sh)) / len(list_distinct(list_concat(a_sh, b_sh))) END"
+)
+_JAC_TOK = (
+    "CASE WHEN len(list_distinct(list_concat(a_tokset, b_tokset))) = 0 THEN 0.0 "
+    "ELSE len(list_intersect(a_tokset, b_tokset)) / len(list_distinct(list_concat(a_tokset, b_tokset))) END"
+)
+_CONTAIN = (
+    "CASE WHEN least(len(a_sh), len(b_sh)) <= 0 THEN 0.0 "
+    "ELSE len(list_intersect(a_sh, b_sh)) / least(len(a_sh), len(b_sh)) END"
+)
+
+_VERIFY_CASE = f"""
+  CASE
+    WHEN a_ch IS NOT NULL AND a_ch = b_ch THEN ['exact', 'CONTENT_HASH']
+    WHEN a_slug IS NULL OR b_slug IS NULL OR a_slug = '' OR b_slug = '' THEN ['ambiguous', 'EMPTY_TEXT']
+    WHEN a_n_tok < 5 OR b_n_tok < 5 THEN ['ambiguous', 'SHORT_TEXT']
+    WHEN a_slug = b_slug THEN ['exact', 'SLUG_MATCH']
+    WHEN a_nproj = b_nproj THEN ['different', 'NUM_DIFF']
+    WHEN {_CONTAIN} >= 0.8 AND least(a_n_tok, b_n_tok) >= 10 THEN ['strong', 'CONTAINMENT']
+    WHEN {_JAC_SH} >= 0.7 THEN ['strong', 'SHINGLE_JACCARD']
+    WHEN {_JAC_TOK} >= 0.7 THEN ['strong', 'TOKEN_JACCARD']
+    WHEN {_JAC_SH} >= 0.4 THEN ['weak', 'SHINGLE_JACCARD_WEAK']
+    WHEN a_lang IS NOT NULL AND b_lang IS NOT NULL AND a_lang != b_lang THEN ['different', 'LANGUAGE']
+    ELSE ['ambiguous', 'UNKNOWN']
+  END"""
+
+_VERIFIED_CTES = f"""{_FEAT_CTES},
+verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+)"""
+
+# connected components on exact/strong edges: recursive reachability (UNION
+# dedup bounds it), then min(reachable id) per node, singletons keep own id
+_CC_SQL = f"""WITH RECURSIVE {_VERIFIED_CTES},
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM verified WHERE status IN ('exact', 'strong')
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified WHERE status IN ('exact', 'strong')
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+
+def _lang_vote_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    votes = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(s) for s in LANG_STOPWORDS[lang])})))"
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(votes.values()) + ")"
+    n_best = " + ".join(f"CASE WHEN {v} = best THEN 1 ELSE 0 END" for v in votes.values())
+    pick = "CASE " + " ".join(
+        f"WHEN {votes[lang]} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+SELECT doc_id,
+  CASE WHEN best > 0 AND n_best = 1 THEN {pick} ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id, toks, {best} AS best, {n_best} AS n_best
+  FROM (SELECT doc_id, CASE WHEN slug='' THEN []::VARCHAR[] ELSE string_split(slug,' ') END AS toks
+        FROM (SELECT doc_id, {_SLUG} AS slug FROM documents))
+)"""
+
+
+_EN_STOPS = ", ".join(repr(s) for s in LANG_STOPWORDS["en"])
+
+_QUALITY_SQL = f"""
+SELECT doc_id, n_tokens,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(mean_tok_len, 6) AS mean_tok_len,
+  round(0.4 * alpha_ratio
+      + 0.3 * least(stop_ratio * 2, 1.0)
+      + 0.2 * (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0 ELSE 0.0 END)
+      + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+FROM (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0) AS alpha_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1.0) AS digit_ratio,
+    len(list_filter(toks, x -> x IN ({_EN_STOPS}))) / greatest(len(toks), 1.0) AS stop_ratio,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE (length(text) - (length(text) - length(replace(text, ' ', ''))))
+              / greatest(len(toks), 1.0) END AS mean_tok_len
+  FROM (SELECT doc_id, text,
+          CASE WHEN slug='' THEN []::VARCHAR[] ELSE string_split(slug,' ') END AS toks
+        FROM (SELECT doc_id, text, {_SLUG} AS slug FROM documents))
+)"""
+
+_SIMHASH_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN slug='' THEN []::VARCHAR[] ELSE string_split(slug,' ') END AS toks
+  FROM (SELECT doc_id, {slug} AS slug FROM documents)
+),
+tok_rows AS (SELECT doc_id, unnest(toks) AS tkn FROM tk),
+h AS (SELECT doc_id, ('0x' || substr(md5(tkn), 1, 8))::BIGINT AS hv FROM tok_rows),
+bits AS (
+  SELECT doc_id, j,
+    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) b
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT tk.doc_id,
+  CASE WHEN len(tk.toks) = 0 THEN -1 ELSE fp.simhash END AS simhash
+FROM tk LEFT JOIN fp ON tk.doc_id = fp.doc_id""".format(slug=_SLUG)
+
+_COS_D = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+_KNN_K = 5
+_KNN_PROBES = 20
+
+_KNN_SQL = f"""
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+    CAST(row_number() OVER (PARTITION BY a.vec_id
+         ORDER BY round({_COS_D}, 9) DESC, b.vec_id) AS BIGINT) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < {_KNN_PROBES}
+) WHERE rank <= {_KNN_K}"""
+
+_SIM_THRESHOLD = 0.4
+
+_SIMILAR_PAIRS_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_D}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS_D}, 9) >= {_SIM_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+
+def _spark_cosine(a, b):
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def q_exact_dup_pairs(spark, sf_dir):
+    return block_pairs(
+        _docs(spark, sf_dir), content_hash("text"), "doc_id", max_block_size=None
+    ).select("id_a", "id_b")
+
+
+def q_slug_dup_pairs(spark, sf_dir):
+    return block_pairs(
+        _docs(spark, sf_dir), F.md5(slug_text("text").cast("binary")), "doc_id",
+        max_block_size=None,
+    ).select("id_a", "id_b")
+
+
+def q_block_stats(spark, sf_dir):
+    return block_stats(
+        _docs(spark, sf_dir), F.md5(slug_text("text").cast("binary")), "doc_id"
+    ).select("key_ok", "num_clusters", "num_multi_clusters", "max_cluster_size", "key_empty")
+
+
+def q_cluster_size_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(content_hash("text").alias("k"))
+    return (
+        d.groupBy("k").agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+def q_quality(spark, sf_dir):
+    cols = quality_score_cols("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        F.round(cols["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(cols["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(cols["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(cols["mean_tok_len"], 6).alias("mean_tok_len"),
+        F.round(cols["quality"], 6).alias("quality"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint("text", SHINGLE_N).alias("fp")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash32(tokens_col("text")).alias("simhash")
+    )
+
+
+def q_minhash_sigs(spark, sf_dir):
+    sig = minhash_signature_udf(NUM_PERM)(word_shingles("text", SHINGLE_N))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(sig).alias("perm_id", "sig")
+    ).select("doc_id", F.col("perm_id").cast("long").alias("perm_id"), "sig")
+
+
+def q_lsh_bands(spark, sf_dir):
+    return minhash_band_table(
+        _docs(spark, sf_dir), "doc_id", "text", NUM_PERM, BANDS, ROWS, SHINGLE_N,
+        use_udf=True, unit_bands=UNIT_BANDS,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("band_id").cast("long").alias("band_id"),
+        "band_hash",
+    )
+
+
+def q_lsh_candidates(spark, sf_dir):
+    bands = minhash_band_table(
+        _docs(spark, sf_dir), "doc_id", "text", NUM_PERM, BANDS, ROWS, SHINGLE_N,
+        use_udf=True, unit_bands=UNIT_BANDS,
+    )
+    return lsh_candidate_pairs(bands, MAX_BUCKET)
+
+
+def q_candidates(spark, sf_dir):
+    return candidate_pairs(_docs(spark, sf_dir), DOC_CFG)
+
+
+def q_verified_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cands = candidate_pairs(docs, DOC_CFG)
+    return verify_pairs(cands, page_features(docs, "doc_id", "text"))
+
+
+def q_components(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cands = candidate_pairs(docs, DOC_CFG)
+    verified = verify_pairs(cands, page_features(docs, "doc_id", "text")).localCheckpoint()
+    edges = verified.filter(F.col("status").isin("exact", "strong"))
+    cc = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(cc, on="id", how="left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )
+
+
+def q_dup_stats(spark, sf_dir):
+    return dup_stats(q_components(spark, sf_dir))
+
+
+def q_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")).filter(
+        F.col("probe_id") < _KNN_PROBES
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
+    sim = F.round(_spark_cosine(F.col("ea"), F.col("eb")), 9)
+    joined = (
+        a.join(F.broadcast(b), F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("probe_id", "neighbor_id", "rank")
+    )
+
+
+def q_similar_embeddings(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = _spark_cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 9) >= _SIM_THRESHOLD)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def q_lang_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (blocking → LSH → verify → CC) over the
+    sf0.001 documents table; returns (id, cluster_id) assignments."""
+    return q_components(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "slug_dup_pairs": q_slug_dup_pairs,
+        "block_stats": q_block_stats,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_bands": q_lsh_bands,
+        "lsh_candidates": q_lsh_candidates,
+        "candidates": q_candidates,
+        "verified_pairs": q_verified_pairs,
+        "components": q_components,
+        "dup_stats": q_dup_stats,
+        "knn": q_knn,
+        "similar_embeddings": q_similar_embeddings,
+        "lang_stats": q_lang_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+            WHERE a.doc_id < b.doc_id""",
+        "slug_dup_pairs": f"""
+            WITH k AS (SELECT doc_id, md5({_SLUG}) AS key FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM k a JOIN k b USING (key) WHERE a.doc_id < b.doc_id""",
+        "block_stats": f"""
+            WITH k AS (SELECT doc_id, md5({_SLUG}) AS key FROM documents
+                       WHERE {_SLUG} IS NOT NULL),
+            per AS (SELECT key, count(*) AS cs FROM k GROUP BY key)
+            SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) AS key_ok,
+                   count(*) AS num_clusters,
+                   CAST(coalesce(sum(CASE WHEN cs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS num_multi_clusters,
+                   CAST(coalesce(max(cs), 0) AS BIGINT) AS max_cluster_size,
+                   CAST((SELECT count(*) FROM documents WHERE text IS NULL) AS INT) AS key_empty
+            FROM per""",
+        "cluster_size_histogram": """
+            SELECT cluster_size, count(*) AS n_clusters FROM (
+              SELECT md5(text) AS k, count(*) AS cluster_size FROM documents GROUP BY 1
+            ) GROUP BY cluster_size""",
+        "token_count": f"""
+            SELECT doc_id,
+              CAST(CASE WHEN slug = '' THEN 0 ELSE len(string_split(slug, ' ')) END AS BIGINT) AS n_tokens
+            FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)""",
+        "lang_id": _lang_vote_sql(),
+        "quality": _QUALITY_SQL,
+        "fingerprint": f"""
+            WITH {_BASE_CTES}
+            SELECT doc_id,
+              CASE WHEN len(shingles) = 0 THEN md5('')
+                   ELSE list_min(list_transform(shingles, s -> md5(s))) END AS fp
+            FROM sh""",
+        "simhash": _SIMHASH_SQL,
+        "minhash_sigs": f"""
+            WITH {_SIG_CTES}
+            SELECT doc_id, CAST(perm_id AS BIGINT) AS perm_id, sig FROM sigs""",
+        "lsh_bands": f"""
+            WITH {_BAND_CTES}
+            SELECT doc_id, band_id, band_hash FROM band_rows""",
+        "lsh_candidates": f"""
+            WITH {_BAND_CTES},
+            bucket_ok AS (
+              SELECT band_id, band_hash FROM band_rows
+              GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+            ),
+            br AS (SELECT band_rows.* FROM band_rows JOIN bucket_ok USING (band_id, band_hash))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM br a JOIN br b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id""",
+        "candidates": f"""
+            WITH {_CAND_CTES}
+            SELECT id_a, id_b FROM cand""",
+        "verified_pairs": f"""
+            WITH {_VERIFIED_CTES}
+            SELECT id_a, id_b, status, reason FROM verified""",
+        "components": _CC_SQL,
+        "dup_stats": f"""
+            WITH assignments AS ({_CC_SQL})
+            SELECT cluster_size, count(*) AS n_clusters FROM (
+              SELECT cluster_id, count(*) AS cluster_size FROM assignments GROUP BY 1
+            ) GROUP BY cluster_size""",
+        "knn": _KNN_SQL,
+        "similar_embeddings": _SIMILAR_PAIRS_SQL,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang""",
+    }

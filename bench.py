@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is the full dedup pipeline (blocking + LSH + verify +
+connected components) over the documents table AND over a larger synthetic
+web-page corpus (the graft's real workload shape), plus the individual
+operator queries. `docs_per_sec` for the synthetic end-to-end run is the
+throughput figure compared against BASELINE.md; scaling evidence across
+parallelism levels is produced by tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_FAMILIES = int(os.environ.get("SPARK_GRAFT_SYNTH_FAMILIES", "4000"))
+SYNTH_SPAM = int(os.environ.get("SPARK_GRAFT_SYNTH_SPAM", "2000"))
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from fuzzycat_spark import get_spark
+    from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+    from fuzzycat_spark.sources import synth_pages
+
+    spark = get_spark(
+        app_name="fuzzycat-spark-bench", cores=CPUS, shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    qs = E.queries()
+    headline = [
+        "minhash_sigs",
+        "lsh_candidates",
+        "verified_pairs",
+        "components",
+        "knn",
+        "quality",
+        "lang_id",
+        "fingerprint",
+        "simhash",
+    ]
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # end-to-end synthetic web-page dedup (the production workload shape)
+    n_docs = SYNTH_FAMILIES * 4 + SYNTH_SPAM
+    pages = synth_pages(spark, n_families=SYNTH_FAMILIES, n_spam=SYNTH_SPAM)
+    pages = pages.localCheckpoint()  # time the pipeline, not the generator
+    t0 = time.time()
+    _, assign = dedup_pages(pages, DedupConfig())
+    assert assign.count() == n_docs
+    pages_sec = round(time.time() - t0, 3)
+    timings["pages_dedup_e2e"] = pages_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "synth_docs": n_docs,
+                "docs_per_sec": round(n_docs / pages_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

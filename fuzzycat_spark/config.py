@@ -33,6 +33,10 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        # local-mode driver hosts all executor state; the 1g default heap
+        # OOMs once localCheckpoint blocks accumulate across CC iterations
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -116,10 +116,11 @@ def _splitmix64_np(z: "np.ndarray") -> "np.ndarray":
     return z
 
 
-def splitmix64_sql(zexpr: str, c: int) -> str:
-    """DuckDB SQL reproducing perm value mix(z XOR c) >> 2 for a UBIGINT
-    expression `zexpr`. Multiplications are done in 32-bit limbs so no
-    intermediate exceeds INT128."""
+def splitmix64_sql(zexpr: str) -> str:
+    """DuckDB SQL reproducing the permutation value mix(z) >> 2 for a
+    UBIGINT expression `zexpr` (already XORed with the permutation
+    constant). Multiplications are done in 32-bit limbs so no intermediate
+    exceeds INT128."""
 
     def mulmod(e: str, m: int) -> str:
         hi, lo = m >> 32, m & 0xFFFFFFFF
@@ -128,7 +129,7 @@ def splitmix64_sql(zexpr: str, c: int) -> str:
             f"(((({e}) % {_U32})::HUGEINT * {hi}) % {_U32}) * {_U32}) % {_U64})::UBIGINT"
         )
 
-    s1 = f"xor(({zexpr})::UBIGINT, {c}::UBIGINT)"
+    s1 = f"(({zexpr})::UBIGINT)"
     s2 = f"xor({s1}, {s1} >> 33)"
     s3 = mulmod(s2, _MIX1)
     s4 = f"xor({s3}, {s3} >> 33)"

@@ -11,10 +11,13 @@ Algorithm: iterative min-label propagation with pointer jumping
 (hash-to-min flavor): each node takes the min label over itself, its
 neighbors, and its current label's label. Pointer jumping makes convergence
 O(log diameter) instead of O(diameter), which matters for chain-shaped
-containment families at web scale. Each iteration `localCheckpoint`s to cut
-lineage (a 20-iteration lineage otherwise re-executes the whole DAG every
-action); on a cluster these would be Iceberg/parquet checkpoints via
-plans.checkpoint.
+containment families at web scale.
+
+Each iteration is checkpointed to parquet via StageCheckpointer — a HARD
+lineage cut. `DataFrame.localCheckpoint` chains measurably fail to cut the
+recompute chain on Spark 4.1 (per-iteration cost grows ~3x per iteration;
+see plans/checkpoint.py) — on a cluster these checkpoints are the Iceberg
+stage tables that also make the loop resumable.
 """
 
 from __future__ import annotations
@@ -22,12 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+
 
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpointer: StageCheckpointer | None = None,
 ) -> DataFrame:
     """Return (id, cluster_id) where cluster_id = min node id (lexicographic
     for strings) over each connected component of the undirected edge set.
@@ -35,22 +41,20 @@ def connected_components(
     Nodes appearing only as singletons are absent (callers union them back
     with cluster_id = own id if needed).
     """
+    spark = edges.sparkSession
+    ck = checkpointer or StageCheckpointer(spark)
+
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # materialize the edge set once — otherwise every iteration (and every
-    # convergence-check action) re-executes the entire upstream pipeline
-    sym = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    sym = ck.write(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        "cc_edges",
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    labels = ck.write(
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")),
+        "cc_labels",
     )
 
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
             .groupBy("src")
@@ -68,9 +72,8 @@ def connected_components(
             )
             .select("id", "label", "hop_label")
         )
-        new_labels = (
-            hop.join(nbr_min, on="id", how="left")
-            .select(
+        new_labels = ck.write(
+            hop.join(nbr_min, on="id", how="left").select(
                 "id",
                 F.least(
                     F.col("label"),
@@ -78,10 +81,13 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("new_label"),
                 "label",
-            )
-        ).localCheckpoint()
+            ),
+            # alternate two slots so the loop doesn't accumulate files
+            f"cc_labels_{i % 2}",
+        )
         changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
         labels = new_labels.select("id", F.col("new_label").alias("label"))
+        ck.record_counters(f"cc_iter_{i}", {"changed": changed})
         if changed == 0:
             break
 
