@@ -54,6 +54,15 @@ def connected_components(
         "cc_labels",
     )
 
+    # size the loop's shuffles to the edge list, not the (much larger)
+    # corpus: a 3-join iteration over a few thousand edges at corpus-width
+    # partitioning is pure scheduling overhead. ~100k edges per partition;
+    # restored after the loop.
+    n_edges = sym.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+
     for i in range(max_iterations):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
@@ -61,23 +70,27 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "id")
         )
-        # pointer jumping: label of my label
+        # pointer jumping, twice: label(label(v)) and label^3(v) — tripling
+        # pointer depth per materialized round instead of doubling, so long
+        # containment chains converge in ~log3 rounds
+        lut1 = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("hop1")
+        )
+        lut2 = labels.select(
+            F.col("id").alias("hop1"), F.col("label").alias("hop2")
+        )
         hop = (
-            labels.alias("l")
-            .join(
-                labels.select(
-                    F.col("id").alias("label"), F.col("label").alias("hop_label")
-                ).alias("r"),
-                on="label",
-            )
-            .select("id", "label", "hop_label")
+            labels.join(lut1, on="label")
+            .join(lut2, on="hop1")
+            .select("id", "label", "hop1", "hop2")
         )
         new_labels = ck.write(
             hop.join(nbr_min, on="id", how="left").select(
                 "id",
                 F.least(
                     F.col("label"),
-                    F.col("hop_label"),
+                    F.col("hop1"),
+                    F.col("hop2"),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("new_label"),
                 "label",
@@ -91,4 +104,5 @@ def connected_components(
         if changed == 0:
             break
 
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -24,7 +24,6 @@ from fuzzycat_spark.operators.lsh import (
     minhash_band_table,
     simhash_bucket_table,
 )
-from fuzzycat_spark.operators.pairs import block_pairs, union_pair_candidates
 from fuzzycat_spark.operators.components import connected_components
 from fuzzycat_spark.operators.verify import page_features, verify_pairs
 
@@ -50,32 +49,60 @@ class DedupConfig:
 
 
 def candidate_pairs(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
-    """Union candidates from each enabled blocking strategy."""
-    outs = []
+    """Candidates from all enabled blocking strategies via ONE self-join.
+
+    Every strategy is just a (id, band_id, band_hash) generator — exact
+    hash and slug key are single-band strategies ('exact'/'slug' band ids),
+    MinHash contributes its LSH bands. Unioning the band *tables* before a
+    single bucket-capped self-join replaces three separate join+distinct
+    subplans with one shuffle + one join + one distinct: same pair set,
+    ~1/3 the stages.
+    """
+    tables = []
     if "exact" in cfg.strategies:
-        outs.append(
-            block_pairs(pages, content_hash(cfg.text_col), cfg.id_col,
-                        max_block_size=cfg.max_block_size)
+        tables.append(
+            pages.select(
+                F.col(cfg.id_col).alias("id"),
+                F.lit("exact").alias("band_id"),
+                content_hash(cfg.text_col).alias("band_hash"),
+            ).filter(F.col("band_hash").isNotNull())
         )
     if "slug" in cfg.strategies:
-        # md5 of the slug: equality-preserving, fixed-width shuffle key
-        outs.append(
-            block_pairs(pages, F.md5(slug_text(cfg.text_col).cast("binary")),
-                        cfg.id_col, max_block_size=cfg.max_block_size)
+        tables.append(
+            pages.select(
+                F.col(cfg.id_col).alias("id"),
+                F.lit("slug").alias("band_id"),
+                F.md5(slug_text(cfg.text_col).cast("binary")).alias("band_hash"),
+            ).filter(F.col("band_hash").isNotNull())
         )
     if "minhash" in cfg.strategies:
-        bands = minhash_band_table(
-            pages, cfg.id_col, cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
-            cfg.shingle_n, use_udf=cfg.minhash_udf,
+        tables.append(
+            minhash_band_table(
+                pages, cfg.id_col, cfg.text_col, cfg.num_perm, cfg.bands,
+                cfg.rows, cfg.shingle_n, use_udf=cfg.minhash_udf,
+            ).select("id", F.col("band_id").cast("string").alias("band_id"), "band_hash")
         )
-        outs.append(lsh_candidate_pairs(bands, cfg.max_bucket_size))
     if "simhash" in cfg.strategies:
-        buckets = simhash_bucket_table(pages, cfg.id_col, cfg.text_col,
-                                       cfg.simhash_band_bits)
-        outs.append(lsh_candidate_pairs(buckets, cfg.max_bucket_size))
-    if not outs:
+        tables.append(
+            simhash_bucket_table(
+                pages, cfg.id_col, cfg.text_col, cfg.simhash_band_bits
+            ).select(
+                "id",
+                F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
+                "band_hash",
+            )
+        )
+    if not tables:
         raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
-    return union_pair_candidates(*outs)
+    bands = tables[0]
+    for t in tables[1:]:
+        bands = bands.unionByName(t)
+    # per-strategy caps: hash/slug blocks use max_block_size, LSH buckets
+    # max_bucket_size (mirrors the reference's max-cluster-size guard)
+    cap = F.when(
+        F.col("band_id").isin("exact", "slug"), F.lit(cfg.max_block_size)
+    ).otherwise(F.lit(cfg.max_bucket_size))
+    return lsh_candidate_pairs(bands.withColumn("cap", cap), max_bucket_size="cap")
 
 
 def dedup_pages(
@@ -89,7 +116,10 @@ def dedup_pages(
                        cluster_id = min id in the component (FIXTURES.md §5).
     """
     cands = candidate_pairs(pages, cfg)
-    feats = page_features(pages, cfg.id_col, cfg.text_col)
+    # features feed BOTH sides of the pair join — materialize once instead
+    # of recomputing slug/shingle kernels per branch (narrow projection: no
+    # html/text payload, mirroring SURVEY §4's "shuffle only verify columns")
+    feats = page_features(pages, cfg.id_col, cfg.text_col).localCheckpoint()
     # materialize the verified pairs once: connected components iterates over
     # the edge list, and without a checkpoint every CC action would re-run
     # blocking+verify (on a cluster this is the Iceberg stage checkpoint)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fuzzycat_spark.functions.hashing import (
     _seed_min_expr,
@@ -94,26 +95,31 @@ def minhash_band_table(
 
 def lsh_candidate_pairs(
     band_table: DataFrame,
-    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int | str | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidates from bucket self-joins.
 
     A pair colliding in several bands is emitted once (distinct) — the
     map-side of the distinct runs partial aggregation, so the shuffle
     carries near-deduped pairs.
+
+    max_bucket_size: int for a global cap, a column name (str) for a
+    per-row cap carried in the band table, or None for no cap.
     """
     # the band table feeds three plan branches (bucket sizes + both join
     # sides); materialize it once so the signature UDF isn't re-run per
     # branch (cluster deployments checkpoint this stage to Iceberg instead)
     b = band_table.localCheckpoint()
     if max_bucket_size is not None:
-        sizes = b.groupBy("band_id", "band_hash").agg(
-            F.count(F.lit(1)).alias("bucket_size")
+        w = Window.partitionBy("band_id", "band_hash")
+        cap = (
+            F.col(max_bucket_size)
+            if isinstance(max_bucket_size, str)
+            else F.lit(max_bucket_size)
         )
-        b = b.join(
-            sizes.filter(F.col("bucket_size") <= max_bucket_size),
-            on=["band_id", "band_hash"],
-        ).drop("bucket_size")
+        b = b.withColumn("_bs", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bs") <= cap
+        )
     left = b.select("band_id", "band_hash", F.col("id").alias("id_a"))
     right = b.select("band_id", "band_hash", F.col("id").alias("id_b"))
     return (
