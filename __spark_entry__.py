@@ -506,6 +506,65 @@ def q_similar_embeddings(spark, sf_dir):
     )
 
 
+_ANN_PLANES_N = 8
+_ANN_DIM = 64
+
+
+def _ann_planes():
+    from fuzzycat_spark.operators.knn import hyperplane_planes
+
+    return hyperplane_planes(_ANN_DIM, _ANN_PLANES_N, seed=42)
+
+
+def q_ann_buckets(spark, sf_dir):
+    from fuzzycat_spark.operators.knn import hyperplane_bucket_col
+
+    return _emb(spark, sf_dir).select(
+        "vec_id", hyperplane_bucket_col(F.col("embedding"), _ann_planes()).alias("bucket")
+    )
+
+
+def q_ann_knn(spark, sf_dir):
+    from fuzzycat_spark.operators.knn import hyperplane_knn
+
+    e = _emb(spark, sf_dir)
+    res = hyperplane_knn(e, e, k=3, n_planes=_ANN_PLANES_N, dim=_ANN_DIM)
+    # round before ranking for cross-engine determinism (see q_knn)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbor_id")
+    )
+    joined = res.select("probe_id", "neighbor_id", "cosine")
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", "rank")
+    )
+
+
+def _ann_bucket_sql() -> str:
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({p} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        for p in _ann_planes()
+    )
+    return f"SELECT vec_id, {bits} AS bucket FROM embeddings"
+
+
+def _ann_knn_sql() -> str:
+    return f"""
+WITH bk AS ({_ann_bucket_sql()})
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+    CAST(row_number() OVER (PARTITION BY a.vec_id
+         ORDER BY round({_COS_D}, 9) DESC, b.vec_id) AS BIGINT) AS rank
+  FROM embeddings a
+  JOIN bk ba ON a.vec_id = ba.vec_id
+  JOIN bk bb ON ba.bucket = bb.bucket
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+  WHERE a.vec_id != b.vec_id
+) WHERE rank <= 3"""
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -549,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_stats": q_dup_stats,
         "knn": q_knn,
         "similar_embeddings": q_similar_embeddings,
+        "ann_buckets": q_ann_buckets,
+        "ann_knn": q_ann_knn,
         "lang_stats": q_lang_stats,
     }
 
@@ -620,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY cluster_size""",
         "knn": _KNN_SQL,
         "similar_embeddings": _SIMILAR_PAIRS_SQL,
+        "ann_buckets": _ann_bucket_sql(),
+        "ann_knn": _ann_knn_sql(),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

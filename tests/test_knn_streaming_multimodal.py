@@ -1,0 +1,101 @@
+"""Tests for similarity search, streaming incremental dedup, and multimodal
+feature plumbing."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from fuzzycat_spark.operators.knn import (
+    brute_force_knn,
+    hyperplane_knn,
+)
+from fuzzycat_spark.sources.multimodal import (
+    MEDIA_SCHEMA,
+    deterministic_fake_decoder,
+    extract_media_features,
+    sample_video_frames,
+    strict_decoder,
+)
+from fuzzycat_spark.streaming.dedup_stream import incremental_dedup_batch
+from fuzzycat_spark.operators.dedup import DedupConfig
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate neighbor for every 4th vector
+        if i % 4 == 0:
+            noisy = v + rng.standard_normal(16) * 0.05
+            rows.append((1000 + i, [float(x) for x in noisy]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_knn_finds_planted_neighbor(vectors):
+    res = brute_force_knn(vectors, vectors, k=1)
+    top1 = {r.probe_id: r.neighbor_id for r in res.collect()}
+    planted = [i for i in range(0, 40, 4)]
+    hits = sum(1 for i in planted if top1[i] == 1000 + i)
+    assert hits == len(planted)
+
+
+def test_hyperplane_knn_recall(vectors):
+    exact = {r.probe_id: r.neighbor_id for r in brute_force_knn(vectors, vectors, k=1).collect()}
+    approx = {r.probe_id: r.neighbor_id for r in hyperplane_knn(vectors, vectors, k=1, n_planes=6).collect()}
+    planted = [i for i in range(0, 40, 4)]
+    # planted near-dups are nearly-parallel vectors -> same bucket with high prob
+    recall = sum(1 for i in planted if approx.get(i) == exact[i]) / len(planted)
+    assert recall >= 0.7
+
+
+def test_incremental_dedup_across_batches(spark):
+    tmp = tempfile.mkdtemp()
+    index, pairs = f"{tmp}/index", f"{tmp}/pairs"
+    text = "the quick brown fox jumps over the lazy dog again and again today fine"
+    b1 = spark.createDataFrame([("u1", text), ("u2", "completely unrelated document text here")],
+                               "url string, text string")
+    b2 = spark.createDataFrame([("u3", text)], "url string, text string")  # dup of u1, earlier batch
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    incremental_dedup_batch(b1, index, pairs, cfg)
+    incremental_dedup_batch(b2, index, pairs, cfg)
+    got = {(r.id_a, r.id_b): r.status for r in spark.read.parquet(pairs).collect()}
+    assert got.get(("u1", "u3")) == "exact"
+
+
+def test_media_features_deterministic_and_distributed(spark):
+    rows = [
+        ("m1", "image", "image/png", b"\x89PNGfakebytes1", 8, 8, None),
+        ("m2", "image", "image/png", b"\x89PNGfakebytes1", 8, 8, None),  # same bytes
+        ("m3", "audio", "audio/wav", b"RIFFfakeaudio", None, None, 2500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats["m1"].content_sha == feats["m2"].content_sha
+    assert feats["m1"].embedding == feats["m2"].embedding
+    assert feats["m1"].content_sha != feats["m3"].content_sha
+    assert len(feats["m3"].embedding) == 16
+
+
+def test_video_frame_sampling_schedule(spark):
+    rows = [("v1", "video", "video/mp4", b"fakevideobytes", None, None, 3500)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+    assert all(f.frame_ref.endswith(f"@{f.frame_ts_ms}") for f in frames)
+
+
+def test_strict_decoder_marks_integration_point():
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"x", "image")
+    # the fake decoder is deterministic on content
+    a = deterministic_fake_decoder(b"same", "image")
+    b = deterministic_fake_decoder(b"same", "image")
+    assert (a == b).all()
