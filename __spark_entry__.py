@@ -20,14 +20,16 @@ from fuzzycat_spark.functions.hashing import (
     content_hash,
     minhash_params,
     minhash_signature_udf,
-    simhash32,
+    simhash32_from_hashes,
     splitmix64_sql,
+    token_hashes32,
 )
 from fuzzycat_spark.functions.normalize import (
     num_project,
     slug_text,
     tokens_col,
     word_shingles,
+    word_shingles_from_tokens,
 )
 from fuzzycat_spark.functions.text import (
     LANG_STOPWORDS,
@@ -41,7 +43,7 @@ from fuzzycat_spark.operators.components import connected_components
 from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dup_stats
 from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
 from fuzzycat_spark.operators.pairs import block_pairs
-from fuzzycat_spark.operators.verify import page_features, verify_pairs
+from fuzzycat_spark.operators.verify import page_features, prepare_pages, verify_pairs
 
 # ---------------------------------------------------------------------------
 # shared config (the "shingle/signature config" recall is defined at)
@@ -410,30 +412,58 @@ def q_quality(spark, sf_dir):
     )
 
 
+def _doc_shingles(spark, sf_dir):
+    """(doc_id, sh) with tokens materialized first — shingling over an
+    attribute, not the tokenize expression (see prepare_pages)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .localCheckpoint()
+    )
+    return toks.select(
+        "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh")
+    )
+
+
 def q_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", doc_fingerprint("text", SHINGLE_N).alias("fp")
+    sh = F.col("sh")
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.size(sh) == 0, F.md5(F.lit("").cast("binary")))
+        .otherwise(F.array_min(F.transform(sh, lambda s: F.md5(s.cast("binary")))))
+        .alias("fp"),
     )
 
 
 def q_simhash(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash32(tokens_col("text")).alias("simhash")
+    staged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", token_hashes32(tokens_col("text")).alias("hashes"))
+        .localCheckpoint()
+    )
+    return staged.select(
+        "doc_id", simhash32_from_hashes(F.col("hashes")).alias("simhash")
     )
 
 
 def q_minhash_sigs(spark, sf_dir):
-    sig = minhash_signature_udf(NUM_PERM)(word_shingles("text", SHINGLE_N))
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(sig).alias("perm_id", "sig")
-    ).select("doc_id", F.col("perm_id").cast("long").alias("perm_id"), "sig")
+    sig = minhash_signature_udf(NUM_PERM)(F.col("sh"))
+    return (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.posexplode(sig).alias("perm_id", "sig"))
+        .select("doc_id", F.col("perm_id").cast("long").alias("perm_id"), "sig")
+    )
+
+
+def _band_table(spark, sf_dir):
+    return minhash_band_table(
+        _doc_shingles(spark, sf_dir), "doc_id", "text", NUM_PERM, BANDS, ROWS,
+        SHINGLE_N, use_udf=True, unit_bands=UNIT_BANDS, shingles_col="sh",
+    )
 
 
 def q_lsh_bands(spark, sf_dir):
-    return minhash_band_table(
-        _docs(spark, sf_dir), "doc_id", "text", NUM_PERM, BANDS, ROWS, SHINGLE_N,
-        use_udf=True, unit_bands=UNIT_BANDS,
-    ).select(
+    return _band_table(spark, sf_dir).select(
         F.col("id").alias("doc_id"),
         F.col("band_id").cast("long").alias("band_id"),
         "band_hash",
@@ -441,11 +471,7 @@ def q_lsh_bands(spark, sf_dir):
 
 
 def q_lsh_candidates(spark, sf_dir):
-    bands = minhash_band_table(
-        _docs(spark, sf_dir), "doc_id", "text", NUM_PERM, BANDS, ROWS, SHINGLE_N,
-        use_udf=True, unit_bands=UNIT_BANDS,
-    )
-    return lsh_candidate_pairs(bands, MAX_BUCKET)
+    return lsh_candidate_pairs(_band_table(spark, sf_dir), MAX_BUCKET)
 
 
 def q_candidates(spark, sf_dir):
@@ -454,14 +480,16 @@ def q_candidates(spark, sf_dir):
 
 def q_verified_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    cands = candidate_pairs(docs, DOC_CFG)
-    return verify_pairs(cands, page_features(docs, "doc_id", "text"))
+    prep = prepare_pages(docs, "doc_id", "text")
+    cands = candidate_pairs(docs, DOC_CFG, prep=prep)
+    return verify_pairs(cands, prep)
 
 
 def q_components(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    cands = candidate_pairs(docs, DOC_CFG)
-    verified = verify_pairs(cands, page_features(docs, "doc_id", "text")).localCheckpoint()
+    prep = prepare_pages(docs, "doc_id", "text")
+    cands = candidate_pairs(docs, DOC_CFG, prep=prep)
+    verified = verify_pairs(cands, prep).localCheckpoint()
     edges = verified.filter(F.col("status").isin("exact", "strong"))
     cc = connected_components(edges)
     return (

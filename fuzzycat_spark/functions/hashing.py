@@ -196,13 +196,18 @@ def _hex2long_expr(c: Column) -> Column:
     return F.conv(F.substring(c, 1, 8), 16, 10).cast("long")
 
 
-def simhash32(tokens: Column) -> Column:
-    """32-bit SimHash over a token array (duplicates = term-frequency weight).
+def token_hashes32(tokens: Column) -> Column:
+    """Per-token 32-bit hashes (first 8 md5 hex chars) as array<long> —
+    materialize this as a column attribute before calling
+    `simhash32_from_hashes`, which aggregates over it 32 times."""
+    return F.transform(tokens, lambda t: _hex2long_expr(F.md5(t.cast("binary"))))
 
-    Single Catalyst expression: per-token 32-bit hash from md5, per-bit ±1
-    votes folded with aggregate(zip_with(...)), sign → bits. Empty → -1.
-    """
-    hashes = F.transform(tokens, lambda t: _hex2long_expr(F.md5(t.cast("binary"))))
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a pre-materialized token-hash array (duplicates
+    = term-frequency weight). One aggregate pass per bit; `hashes` MUST be
+    a plain attribute — passing the hashing expression re-runs md5 32x per
+    row (HOF lambdas re-evaluate captured expressions)."""
     zero = F.lit(0).cast("long")
     # one aggregate pass per bit; bit index j is a Python int so shiftright
     # stays a static JVM expression
@@ -220,10 +225,16 @@ def simhash32(tokens: Column) -> Column:
         bit = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(zero)
         fp = bit if fp is None else fp + bit
     return (
-        F.when(tokens.isNull(), F.lit(None).cast("long"))
-        .when(F.size(tokens) == 0, F.lit(-1).cast("long"))
+        F.when(hashes.isNull(), F.lit(None).cast("long"))
+        .when(F.size(hashes) == 0, F.lit(-1).cast("long"))
         .otherwise(fp)
     )
+
+
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash straight from a token array. Convenience for small
+    inputs/oracles; pipelines should materialize `token_hashes32` first."""
+    return simhash32_from_hashes(token_hashes32(tokens))
 
 
 def hamming32(a: Column, b: Column) -> Column:

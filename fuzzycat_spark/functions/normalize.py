@@ -75,14 +75,18 @@ def tokens_col(col: Column | str) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Overlapping word n-gram shingles (distinct) from the slug.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Overlapping word n-gram shingles (distinct) from a token ARRAY.
 
-    Pure Catalyst: split → transform(sequence) → concat_ws. Documents with
-    fewer than n tokens yield the whole slug as a single shingle so short
-    docs still block somewhere.
+    `toks` must be a plain column attribute (from a materialized stage),
+    not a composed expression: higher-order-function lambdas re-evaluate
+    captured expressions PER ELEMENT, so passing the slug/split expression
+    here turns an O(L) shingle pass into O(L^2) regex work (measured 13x
+    wall on a 105k-doc corpus).
+
+    Documents with fewer than n tokens yield the whole slug as a single
+    shingle so short docs still block somewhere.
     """
-    toks = tokens_col(col)
     ngrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -90,6 +94,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(ngrams)
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column. Convenience for small inputs
+    and oracle queries — for pipelines, materialize `tokens_col` first and
+    use `word_shingles_from_tokens` (see its docstring for why)."""
+    return word_shingles_from_tokens(tokens_col(col), n)
 
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:

@@ -25,7 +25,7 @@ from fuzzycat_spark.operators.lsh import (
     simhash_bucket_table,
 )
 from fuzzycat_spark.operators.components import connected_components
-from fuzzycat_spark.operators.verify import page_features, verify_pairs
+from fuzzycat_spark.operators.verify import page_features, prepare_pages, verify_pairs
 
 EDGE_STATUSES = ("exact", "strong")  # statuses that link a cluster, like the
 # reference's STATUS_SORT keep-set (/root/reference/fuzzycat/simple.py:40-47
@@ -48,7 +48,11 @@ class DedupConfig:
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
-def candidate_pairs(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+def candidate_pairs(
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    prep: DataFrame | None = None,
+) -> DataFrame:
     """Candidates from all enabled blocking strategies via ONE self-join.
 
     Every strategy is just a (id, band_id, band_hash) generator — exact
@@ -57,29 +61,33 @@ def candidate_pairs(pages: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataF
     single bucket-capped self-join replaces three separate join+distinct
     subplans with one shuffle + one join + one distinct: same pair set,
     ~1/3 the stages.
+
+    `prep` is the materialized table from `prepare_pages` — pass it when
+    the caller also verifies, so normalization runs once for both phases.
     """
+    if prep is None:
+        prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
     tables = []
     if "exact" in cfg.strategies:
         tables.append(
-            pages.select(
-                F.col(cfg.id_col).alias("id"),
-                F.lit("exact").alias("band_id"),
-                content_hash(cfg.text_col).alias("band_hash"),
+            prep.select(
+                "id", F.lit("exact").alias("band_id"), F.col("ch").alias("band_hash")
             ).filter(F.col("band_hash").isNotNull())
         )
     if "slug" in cfg.strategies:
         tables.append(
-            pages.select(
-                F.col(cfg.id_col).alias("id"),
+            prep.select(
+                "id",
                 F.lit("slug").alias("band_id"),
-                F.md5(slug_text(cfg.text_col).cast("binary")).alias("band_hash"),
+                F.md5(F.col("slug").cast("binary")).alias("band_hash"),
             ).filter(F.col("band_hash").isNotNull())
         )
     if "minhash" in cfg.strategies:
         tables.append(
             minhash_band_table(
-                pages, cfg.id_col, cfg.text_col, cfg.num_perm, cfg.bands,
+                prep, "id", cfg.text_col, cfg.num_perm, cfg.bands,
                 cfg.rows, cfg.shingle_n, use_udf=cfg.minhash_udf,
+                shingles_col="shingles",
             ).select("id", F.col("band_id").cast("string").alias("band_id"), "band_hash")
         )
     if "simhash" in cfg.strategies:
@@ -115,15 +123,15 @@ def dedup_pages(
       assignments    — (id, cluster_id); singletons get their own id,
                        cluster_id = min id in the component (FIXTURES.md §5).
     """
-    cands = candidate_pairs(pages, cfg)
-    # features feed BOTH sides of the pair join — materialize once instead
-    # of recomputing slug/shingle kernels per branch (narrow projection: no
-    # html/text payload, mirroring SURVEY §4's "shuffle only verify columns")
-    feats = page_features(pages, cfg.id_col, cfg.text_col).localCheckpoint()
+    # one materialized preparation feeds blocking AND verification (narrow
+    # projection: no html/text payload, SURVEY §4's "shuffle only verify
+    # columns")
+    prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
+    cands = candidate_pairs(pages, cfg, prep=prep)
     # materialize the verified pairs once: connected components iterates over
     # the edge list, and without a checkpoint every CC action would re-run
     # blocking+verify (on a cluster this is the Iceberg stage checkpoint)
-    verified = verify_pairs(cands, feats).localCheckpoint()
+    verified = verify_pairs(cands, prep).localCheckpoint()
     edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
     cc = connected_components(edges)
     assignments = (

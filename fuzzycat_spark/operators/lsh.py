@@ -27,7 +27,8 @@ from fuzzycat_spark.functions.hashing import (
     lsh_band_keys,
     minhash_band_keys_sql,
     minhash_signature_udf,
-    simhash32,
+    simhash32_from_hashes,
+    token_hashes32,
 )
 from fuzzycat_spark.functions.normalize import tokens_col, word_shingles
 
@@ -48,6 +49,7 @@ def minhash_band_table(
     shingle_n: int = 3,
     use_udf: bool = True,
     unit_bands: int = DEFAULT_UNIT_BANDS,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per band per document.
 
@@ -64,7 +66,11 @@ def minhash_band_table(
     bands produce on popular shingles are handled by the bucket-size cap.
     """
     assert bands * rows == num_perm, "bands * rows must equal num_perm"
-    shingles = word_shingles(text_col, shingle_n)
+    # prefer a pre-materialized shingle attribute (see prepare_pages) —
+    # composing the shingle expression inline costs O(L^2) in HOF lambdas
+    shingles = (
+        F.col(shingles_col) if shingles_col else word_shingles(text_col, shingle_n)
+    )
     if use_udf:
         sig = minhash_signature_udf(num_perm)(shingles)
         # sig is an ArrowEvalPython output attribute, so the per-band slice
@@ -169,8 +175,14 @@ def simhash_bucket_table(
     (pigeonhole) — the standard Charikar bucketing.
     """
     n_bands = 32 // band_bits
-    fp = simhash32(tokens_col(text_col))
-    keyed = df.select(F.col(id_col).alias("id"), fp.alias("fp")).filter(
+    # two-stage: materialize per-token hashes so the 32 per-bit aggregate
+    # passes read an attribute instead of re-hashing every token 32x
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        token_hashes32(tokens_col(text_col)).alias("hashes"),
+    ).localCheckpoint()
+    fp = simhash32_from_hashes(F.col("hashes"))
+    keyed = staged.select("id", fp.alias("fp")).filter(
         F.col("fp").isNotNull() & (F.col("fp") >= 0)
     )
     mask = (1 << band_bits) - 1

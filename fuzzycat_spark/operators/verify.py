@@ -32,7 +32,7 @@ from fuzzycat_spark.functions.normalize import (
     num_project,
     slug_text,
     tokens_col,
-    word_shingles,
+    word_shingles_from_tokens,
 )
 from fuzzycat_spark.functions.text import jaccard_col
 
@@ -44,21 +44,57 @@ SHORT_TOKENS = 5
 SHINGLE_N = 3
 
 
-def page_features(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """Per-document verify features, computed once before pair join so the
-    (possibly huge) text column is scanned a single time."""
-    toks = tokens_col(text_col)
-    return df.select(
+def prepare_pages(
+    df: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Two-stage materialized document preparation shared by blocking and
+    verification: (id, ch, slug, toks, lang) checkpointed first, then
+    shingles/tokset/nproj derived FROM THOSE ATTRIBUTES and checkpointed.
+
+    The staging is load-bearing, not cosmetic: Catalyst inlines projections
+    (CollapseProject) and re-evaluates captured expressions inside
+    higher-order-function lambdas per array element, so computing shingles
+    directly over the slug/split expression costs O(L^2) regex work per
+    document — measured 13x slower on a 105k-doc corpus. Materializing
+    tokens makes every downstream lambda read an O(1) attribute. On a
+    cluster these two stages are the natural Iceberg feature tables.
+    """
+    stage_a = df.select(
         F.col(id_col).alias("id"),
         content_hash(text_col).alias("ch"),
         slug_text(text_col).alias("slug"),
-        num_project(slug_text(text_col)).alias("nproj"),
-        toks.alias("toks"),
-        F.array_distinct(toks).alias("tokset"),
-        word_shingles(text_col, SHINGLE_N).alias("shingles"),
+        tokens_col(text_col).alias("toks"),
+        F.col("lang").alias("lang")
+        if "lang" in df.columns
+        else F.lit(None).cast("string").alias("lang"),
+    ).localCheckpoint()
+    toks = F.col("toks")
+    shingles = word_shingles_from_tokens(toks, SHINGLE_N)
+    tokset = F.array_distinct(toks)
+    # alongside the string features, fixed-width hashed forms: the pair
+    # join shuffles ONLY these (set intersections are hash-invariant;
+    # equality checks become key equality) — at 100 TB the verify shuffle
+    # carries int64 arrays, never the shingle strings
+    return stage_a.select(
+        "id",
+        "ch",
+        "slug",
+        "toks",
+        "lang",
+        num_project(F.col("slug")).alias("nproj"),
+        tokset.alias("tokset"),
+        shingles.alias("shingles"),
         F.size(toks).alias("n_tok"),
-        F.col("lang").alias("lang") if "lang" in df.columns else F.lit(None).cast("string").alias("lang"),
-    )
+        F.md5(F.col("slug").cast("binary")).alias("slug_key"),
+        F.md5(num_project(F.col("slug")).cast("binary")).alias("nproj_key"),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles_h"),
+        F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
+    ).localCheckpoint()
+
+
+def page_features(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-document verify features (materialized; see prepare_pages)."""
+    return prepare_pages(df, id_col, text_col)
 
 
 def _containment_ratio(a: Column, b: Column) -> Column:
@@ -69,25 +105,33 @@ def _containment_ratio(a: Column, b: Column) -> Column:
 
 def verify_expr() -> tuple[Column, Column]:
     """(status, reason) column pair over a joined pair-row with a_* / b_*
-    feature columns. Strictly ordered; first match wins."""
+    feature columns. Strictly ordered; first match wins.
+
+    Operates entirely on the hashed feature forms (slug_key/nproj_key,
+    shingles_h/tokset_h): set intersections and equality are invariant
+    under the per-element hash, so statuses are identical to string-side
+    evaluation while the join shuffles only fixed-width values.
+    """
     a_ch, b_ch = F.col("a_ch"), F.col("b_ch")
-    a_slug, b_slug = F.col("a_slug"), F.col("b_slug")
-    a_sh, b_sh = F.col("a_shingles"), F.col("b_shingles")
-    a_ts, b_ts = F.col("a_tokset"), F.col("b_tokset")
+    a_sh, b_sh = F.col("a_shingles_h"), F.col("b_shingles_h")
+    a_ts, b_ts = F.col("a_tokset_h"), F.col("b_tokset_h")
     jac_sh = jaccard_col(a_sh, b_sh)
     jac_tok = jaccard_col(a_ts, b_ts)
     contain = _containment_ratio(a_sh, b_sh)
     short = (F.col("a_n_tok") < SHORT_TOKENS) | (F.col("b_n_tok") < SHORT_TOKENS)
     empty = (
-        a_slug.isNull() | b_slug.isNull() | (a_slug == "") | (b_slug == "")
+        F.col("a_n_tok").isNull()
+        | F.col("b_n_tok").isNull()
+        | (F.col("a_n_tok") == 0)
+        | (F.col("b_n_tok") == 0)
     )
 
     rules: list[tuple[Column, str, str]] = [
         (a_ch.isNotNull() & (a_ch == b_ch), "exact", "CONTENT_HASH"),
         (empty, "ambiguous", "EMPTY_TEXT"),
         (short, "ambiguous", "SHORT_TEXT"),
-        (a_slug == b_slug, "exact", "SLUG_MATCH"),
-        (F.col("a_nproj") == F.col("b_nproj"), "different", "NUM_DIFF"),
+        (F.col("a_slug_key") == F.col("b_slug_key"), "exact", "SLUG_MATCH"),
+        (F.col("a_nproj_key") == F.col("b_nproj_key"), "different", "NUM_DIFF"),
         (
             (contain >= CONTAINMENT_MIN_RATIO)
             & (F.least(F.col("a_n_tok"), F.col("b_n_tok")) >= 10),
@@ -116,12 +160,14 @@ def verify_expr() -> tuple[Column, Column]:
 def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
     """(id_a, id_b, status, reason) for every candidate pair.
 
-    Joins features twice (by id_a, id_b). Feature payloads per row are
-    bounded (slugs/shingle arrays), and the join keys are the ids — for
-    small probe sets AQE elects broadcast automatically.
+    Joins features twice (by id_a, id_b), projecting ONLY the hashed verify
+    columns — string slugs/shingles never enter this shuffle. For small
+    probe sets AQE elects broadcast automatically.
     """
-    fa = features.select([F.col(c).alias(f"a_{c}") for c in features.columns])
-    fb = features.select([F.col(c).alias(f"b_{c}") for c in features.columns])
+    cols = ["id", "ch", "slug_key", "nproj_key", "shingles_h", "tokset_h", "n_tok", "lang"]
+    narrow = features.select(*cols)
+    fa = narrow.select([F.col(c).alias(f"a_{c}") for c in cols])
+    fb = narrow.select([F.col(c).alias(f"b_{c}") for c in cols])
     joined = (
         pairs.select("id_a", "id_b")
         .join(fa, on=F.col("id_a") == F.col("a_id"))

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from fuzzycat_spark.functions.hashing import content_hash
 from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
 from fuzzycat_spark.operators.lsh import minhash_band_table
-from fuzzycat_spark.operators.verify import page_features, verify_pairs
+from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 
 
 def streaming_exact_dedup(
@@ -66,14 +66,15 @@ def incremental_dedup_batch(
     """
     spark = batch.sparkSession
     batch = batch.localCheckpoint()
+    prep = prepare_pages(batch, cfg.id_col, cfg.text_col)
 
     new_bands = minhash_band_table(
-        batch, cfg.id_col, cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
-        cfg.shingle_n, use_udf=cfg.minhash_udf,
+        prep, "id", cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
+        cfg.shingle_n, use_udf=cfg.minhash_udf, shingles_col="shingles",
     ).localCheckpoint()
 
     # within-batch candidates (all strategies)
-    cands = candidate_pairs(batch, cfg)
+    cands = candidate_pairs(batch, cfg, prep=prep)
 
     # cross candidates: new batch vs historical index
     if os.path.exists(index_path):
@@ -92,7 +93,7 @@ def incremental_dedup_batch(
 
     # features for ids on either side: batch features + historical features
     feat_path = index_path + "_features"
-    new_feats = page_features(batch, cfg.id_col, cfg.text_col).localCheckpoint()
+    new_feats = prep
     feats = new_feats
     if os.path.exists(feat_path):
         feats = feats.unionByName(spark.read.parquet(feat_path))

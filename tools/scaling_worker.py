@@ -17,21 +17,47 @@ from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
 def main() -> None:
     cores = int(sys.argv[1])
     corpus_path = sys.argv[2]
+    # identical logical plan at every level: same partition counts, only
+    # the executor-slot count varies (what "add executors" means on a real
+    # cluster); AQE coalesces where the data is small
+    parts = 64
     spark = get_spark(
-        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2
+        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=parts
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus_path)
     # a 100 TB input arrives in many splits; a single local parquet file
     # does not, so spread it the way the real scan would be
-    pages = pages.repartition(cores * 2).localCheckpoint()
+    pages = pages.repartition(parts).localCheckpoint()
     n = pages.count()
     # warmup: JVM/codegen/Python-worker spinup outside the timed window
     _, warm = dedup_pages(pages.limit(200), DedupConfig())
     warm.count()
+    from fuzzycat_spark.operators.dedup import candidate_pairs
+    from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
+    from fuzzycat_spark.operators.components import connected_components
+    from pyspark.sql import functions as F
+
+    cfg = DedupConfig()
+    phases = {}
     t0 = time.time()
-    verified, assign = dedup_pages(pages, DedupConfig())
+    prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
+    phases["prepare"] = round(time.time() - t0, 1)
+    t = time.time()
+    cands = candidate_pairs(pages, cfg, prep=prep)
+    phases["bands"] = round(time.time() - t, 1)
+    t = time.time()
+    verified = verify_pairs(cands, prep).localCheckpoint()
+    phases["verify"] = round(time.time() - t, 1)
+    t = time.time()
+    cc = connected_components(verified.filter(F.col("status").isin(*cfg.edge_statuses)))
+    assign = (
+        pages.select(F.col(cfg.id_col).alias("id"))
+        .join(cc, on="id", how="left")
+        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
+    )
     n_assign = assign.count()
+    phases["cc_assign"] = round(time.time() - t, 1)
     wall = time.time() - t0
     print(
         json.dumps(
@@ -41,6 +67,7 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n / wall, 1),
                 "assignments": n_assign,
+                "phases": phases,
             }
         )
     )
