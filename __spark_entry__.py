@@ -503,6 +503,12 @@ def q_dup_stats(spark, sf_dir):
     return dup_stats(q_components(spark, sf_dir))
 
 
+def q_closest_match(spark, sf_dir):
+    from fuzzycat_spark.operators.pairs import status_ranked_matches
+
+    return status_ranked_matches(q_verified_pairs(spark, sf_dir), "id_a", k=1)
+
+
 def q_knn(spark, sf_dir):
     e = _emb(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")).filter(
@@ -634,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_pairs": q_verified_pairs,
         "components": q_components,
         "dup_stats": q_dup_stats,
+        "closest_match": q_closest_match,
         "knn": q_knn,
         "similar_embeddings": q_similar_embeddings,
         "ann_buckets": q_ann_buckets,
@@ -702,6 +709,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {_VERIFIED_CTES}
             SELECT id_a, id_b, status, reason FROM verified""",
         "components": _CC_SQL,
+        "closest_match": f"""
+            WITH {_VERIFIED_CTES}
+            SELECT probe, match, status, rank FROM (
+              SELECT id_a AS probe, id_b AS match, status,
+                CAST(row_number() OVER (PARTITION BY id_a ORDER BY
+                  (CASE status WHEN 'exact' THEN 10 WHEN 'strong' THEN 20
+                               WHEN 'weak' THEN 30 WHEN 'ambiguous' THEN 40 END),
+                  id_b) AS BIGINT) AS rank
+              FROM verified
+              WHERE status IN ('exact', 'strong', 'weak', 'ambiguous')
+            ) WHERE rank <= 1""",
         "dup_stats": f"""
             WITH assignments AS ({_CC_SQL})
             SELECT cluster_size, count(*) AS n_clusters FROM (

@@ -25,6 +25,7 @@ from fuzzycat_spark.operators.lsh import (
     simhash_bucket_table,
 )
 from fuzzycat_spark.operators.components import connected_components
+from fuzzycat_spark.plans.checkpoint import materialize
 from fuzzycat_spark.operators.verify import page_features, prepare_pages, verify_pairs
 
 EDGE_STATUSES = ("exact", "strong")  # statuses that link a cluster, like the
@@ -127,11 +128,14 @@ def dedup_pages(
     # projection: no html/text payload, SURVEY §4's "shuffle only verify
     # columns")
     prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
-    cands = candidate_pairs(pages, cfg, prep=prep)
+    # materialize candidates before the feature joins: with the lazy
+    # window+join+distinct plan inline, the verify joins get planned without
+    # row statistics and run ~5x slower than against the materialized table
+    cands = materialize(candidate_pairs(pages, cfg, prep=prep), "candidates")
     # materialize the verified pairs once: connected components iterates over
     # the edge list, and without a checkpoint every CC action would re-run
     # blocking+verify (on a cluster this is the Iceberg stage checkpoint)
-    verified = verify_pairs(cands, prep).localCheckpoint()
+    verified = materialize(verify_pairs(cands, prep), "verified")
     edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
     cc = connected_components(edges)
     assignments = (

@@ -31,6 +31,7 @@ from fuzzycat_spark.functions.hashing import (
     token_hashes32,
 )
 from fuzzycat_spark.functions.normalize import tokens_col, word_shingles
+from fuzzycat_spark.plans.checkpoint import materialize
 
 DEFAULT_NUM_PERM = 32
 DEFAULT_BANDS = 16
@@ -115,7 +116,7 @@ def lsh_candidate_pairs(
     # the band table feeds three plan branches (bucket sizes + both join
     # sides); materialize it once so the signature UDF isn't re-run per
     # branch (cluster deployments checkpoint this stage to Iceberg instead)
-    b = band_table.localCheckpoint()
+    b = materialize(band_table, None)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash")
         cap = (
@@ -177,10 +178,13 @@ def simhash_bucket_table(
     n_bands = 32 // band_bits
     # two-stage: materialize per-token hashes so the 32 per-bit aggregate
     # passes read an attribute instead of re-hashing every token 32x
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        token_hashes32(tokens_col(text_col)).alias("hashes"),
-    ).localCheckpoint()
+    staged = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            token_hashes32(tokens_col(text_col)).alias("hashes"),
+        ),
+        None,
+    )
     fp = simhash32_from_hashes(F.col("hashes"))
     keyed = staged.select("id", fp.alias("fp")).filter(
         F.col("fp").isNotNull() & (F.col("fp") >= 0)

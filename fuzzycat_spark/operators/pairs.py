@@ -63,6 +63,69 @@ def oversize_blocks(
     )
 
 
+def star_pairs(
+    df: DataFrame,
+    key: Column,
+    role_col: str = "role",
+    pivot_role: str = "release",
+    id_col: str = "url",
+    max_block_size: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Star join: compare each block's pivot record against every non-pivot
+    member instead of all pairs — the reference's refs.py pattern
+    (`/root/reference/fuzzycat/refs.py:42-69`: one release entity vs every
+    ref record in the group), avoiding the quadratic blowup.
+
+    Returns (id_a=pivot, id_b=member, block_key)."""
+    keyed = with_block_sizes(
+        df.select(F.col(id_col).alias("id"), key.alias("block_key"), F.col(role_col).alias("role"))
+        .filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+    )
+    if max_block_size is not None:
+        keyed = keyed.filter(F.col("block_size") <= max_block_size)
+    pivots = keyed.filter(F.col("role") == pivot_role).select(
+        "block_key", F.col("id").alias("id_a")
+    )
+    members = keyed.filter(F.col("role") != pivot_role).select(
+        "block_key", F.col("id").alias("id_b")
+    )
+    return pivots.join(members, on="block_key")
+
+
+def status_ranked_matches(
+    verified: DataFrame,
+    probe_col: str = "id_a",
+    k: int = 1,
+) -> DataFrame:
+    """Top-k matches per probe by status priority — the reference's
+    STATUS_SORT ranking (`/root/reference/fuzzycat/simple.py:40-47,100-105`:
+    exact < strong < weak < ambiguous, TODO/DIFFERENT dropped, head taken).
+
+    Returns (probe, match, status, rank)."""
+    from pyspark.sql.window import Window
+
+    prio = (
+        F.when(F.col("status") == "exact", 10)
+        .when(F.col("status") == "strong", 20)
+        .when(F.col("status") == "weak", 30)
+        .when(F.col("status") == "ambiguous", 40)
+    )
+    other = "id_b" if probe_col == "id_a" else "id_a"
+    kept = verified.filter(F.col("status").isin("exact", "strong", "weak", "ambiguous"))
+    w = Window.partitionBy(probe_col).orderBy(F.asc("prio"), F.asc(other))
+    return (
+        kept.withColumn("prio", prio)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(probe_col).alias("probe"),
+            F.col(other).alias("match"),
+            "status",
+            "rank",
+        )
+    )
+
+
 def union_pair_candidates(*pair_dfs: DataFrame) -> DataFrame:
     """Union candidate pairs from several blocking strategies (exact hash,
     slug key, LSH bands, SimHash buckets) and dedupe. Each input must have

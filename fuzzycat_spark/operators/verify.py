@@ -35,6 +35,7 @@ from fuzzycat_spark.functions.normalize import (
     word_shingles_from_tokens,
 )
 from fuzzycat_spark.functions.text import jaccard_col
+from fuzzycat_spark.plans.checkpoint import materialize
 
 # thresholds (the shingle/signature config that recall is measured at)
 CONTAINMENT_MIN_RATIO = 0.8
@@ -67,7 +68,8 @@ def prepare_pages(
         F.col("lang").alias("lang")
         if "lang" in df.columns
         else F.lit(None).cast("string").alias("lang"),
-    ).localCheckpoint()
+    )
+    stage_a = materialize(stage_a, "prep_tokens")
     toks = F.col("toks")
     shingles = word_shingles_from_tokens(toks, SHINGLE_N)
     tokset = F.array_distinct(toks)
@@ -75,7 +77,7 @@ def prepare_pages(
     # join shuffles ONLY these (set intersections are hash-invariant;
     # equality checks become key equality) — at 100 TB the verify shuffle
     # carries int64 arrays, never the shingle strings
-    return stage_a.select(
+    stage_b = stage_a.select(
         "id",
         "ch",
         "slug",
@@ -89,7 +91,8 @@ def prepare_pages(
         F.md5(num_project(F.col("slug")).cast("binary")).alias("nproj_key"),
         F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
-    ).localCheckpoint()
+    )
+    return materialize(stage_b, "prep_features")
 
 
 def page_features(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:

@@ -27,6 +27,32 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+_EPHEMERAL: dict[str, "StageCheckpointer"] = {}
+_MAT_COUNTER = 0
+
+
+def materialize(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Parquet round-trip a DataFrame through a per-session ephemeral
+    checkpoint dir — the general replacement for `localCheckpoint` in this
+    codebase. Besides the unreliable lineage cut (module docstring),
+    localCheckpoint stores DESERIALIZED JVM objects in the block manager:
+    materializing token/shingle string arrays that way costs ~100 B/string
+    of heap and made 290k-doc runs superlinearly slower from GC churn.
+    Parquet blocks are compact Tungsten pages served through the OS page
+    cache instead.
+    """
+    global _MAT_COUNTER
+    spark = df.sparkSession
+    key = spark.sparkContext.applicationId
+    ck = _EPHEMERAL.get(key)
+    if ck is None:
+        ck = _EPHEMERAL.setdefault(key, StageCheckpointer(spark))
+    # every materialization gets a fresh path: an overwrite of a shared name
+    # would delete files still lazily referenced by earlier frames
+    _MAT_COUNTER += 1
+    return ck.write(df, f"{name or 'mat'}_{_MAT_COUNTER}")
+
+
 class StageCheckpointer:
     """Named-stage parquet checkpoints with a resume manifest.
 

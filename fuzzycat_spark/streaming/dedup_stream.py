@@ -29,6 +29,7 @@ from fuzzycat_spark.functions.hashing import content_hash
 from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
 from fuzzycat_spark.operators.lsh import minhash_band_table
 from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
+from fuzzycat_spark.plans.checkpoint import materialize
 
 
 def streaming_exact_dedup(
@@ -65,13 +66,16 @@ def incremental_dedup_batch(
     stream-static join.
     """
     spark = batch.sparkSession
-    batch = batch.localCheckpoint()
+    batch = materialize(batch, None)
     prep = prepare_pages(batch, cfg.id_col, cfg.text_col)
 
-    new_bands = minhash_band_table(
-        prep, "id", cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
-        cfg.shingle_n, use_udf=cfg.minhash_udf, shingles_col="shingles",
-    ).localCheckpoint()
+    new_bands = materialize(
+        minhash_band_table(
+            prep, "id", cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
+            cfg.shingle_n, use_udf=cfg.minhash_udf, shingles_col="shingles",
+        ),
+        None,
+    )
 
     # within-batch candidates (all strategies)
     cands = candidate_pairs(batch, cfg, prep=prep)

@@ -1,0 +1,68 @@
+"""spark-submit entrypoint for the full dedup pipeline.
+
+Usage (cluster):
+    spark-submit --py-files dist/fuzzycat_spark.zip jobs/dedup_job.py \
+        --input  <parquet path or table of (url, warc_ts, html, text, lang)> \
+        --output <dir for assignments/ and verified_pairs/> \
+        --checkpoint <resumable stage dir>
+
+The session comes from the cluster (no master set here); locally,
+`make submit-local` runs the same file under spark-submit --master local[*].
+Re-running with the same --checkpoint resumes after the last completed
+stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--num-perm", type=int, default=32)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--rows", type=int, default=2)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--max-block-size", type=int, default=100)
+    p.add_argument("--max-bucket-size", type=int, default=200)
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    args = p.parse_args()
+
+    # --py-files ships the package; imports resolve on the executors too
+    from fuzzycat_spark.operators.dedup import DedupConfig
+    from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+    from fuzzycat_spark.plans.pipeline import run_dedup_pipeline
+
+    spark = SparkSession.builder.appName("fuzzycat-spark-dedup").getOrCreate()
+    cfg = DedupConfig(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows=args.rows,
+        shingle_n=args.shingle_n,
+        max_block_size=args.max_block_size,
+        max_bucket_size=args.max_bucket_size,
+    )
+    pages = (
+        spark.read.table(args.input)
+        if "/" not in args.input
+        else spark.read.parquet(args.input)
+    )
+    ck = StageCheckpointer(spark, args.checkpoint)
+    out = run_dedup_pipeline(pages, ck, cfg)
+    out["verified"].write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
+    out["assignments"].write.mode("overwrite").parquet(f"{args.output}/assignments")
+    print(json.dumps({"stages": list(ck._manifest)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ def main() -> None:
     from fuzzycat_spark.operators.dedup import candidate_pairs
     from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
     from fuzzycat_spark.operators.components import connected_components
+    from fuzzycat_spark.plans.checkpoint import materialize
     from pyspark.sql import functions as F
 
     cfg = DedupConfig()
@@ -44,10 +45,10 @@ def main() -> None:
     prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
     phases["prepare"] = round(time.time() - t0, 1)
     t = time.time()
-    cands = candidate_pairs(pages, cfg, prep=prep)
-    phases["bands"] = round(time.time() - t, 1)
+    cands = materialize(candidate_pairs(pages, cfg, prep=prep), "candidates")
+    phases["candidates"] = round(time.time() - t, 1)
     t = time.time()
-    verified = verify_pairs(cands, prep).localCheckpoint()
+    verified = materialize(verify_pairs(cands, prep), "verified")
     phases["verify"] = round(time.time() - t, 1)
     t = time.time()
     cc = connected_components(verified.filter(F.col("status").isin(*cfg.edge_statuses)))
