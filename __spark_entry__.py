@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.hashing import (
     content_hash,
+    md5_h64,
+    minhash_from_h64_udf,
     minhash_params,
-    minhash_signature_udf,
     simhash32_from_hashes,
     splitmix64_sql,
     token_hashes32,
@@ -43,7 +44,7 @@ from fuzzycat_spark.operators.components import connected_components
 from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dup_stats
 from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
 from fuzzycat_spark.operators.pairs import block_pairs
-from fuzzycat_spark.operators.verify import page_features, prepare_pages, verify_pairs
+from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 
 # ---------------------------------------------------------------------------
 # shared config (the "shingle/signature config" recall is defined at)
@@ -322,7 +323,8 @@ fp AS (
 )
 SELECT tk.doc_id,
   CASE WHEN len(tk.toks) = 0 THEN -1 ELSE fp.simhash END AS simhash
-FROM tk LEFT JOIN fp ON tk.doc_id = fp.doc_id""".format(slug=_SLUG)
+FROM tk LEFT JOIN fp ON tk.doc_id = fp.doc_id
+ORDER BY tk.doc_id""".format(slug=_SLUG)
 
 _COS_D = (
     "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
@@ -436,18 +438,27 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    # the exchange between the two projections is a CollapseProject barrier:
+    # the 32 per-bit aggregates read the materialized `hashes` attribute
+    # instead of re-hashing every token 32x. No localCheckpoint (round 1's
+    # version used one and was the lone driver-gate hash mismatch — block-
+    # manager round-trips don't guarantee a canonical layout); the final
+    # global sort makes the output row order deterministic and identical to
+    # the oracle's ORDER BY.
     staged = (
         _docs(spark, sf_dir)
         .select("doc_id", token_hashes32(tokens_col("text")).alias("hashes"))
-        .localCheckpoint()
+        .repartition("doc_id")
     )
     return staged.select(
         "doc_id", simhash32_from_hashes(F.col("hashes")).alias("simhash")
-    )
+    ).orderBy("doc_id")
 
 
 def q_minhash_sigs(spark, sf_dir):
-    sig = minhash_signature_udf(NUM_PERM)(F.col("sh"))
+    # base hash JVM-side (md5_h64 in codegen), numpy only mixes — identical
+    # bits to the round-1 hashlib path and to the DuckDB oracle
+    sig = minhash_from_h64_udf(NUM_PERM)(F.transform(F.col("sh"), md5_h64))
     return (
         _doc_shingles(spark, sf_dir)
         .select("doc_id", F.posexplode(sig).alias("perm_id", "sig"))

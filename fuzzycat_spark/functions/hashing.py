@@ -137,17 +137,81 @@ def splitmix64_sql(zexpr: str) -> str:
     return f"(xor({s5}, {s5} >> 33) >> 2)::BIGINT"
 
 
-def minhash_signature_udf(k: int = 16, seed: int = 42):
-    """Vectorized MinHash over an array<string> shingle column.
+def md5_h64(col: Column) -> Column:
+    """First 8 bytes of md5 as a signed int64 — pure Catalyst (codegen).
+
+    Bit-identical to Python's ``int.from_bytes(md5(s)[:8], 'big')`` viewed
+    as two's-complement (conv with negative toBase = signed 64-bit), and to
+    DuckDB's ``('0x' || substr(md5(s),1,16))::UBIGINT`` reinterpreted. This
+    is the MinHash BASE hash: computing it JVM-side keeps the only Python
+    work per document at the (k, n) numpy permutation mix.
+    """
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 16), 16, -10).cast(
+        "long"
+    )
+
+
+def minhash_from_h64_udf(k: int = 16, seed: int = 42):
+    """Vectorized MinHash over a pre-hashed array<long> column (base hashes
+    from `md5_h64`, computed JVM-side inside whole-stage codegen).
 
     Returns a pandas UDF producing array<long> of length k:
-    sig_i = min over shingles of splitmix64(h64(shingle) XOR C_i) >> 2,
-    h64 = first 8 bytes of md5. One md5 per shingle (C-speed hashlib), then
-    all k permutations in a single numpy (k, n_shingles) broadcast + min —
-    no per-permutation rehash, no per-row Python in the hash loop.
+    sig_i = min over shingle hashes h of splitmix64(uint64(h) XOR C_i) >> 2.
+    The whole Arrow batch is mixed in ONE numpy (k, total_shingles)
+    broadcast, then per-document minima come from np.minimum.reduceat over
+    the flattened batch — no per-shingle and no per-document Python in the
+    hot loop.
 
     Empty/null shingle sets get sig_i = mix(C_i) >> 2 (h=0), a deterministic
     sentinel that only collides with other empty docs.
+    """
+    c = np.array(minhash_params(k, seed), dtype=np.uint64)
+    empty_sig = (_splitmix64_np(c) >> np.uint64(2)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash(h64_series: pd.Series) -> pd.Series:
+        n = len(h64_series)
+        arrs = []
+        lens = np.zeros(n, dtype=np.int64)
+        for j, hv in enumerate(h64_series):
+            if hv is None:
+                continue
+            a = np.asarray(hv, dtype=np.int64)
+            if a.size:
+                arrs.append(a)
+                lens[j] = a.size
+        if not arrs:
+            return pd.Series([empty_sig] * n)
+        flat = np.concatenate(arrs).view(np.uint64)
+        # one (k, total) mix for the whole Arrow batch
+        perms = _splitmix64_np(flat[None, :] ^ c[:, None]) >> np.uint64(2)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        # reduceat segments: only non-empty docs (reduceat misbehaves on
+        # zero-length segments); empty docs take the sentinel signature
+        mins = np.minimum.reduceat(perms, starts[nonempty], axis=1).astype(np.int64)
+        out = np.empty(n, dtype=object)
+        col_idx = 0
+        for j in range(n):
+            if nonempty[j]:
+                out[j] = mins[:, col_idx]
+                col_idx += 1
+            else:
+                out[j] = empty_sig
+        return pd.Series(out)
+
+    return _minhash
+
+
+def minhash_signature_udf(k: int = 16, seed: int = 42):
+    """Vectorized MinHash over an array<string> shingle column.
+
+    Convenience wrapper that hashes shingles with Python hashlib (one md5
+    per shingle) before the numpy permutation mix — kept for tests and
+    string-array call sites. Pipelines hash JVM-side instead:
+    `minhash_from_h64_udf(k)(F.transform(shingles, md5_h64))` produces the
+    identical signature with no Python in the base-hash loop.
     """
     c = np.array(minhash_params(k, seed), dtype=np.uint64)
     empty_sig = (_splitmix64_np(c) >> np.uint64(2)).astype(np.int64)
@@ -249,6 +313,8 @@ def hamming32(a: Column, b: Column) -> Column:
 
 __all__ = [
     "content_hash",
+    "md5_h64",
+    "minhash_from_h64_udf",
     "minhash_signature_sql",
     "minhash_signature_udf",
     "lsh_band_keys",

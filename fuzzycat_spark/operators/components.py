@@ -22,7 +22,7 @@ stage tables that also make the loop resumable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
@@ -55,54 +55,60 @@ def connected_components(
     )
 
     # size the loop's shuffles to the edge list, not the (much larger)
-    # corpus: a 3-join iteration over a few thousand edges at corpus-width
+    # corpus: a per-iteration join over a few thousand edges at corpus-width
     # partitioning is pure scheduling overhead. ~100k edges per partition;
-    # restored after the loop.
+    # restored after the loop (try/finally — an exception mid-loop must not
+    # leave a shared session at the reduced partition count).
     n_edges = sym.count()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
 
-    for i in range(max_iterations):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
-        )
-        # pointer jumping, twice: label(label(v)) and label^3(v) — tripling
-        # pointer depth per materialized round instead of doubling, so long
-        # containment chains converge in ~log3 rounds
-        lut1 = labels.select(
-            F.col("id").alias("label"), F.col("label").alias("hop1")
-        )
-        lut2 = labels.select(
-            F.col("id").alias("hop1"), F.col("label").alias("hop2")
-        )
-        hop = (
-            labels.join(lut1, on="label")
-            .join(lut2, on="hop1")
-            .select("id", "label", "hop1", "hop2")
-        )
-        new_labels = ck.write(
-            hop.join(nbr_min, on="id", how="left").select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.col("hop1"),
-                    F.col("hop2"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("new_label"),
-                "label",
-            ),
-            # alternate two slots so the loop doesn't accumulate files
-            f"cc_labels_{i % 2}",
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        ck.record_counters(f"cc_iter_{i}", {"changed": changed})
-        if changed == 0:
-            break
-
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        for i in range(max_iterations):
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "id")
+            )
+            # one pointer jump per round — label(label(v)) — doubles pointer
+            # depth per materialized round (log2 convergence on chains); a
+            # second hop costs a full extra shuffle per iteration for a
+            # marginal depth win and was the #1 line in the round-1 bench
+            lut1 = labels.select(
+                F.col("id").alias("label"), F.col("label").alias("hop1")
+            )
+            hop = labels.join(lut1, on="label").select("id", "label", "hop1")
+            # the convergence counter rides on the checkpoint write itself
+            # (Observation fills during the write job) — iterations cost
+            # exactly ONE Spark job, no separate count action
+            obs = Observation(f"cc_changed_{i}")
+            new_labels = ck.write(
+                hop.join(nbr_min, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.col("hop1"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("new_label"),
+                    "label",
+                )
+                .observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("new_label") != F.col("label"), F.lit(1))
+                    ).alias("changed"),
+                ),
+                # alternate two slots so the loop doesn't accumulate files
+                f"cc_labels_{i % 2}",
+            )
+            changed = int(obs.get["changed"])
+            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            ck.record_counters(f"cc_iter_{i}", {"changed": changed})
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -26,7 +26,7 @@ from fuzzycat_spark.operators.lsh import (
 )
 from fuzzycat_spark.operators.components import connected_components
 from fuzzycat_spark.plans.checkpoint import materialize
-from fuzzycat_spark.operators.verify import page_features, prepare_pages, verify_pairs
+from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 
 EDGE_STATUSES = ("exact", "strong")  # statuses that link a cluster, like the
 # reference's STATUS_SORT keep-set (/root/reference/fuzzycat/simple.py:40-47

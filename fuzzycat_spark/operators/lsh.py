@@ -25,8 +25,9 @@ from pyspark.sql.window import Window
 from fuzzycat_spark.functions.hashing import (
     _seed_min_expr,
     lsh_band_keys,
+    md5_h64,
     minhash_band_keys_sql,
-    minhash_signature_udf,
+    minhash_from_h64_udf,
     simhash32_from_hashes,
     token_hashes32,
 )
@@ -73,7 +74,10 @@ def minhash_band_table(
         F.col(shingles_col) if shingles_col else word_shingles(text_col, shingle_n)
     )
     if use_udf:
-        sig = minhash_signature_udf(num_perm)(shingles)
+        # base hash JVM-side (md5 -> int64 inside codegen); the UDF receives
+        # array<long> and does only the (k, n) numpy permutation mix —
+        # zero Python hashing per shingle
+        sig = minhash_from_h64_udf(num_perm)(F.transform(shingles, md5_h64))
         # sig is an ArrowEvalPython output attribute, so the per-band slice
         # below re-reads the materialized array instead of re-running Python
         keys = lsh_band_keys(F.col("sig"), bands, rows)
@@ -100,23 +104,39 @@ def minhash_band_table(
     )
 
 
+def _pair_combos(ids: Column) -> Column:
+    """All ordered pairs (ids[i], ids[j]), i < j, from a SORTED id array —
+    pure Catalyst, O(b^2) bounded by the bucket cap upstream."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     band_table: DataFrame,
     max_bucket_size: int | str | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Distinct (id_a, id_b) candidates from bucket self-joins.
+    """Distinct (id_a, id_b) candidates from within-bucket pair expansion.
 
-    A pair colliding in several bands is emitted once (distinct) — the
-    map-side of the distinct runs partial aggregation, so the shuffle
-    carries near-deduped pairs.
+    ONE shuffle of the band table: a window count over (band_id, band_hash)
+    applies the bucket cap streaming/spillable (a mega-bucket never
+    materializes as a single aggregation row), then the group-by that
+    collects surviving buckets reuses the window's hash partitioning — no
+    second exchange, no bucket self-join, no checkpoint of the band table
+    (it has exactly one consumer now). Pairs are expanded in-bucket with a
+    native combination expression and deduped across bands by `distinct`
+    (map-side partial aggregation, so the pair shuffle is near-deduped).
 
     max_bucket_size: int for a global cap, a column name (str) for a
     per-row cap carried in the band table, or None for no cap.
     """
-    # the band table feeds three plan branches (bucket sizes + both join
-    # sides); materialize it once so the signature UDF isn't re-run per
-    # branch (cluster deployments checkpoint this stage to Iceberg instead)
-    b = materialize(band_table, None)
+    b = band_table
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash")
         cap = (
@@ -125,14 +145,16 @@ def lsh_candidate_pairs(
             else F.lit(max_bucket_size)
         )
         b = b.withColumn("_bs", F.count(F.lit(1)).over(w)).filter(
-            F.col("_bs") <= cap
+            (F.col("_bs") <= cap) & (F.col("_bs") >= 2)
         )
-    left = b.select("band_id", "band_hash", F.col("id").alias("id_a"))
-    right = b.select("band_id", "band_hash", F.col("id").alias("id_b"))
+    buckets = b.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    if max_bucket_size is None:
+        buckets = buckets.filter(F.size("ids") >= 2)
     return (
-        left.join(right, on=["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

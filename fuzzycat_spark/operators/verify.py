@@ -95,11 +95,6 @@ def prepare_pages(
     return materialize(stage_b, "prep_features")
 
 
-def page_features(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
-    """Per-document verify features (materialized; see prepare_pages)."""
-    return prepare_pages(df, id_col, text_col)
-
-
 def _containment_ratio(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     m = F.least(F.size(a), F.size(b)).cast("double")

@@ -19,8 +19,10 @@ point.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import tempfile
 import time
 
@@ -31,7 +33,9 @@ _EPHEMERAL: dict[str, "StageCheckpointer"] = {}
 _MAT_COUNTER = 0
 
 
-def materialize(df: DataFrame, name: str | None = None) -> DataFrame:
+def materialize(
+    df: DataFrame, name: str | None = None, keep_last: int | None = None
+) -> DataFrame:
     """Parquet round-trip a DataFrame through a per-session ephemeral
     checkpoint dir — the general replacement for `localCheckpoint` in this
     codebase. Besides the unreliable lineage cut (module docstring),
@@ -40,6 +44,13 @@ def materialize(df: DataFrame, name: str | None = None) -> DataFrame:
     of heap and made 290k-doc runs superlinearly slower from GC churn.
     Parquet blocks are compact Tungsten pages served through the OS page
     cache instead.
+
+    Every materialization gets a fresh path (an overwrite of a shared name
+    would delete files still lazily referenced by earlier frames); the whole
+    ephemeral dir is removed at interpreter exit. Long-lived loops (e.g.
+    streaming foreachBatch) pass `keep_last=N` to also drop all but the N
+    most recent materializations of the same `name` — the caller asserts
+    older frames under that name are no longer referenced.
     """
     global _MAT_COUNTER
     spark = df.sparkSession
@@ -47,10 +58,12 @@ def materialize(df: DataFrame, name: str | None = None) -> DataFrame:
     ck = _EPHEMERAL.get(key)
     if ck is None:
         ck = _EPHEMERAL.setdefault(key, StageCheckpointer(spark))
-    # every materialization gets a fresh path: an overwrite of a shared name
-    # would delete files still lazily referenced by earlier frames
+        atexit.register(shutil.rmtree, ck.base_dir, ignore_errors=True)
     _MAT_COUNTER += 1
-    return ck.write(df, f"{name or 'mat'}_{_MAT_COUNTER}")
+    out = ck.write(df, f"{name or 'mat'}_{_MAT_COUNTER}")
+    if keep_last is not None and name:
+        ck.prune(f"{name}_", keep_last)
+    return out
 
 
 class StageCheckpointer:
@@ -101,6 +114,19 @@ class StageCheckpointer:
         if self.done(name):
             return self.load(name)
         return self.write(build(), name)
+
+    def prune(self, prefix: str, keep_last: int) -> None:
+        """Delete all but the `keep_last` most recent checkpoints whose name
+        starts with `prefix`. Only for names the caller KNOWS are no longer
+        lazily referenced (e.g. superseded per-batch materializations)."""
+        named = sorted(
+            (n for n in self._manifest if n.startswith(prefix)),
+            key=lambda n: self._manifest[n].get("ts", 0),
+        )
+        for n in named[: max(0, len(named) - keep_last)]:
+            shutil.rmtree(self._manifest[n]["path"], ignore_errors=True)
+            del self._manifest[n]
+        self._flush()
 
     def record_counters(self, name: str, counters: dict) -> None:
         """Attach stage metrics (the reference's key_ok/key_empty-style

@@ -12,7 +12,7 @@ from fuzzycat_spark.operators.blocking import block_stats, with_block_key
 from fuzzycat_spark.operators.components import connected_components
 from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
 from fuzzycat_spark.operators.pairs import block_pairs, oversize_blocks
-from fuzzycat_spark.operators.verify import page_features, verify_pairs
+from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 
 
 @pytest.fixture(scope="module")
@@ -87,7 +87,7 @@ def test_verify_cascade_statuses(spark):
     )
     got = {
         (r.id_a, r.id_b): (r.status, r.reason)
-        for r in verify_pairs(pairs, page_features(df)).collect()
+        for r in verify_pairs(pairs, prepare_pages(df)).collect()
     }
     assert got[("exact1", "exact2")] == ("exact", "CONTENT_HASH")
     assert got[("exact1", "slugv")] == ("exact", "SLUG_MATCH")
