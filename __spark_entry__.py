@@ -610,6 +610,37 @@ SELECT probe_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3"""
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_windows(spark, sf_dir):
+    from fuzzycat_spark.streaming.windows import tumbling_event_stats
+
+    return tumbling_event_stats(_events(spark, sf_dir))
+
+
+def q_user_sessions(spark, sf_dir):
+    from fuzzycat_spark.streaming.windows import user_sessions
+
+    return user_sessions(_events(spark, sf_dir))
+
+
+_SUBSTR_K = 25
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Exact-substring containment (suffix-array-style guarantee): probe =
+    first token k-gram, index = all k-grams, contains() confirmation.
+    Uncapped here so the result equals the O(n^2) oracle definition; the
+    pipeline default applies the hot-bucket cap."""
+    from fuzzycat_spark.operators.substring import exact_substring_pairs
+
+    return exact_substring_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=_SUBSTR_K, max_bucket_size=None
+    )
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -657,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": q_ann_buckets,
         "ann_knn": q_ann_knn,
         "lang_stats": q_lang_stats,
+        "substring_pairs": q_substring_pairs,
+        "event_windows": q_event_windows,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -745,4 +779,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang""",
+        "substring_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, slug FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)
+              WHERE slug != '' AND len(string_split(slug, ' ')) >= {_SUBSTR_K}
+            )
+            SELECT a.doc_id AS id_in, b.doc_id AS id_of
+            FROM s a JOIN s b ON a.doc_id != b.doc_id
+            WHERE strpos(b.slug, a.slug) > 0""",
+        "event_windows": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN prev IS NULL
+                               OR ts - prev >= INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM o
+            ),
+            sess AS (
+              SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM sess GROUP BY user_id, sid""",
     }

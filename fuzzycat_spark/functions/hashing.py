@@ -168,6 +168,14 @@ def minhash_from_h64_udf(k: int = 16, seed: int = 42):
     c = np.array(minhash_params(k, seed), dtype=np.uint64)
     empty_sig = (_splitmix64_np(c) >> np.uint64(2)).astype(np.int64)
 
+    # mixing chunk: k * CHUNK * 8 B * ~3 live temporaries stays inside L2/L3
+    # (k=32 -> ~2 MB/temp at 8192). An unchunked (k, total_batch) broadcast
+    # materializes ~100 MB of temporaries per Arrow batch; with one Python
+    # worker per core that floods DRAM bandwidth and was measured to triple
+    # per-thread CPU time at 32 workers. Cache-resident chunks keep the ~10
+    # passes of the mixer off DRAM.
+    _CHUNK = 8192
+
     @pandas_udf(ArrayType(LongType()))
     def _minhash(h64_series: pd.Series) -> pd.Series:
         n = len(h64_series)
@@ -183,18 +191,32 @@ def minhash_from_h64_udf(k: int = 16, seed: int = 42):
         if not arrs:
             return pd.Series([empty_sig] * n)
         flat = np.concatenate(arrs).view(np.uint64)
-        # one (k, total) mix for the whole Arrow batch
-        perms = _splitmix64_np(flat[None, :] ^ c[:, None]) >> np.uint64(2)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        nonempty = lens > 0
-        # reduceat segments: only non-empty docs (reduceat misbehaves on
-        # zero-length segments); empty docs take the sentinel signature
-        mins = np.minimum.reduceat(perms, starts[nonempty], axis=1).astype(np.int64)
+        ne_lens = lens[lens > 0]
+        n_ne = ne_lens.size
+        ne_starts = np.zeros(n_ne, dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=ne_starts[1:])
+        mins = np.empty((k, n_ne), dtype=np.uint64)
+        doc_lo = 0
+        while doc_lo < n_ne:
+            # take whole documents until the chunk holds ~_CHUNK hashes
+            doc_hi = doc_lo + 1
+            h_lo = ne_starts[doc_lo]
+            while (
+                doc_hi < n_ne and ne_starts[doc_hi] + ne_lens[doc_hi] - h_lo <= _CHUNK
+            ):
+                doc_hi += 1
+            h_hi = ne_starts[doc_hi - 1] + ne_lens[doc_hi - 1]
+            perms = _splitmix64_np(flat[None, h_lo:h_hi] ^ c[:, None])
+            perms >>= np.uint64(2)
+            mins[:, doc_lo:doc_hi] = np.minimum.reduceat(
+                perms, ne_starts[doc_lo:doc_hi] - h_lo, axis=1
+            )
+            doc_lo = doc_hi
+        mins = mins.astype(np.int64)
         out = np.empty(n, dtype=object)
         col_idx = 0
         for j in range(n):
-            if nonempty[j]:
+            if lens[j]:
                 out[j] = mins[:, col_idx]
                 col_idx += 1
             else:

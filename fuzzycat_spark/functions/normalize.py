@@ -63,8 +63,11 @@ def slug_text(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(latin_fold(c))
-    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
-    return F.trim(F.regexp_replace(c, r" +", " "))
+    # ONE regex pass: [^a-z0-9]+ already collapses every non-alphanumeric
+    # run (spaces included) to a single space, so a second ' +' collapse
+    # pass is a no-op — dropped to halve regex cost per document (the
+    # DuckDB oracle keeps both passes; outputs are identical)
+    return F.trim(F.regexp_replace(c, r"[^a-z0-9]+", " "))
 
 
 def tokens_col(col: Column | str) -> Column:
@@ -129,9 +132,43 @@ def num_project(col: Column | str) -> Column:
 # Tier 2: vectorized Unicode slugifier (pandas UDF)
 # ---------------------------------------------------------------------------
 
+# Reference parity data (fuzzycat/sandcrawler.py:5-52): hand-built char
+# substitutions the NFKD pass alone cannot produce — Latin letters with no
+# canonical decomposition (ø, ł, þ, đ...), ligature expansions, Greek
+# transliterations for OCR confusables, and symbols mapped to nothing.
+SANDCRAWLER_CHAR_MAP: dict[str, str] = {
+    "Æ": "AE", "æ": "ae", "Ð": "D", "ð": "d", "Ø": "O", "ø": "o",
+    "Þ": "Th", "þ": "th", "ß": "s", "Đ": "D", "đ": "d", "Ħ": "H",
+    "ħ": "h", "ı": "i", "ĸ": "k", "Ł": "L", "ł": "l", "Ŋ": "N",
+    "ŋ": "n", "Œ": "Oe", "œ": "oe", "Ŧ": "T", "ŧ": "t",
+    # OCR-ambiguous Latin-ish and Greek transliterations
+    "µ": "u",  # micro sign
+    "ƒ": "f",  # f with hook
+    "α": "a", "β": "b", "ι": "i", "κ": "k",
+    "χ": "x", "υ": "u", "ν": "v", "γ": "y",
+    "τ": "t", "ο": "o",
+    # map-to-null: math/modifier glyphs outside the strip classes
+    "∂": "", "ʖ": "", "∑": "", "∏": "",
+    "ˆ": "", "☃": "", "ˇ": "",
+}
+
+SANDCRAWLER_PREFIX_REMOVE = [
+    "original article: ",
+    "original article ",
+    "article: ",
+    "title: ",
+]
+
+# literal extra characters the reference's strip regex enumerates beyond
+# the \s / \p{P} / \p{M} classes (sandcrawler.py:63-64)
+_SC_EXTRA_REMOVE = set("’·“”‘«»「」¿–±§_`°ʖ©®¤=<>|+$^~≈√∫≤≥÷ƒ∆¬£¢∞¥◊€")
+
 # After NFKD decomposition: combining marks and control chars are deleted
 # (so "é" folds to "e"), punctuation and symbols become token boundaries.
+# Built in ONE pass over the codepoint space together with the sandcrawler
+# strip table (same iteration, two policies).
 _STRIP_TABLE: dict[int, str | None] = {}
+_SC_STRIP_TABLE: dict[int, str | None] = {}
 for _cp in range(sys.maxunicode + 1):
     _ch = chr(_cp)
     _cat = unicodedata.category(_ch)[0]
@@ -141,6 +178,66 @@ for _cp in range(sys.maxunicode + 1):
         _STRIP_TABLE[_cp] = None
     elif _cat in ("P", "S"):
         _STRIP_TABLE[_cp] = " "
+    # sandcrawler semantics: \s, all punctuation, all marks, the General/
+    # Supplemental Punctuation blocks, and the literal extras are DELETED
+    # (the key is a concatenated comparable string, not token input)
+    if (
+        _ch.isspace()
+        or _cat in ("P", "M")
+        or 0x2000 <= _cp <= 0x206F
+        or 0x2E00 <= _cp <= 0x2E7F
+        or _ch in _SC_EXTRA_REMOVE
+    ):
+        _SC_STRIP_TABLE[_cp] = None
+
+_SC_CHAR_TABLE = {ord(k): v for k, v in SANDCRAWLER_CHAR_MAP.items()}
+# one optional group per prefix, in order — exactly the reference's
+# sequential startswith cascade (each prefix tested once, in list order)
+_SC_PREFIX_RE = "^" + "".join(f"(?:{p})?" for p in SANDCRAWLER_PREFIX_REMOVE)
+
+
+def sandcrawler_slugify(raw: str | None) -> str | None:
+    """Reference-parity comparison key (`sandcrawler.py:66-90`): strip +
+    lowercase, drop title prefixes, apply the char map, NFKD, delete the
+    strip classes, lowercase. Verified against the reference's own
+    naughty-string table (`sandcrawler.py:93-157`) in tests.
+
+    One deliberate deviation: the reference's prefix loop truncates the
+    string TO the prefix (`slug = slug[:len(prefix)]`,
+    `sandcrawler.py:79`) — an evident typo for removal that would turn
+    "title: x" into "title: "; we remove the prefix instead.
+    """
+    if raw is None:
+        return None
+    slug = raw.strip().lower()
+    for prefix in SANDCRAWLER_PREFIX_REMOVE:
+        if slug.startswith(prefix):
+            slug = slug[len(prefix):]
+    slug = slug.replace("&apos;", "'")
+    slug = slug.translate(_SC_CHAR_TABLE).lower()
+    if not slug:
+        return ""
+    slug = unicodedata.normalize("NFKD", slug)
+    return slug.translate(_SC_STRIP_TABLE).lower()
+
+
+@pandas_udf(StringType())
+def sandcrawler_slugify_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched sandcrawler key: C-level pandas str ops, no per-row
+    Python. Use as a blocking-key expression (the output has no spaces —
+    it is a whole-title comparison key, not tokenizer input)."""
+    out = (
+        s.str.strip()
+        .str.lower()
+        .str.replace(_SC_PREFIX_RE, "", regex=True)
+        .str.replace("&apos;", "'", regex=False)
+        .str.translate(_SC_CHAR_TABLE)
+        .str.lower()
+        .str.normalize("NFKD")
+        .str.translate(_SC_STRIP_TABLE)
+        .str.lower()
+    )
+    return out
 
 
 def unicode_slugify(s: str | None) -> str | None:

@@ -49,25 +49,21 @@ class DedupConfig:
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
-def candidate_pairs(
-    pages: DataFrame,
+def strategy_band_table(
+    prep: DataFrame,
     cfg: DedupConfig = DedupConfig(),
-    prep: DataFrame | None = None,
+    pages: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidates from all enabled blocking strategies via ONE self-join.
+    """(id, band_id, band_hash, cap) rows for every enabled blocking
+    strategy — the shared candidate-generation surface for the batch
+    pipeline AND the streaming index (which persists these rows as its
+    grow-only LSH state).
 
-    Every strategy is just a (id, band_id, band_hash) generator — exact
-    hash and slug key are single-band strategies ('exact'/'slug' band ids),
-    MinHash contributes its LSH bands. Unioning the band *tables* before a
-    single bucket-capped self-join replaces three separate join+distinct
-    subplans with one shuffle + one join + one distinct: same pair set,
-    ~1/3 the stages.
-
-    `prep` is the materialized table from `prepare_pages` — pass it when
-    the caller also verifies, so normalization runs once for both phases.
+    Exact hash and slug key are single-band strategies ('exact'/'slug'
+    band ids) capped at max_block_size; MinHash LSH bands are capped at
+    max_bucket_size. `pages` is only needed for the simhash strategy
+    (it re-tokenizes raw text).
     """
-    if prep is None:
-        prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
     tables = []
     if "exact" in cfg.strategies:
         tables.append(
@@ -80,7 +76,7 @@ def candidate_pairs(
             prep.select(
                 "id",
                 F.lit("slug").alias("band_id"),
-                F.md5(F.col("slug").cast("binary")).alias("band_hash"),
+                F.col("slug_key").alias("band_hash"),
             ).filter(F.col("band_hash").isNotNull())
         )
     if "minhash" in cfg.strategies:
@@ -88,10 +84,13 @@ def candidate_pairs(
             minhash_band_table(
                 prep, "id", cfg.text_col, cfg.num_perm, cfg.bands,
                 cfg.rows, cfg.shingle_n, use_udf=cfg.minhash_udf,
-                shingles_col="shingles",
+                h64_col="sh_md5h" if cfg.minhash_udf else None,
+                shingles_col=None if cfg.minhash_udf else "shingles",
             ).select("id", F.col("band_id").cast("string").alias("band_id"), "band_hash")
         )
     if "simhash" in cfg.strategies:
+        if pages is None:
+            raise ValueError("simhash strategy needs the raw pages frame")
         tables.append(
             simhash_bucket_table(
                 pages, cfg.id_col, cfg.text_col, cfg.simhash_band_bits
@@ -111,7 +110,28 @@ def candidate_pairs(
     cap = F.when(
         F.col("band_id").isin("exact", "slug"), F.lit(cfg.max_block_size)
     ).otherwise(F.lit(cfg.max_bucket_size))
-    return lsh_candidate_pairs(bands.withColumn("cap", cap), max_bucket_size="cap")
+    return bands.withColumn("cap", cap)
+
+
+def candidate_pairs(
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    prep: DataFrame | None = None,
+) -> DataFrame:
+    """Candidates from all enabled blocking strategies via ONE shuffle.
+
+    Every strategy is just a (id, band_id, band_hash) generator; unioning
+    the band *tables* before a single bucket-capped pair expansion replaces
+    per-strategy join+distinct subplans with one shuffle + one distinct:
+    same pair set, ~1/3 the stages.
+
+    `prep` is the materialized table from `prepare_pages` — pass it when
+    the caller also verifies, so normalization runs once for both phases.
+    """
+    if prep is None:
+        prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
+    bands = strategy_band_table(prep, cfg, pages=pages)
+    return lsh_candidate_pairs(bands, max_bucket_size="cap")
 
 
 def dedup_pages(

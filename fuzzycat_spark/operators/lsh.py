@@ -52,6 +52,7 @@ def minhash_band_table(
     use_udf: bool = True,
     unit_bands: int = DEFAULT_UNIT_BANDS,
     shingles_col: str | None = None,
+    h64_col: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per band per document.
 
@@ -75,9 +76,12 @@ def minhash_band_table(
     )
     if use_udf:
         # base hash JVM-side (md5 -> int64 inside codegen); the UDF receives
-        # array<long> and does only the (k, n) numpy permutation mix —
-        # zero Python hashing per shingle
-        sig = minhash_from_h64_udf(num_perm)(F.transform(shingles, md5_h64))
+        # array<long> and does only the chunked numpy permutation mix —
+        # zero Python hashing per shingle. h64_col short-circuits even the
+        # JVM md5 when the caller pre-materialized base hashes (prep's
+        # sh_md5h column).
+        h64 = F.col(h64_col) if h64_col else F.transform(shingles, md5_h64)
+        sig = minhash_from_h64_udf(num_perm)(h64)
         # sig is an ArrowEvalPython output attribute, so the per-band slice
         # below re-reads the materialized array instead of re-running Python
         keys = lsh_band_keys(F.col("sig"), bands, rows)

@@ -27,14 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fuzzycat_spark.functions.hashing import content_hash
+from fuzzycat_spark.functions.hashing import content_hash, md5_h64
 from fuzzycat_spark.functions.normalize import (
     num_project,
     slug_text,
     tokens_col,
     word_shingles_from_tokens,
 )
-from fuzzycat_spark.functions.text import jaccard_col
 from fuzzycat_spark.plans.checkpoint import materialize
 
 # thresholds (the shingle/signature config that recall is measured at)
@@ -45,136 +44,254 @@ SHORT_TOKENS = 5
 SHINGLE_N = 3
 
 
-def prepare_pages(
-    df: DataFrame, id_col: str = "url", text_col: str = "text"
-) -> DataFrame:
-    """Two-stage materialized document preparation shared by blocking and
-    verification: (id, ch, slug, toks, lang) checkpointed first, then
-    shingles/tokset/nproj derived FROM THOSE ATTRIBUTES and checkpointed.
+def _gen_barrier(df: DataFrame, keep: list[str], struct: Column) -> DataFrame:
+    """Append `struct`'s fields as attributes behind a Generate barrier.
 
-    The staging is load-bearing, not cosmetic: Catalyst inlines projections
-    (CollapseProject) and re-evaluates captured expressions inside
-    higher-order-function lambdas per array element, so computing shingles
-    directly over the slug/split expression costs O(L^2) regex work per
-    document — measured 13x slower on a 105k-doc corpus. Materializing
-    tokens makes every downstream lambda read an O(1) attribute. On a
-    cluster these two stages are the natural Iceberg feature tables.
+    explode(array(struct(...))) is a Generate node: it evaluates the struct
+    ONCE per row, and neither CollapseProject nor higher-order-function
+    lambda capture can fold downstream expressions back into it — each
+    field becomes a real attribute. Shuffle-free, codegen-friendly; the
+    in-stage replacement for materializing intermediate tables.
     """
-    stage_a = df.select(
-        F.col(id_col).alias("id"),
-        content_hash(text_col).alias("ch"),
-        slug_text(text_col).alias("slug"),
-        tokens_col(text_col).alias("toks"),
-        F.col("lang").alias("lang")
-        if "lang" in df.columns
-        else F.lit(None).cast("string").alias("lang"),
+    g = df.select(*keep, F.explode(F.array(struct)).alias("_g"))
+    return g.select(*keep, "_g.*")
+
+
+def prepare_pages(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    slug_mode: str = "ascii",
+) -> DataFrame:
+    """Single-stage materialized document preparation shared by blocking
+    and verification: scan → slug/tokens → shingles/tokset → hashed forms,
+    one parquet checkpoint of FIXED-WIDTH columns only.
+
+    Staging is load-bearing, not cosmetic: higher-order-function lambdas
+    re-evaluate captured expressions per array element, so computing
+    shingles directly over the slug/split expression costs O(L^2) regex
+    work per document (measured 13x on a 105k-doc corpus). Round 1 staged
+    through TWO parquet round-trips; the Generate barriers (_gen_barrier)
+    give the same evaluate-once guarantee inside ONE stage, so the only
+    write is the final feature checkpoint — and that checkpoint carries no
+    string arrays at all: the pair join and the band table consume hashed
+    forms (set intersections are hash-invariant, equality becomes key
+    equality), so at 100 TB the checkpoint and every downstream shuffle
+    move int64 arrays and md5 keys, never tokens or shingles.
+    """
+    lang = (
+        F.col("lang") if "lang" in df.columns else F.lit(None).cast("string")
     )
-    stage_a = materialize(stage_a, "prep_tokens")
-    toks = F.col("toks")
-    shingles = word_shingles_from_tokens(toks, SHINGLE_N)
-    tokset = F.array_distinct(toks)
-    # alongside the string features, fixed-width hashed forms: the pair
-    # join shuffles ONLY these (set intersections are hash-invariant;
-    # equality checks become key equality) — at 100 TB the verify shuffle
-    # carries int64 arrays, never the shingle strings
-    stage_b = stage_a.select(
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        lang.alias("lang"),
+    )
+    # barrier 1: slug evaluated once. slug_mode="ascii" (default) stays
+    # pure-Catalyst; "unicode" opts into the full NFKD/category slugifier
+    # (space-preserving pandas UDF) so non-Latin corpora key on real
+    # content instead of the ASCII fold's lossy residue.
+    if slug_mode == "unicode":
+        from fuzzycat_spark.functions.normalize import unicode_slugify_udf
+
+        slug_expr = F.coalesce(
+            unicode_slugify_udf(F.col("_text")), F.lit("")
+        )
+    elif slug_mode == "ascii":
+        slug_expr = slug_text(F.col("_text"))
+    else:
+        raise ValueError(f"unknown slug_mode: {slug_mode!r}")
+    s1 = _gen_barrier(
+        base,
+        ["id", "_text", "lang"],
+        F.struct(slug_expr.alias("slug")),
+    )
+    # barrier 2: token array from the slug attribute
+    toks_expr = F.when(
+        F.col("slug") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("slug"), " "))
+    s2 = _gen_barrier(
+        s1,
+        ["id", "_text", "lang", "slug"],
+        F.struct(toks_expr.alias("toks")),
+    )
+    # barrier 3: shingles/tokset from the token attribute
+    s3 = _gen_barrier(
+        s2,
+        ["id", "_text", "lang", "slug", "toks"],
+        F.struct(
+            word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("shingles"),
+            F.array_distinct(F.col("toks")).alias("tokset"),
+        ),
+    )
+    shingles, tokset = F.col("shingles"), F.col("tokset")
+    stage = s3.select(
         "id",
-        "ch",
-        "slug",
-        "toks",
+        content_hash(F.col("_text")).alias("ch"),
         "lang",
-        num_project(F.col("slug")).alias("nproj"),
-        tokset.alias("tokset"),
-        shingles.alias("shingles"),
-        F.size(toks).alias("n_tok"),
+        F.size(F.col("toks")).alias("n_tok"),
         F.md5(F.col("slug").cast("binary")).alias("slug_key"),
         F.md5(num_project(F.col("slug")).cast("binary")).alias("nproj_key"),
         F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
+        # MinHash base hashes (md5-derived, oracle-reproducible) — computed
+        # here so the band table UDF reads a ready array<long> attribute
+        F.transform(shingles, md5_h64).alias("sh_md5h"),
     )
-    return materialize(stage_b, "prep_features")
+    return materialize(stage, "prep_features")
 
 
-def _containment_ratio(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    m = F.least(F.size(a), F.size(b)).cast("double")
-    return F.when(m <= 0, F.lit(0.0)).otherwise(inter / m)
-
-
-def verify_expr() -> tuple[Column, Column]:
-    """(status, reason) column pair over a joined pair-row with a_* / b_*
-    feature columns. Strictly ordered; first match wins.
-
-    Operates entirely on the hashed feature forms (slug_key/nproj_key,
-    shingles_h/tokset_h): set intersections and equality are invariant
-    under the per-element hash, so statuses are identical to string-side
-    evaluation while the join shuffles only fixed-width values.
-    """
+def _tier1_rules() -> list[tuple[Column, str, str]]:
+    """Cascade rules 1-5: scalar comparisons over the NARROW feature
+    columns (content hash, token count, slug/nproj keys) — no arrays."""
     a_ch, b_ch = F.col("a_ch"), F.col("b_ch")
-    a_sh, b_sh = F.col("a_shingles_h"), F.col("b_shingles_h")
-    a_ts, b_ts = F.col("a_tokset_h"), F.col("b_tokset_h")
-    jac_sh = jaccard_col(a_sh, b_sh)
-    jac_tok = jaccard_col(a_ts, b_ts)
-    contain = _containment_ratio(a_sh, b_sh)
-    short = (F.col("a_n_tok") < SHORT_TOKENS) | (F.col("b_n_tok") < SHORT_TOKENS)
     empty = (
         F.col("a_n_tok").isNull()
         | F.col("b_n_tok").isNull()
         | (F.col("a_n_tok") == 0)
         | (F.col("b_n_tok") == 0)
     )
-
-    rules: list[tuple[Column, str, str]] = [
+    short = (F.col("a_n_tok") < SHORT_TOKENS) | (F.col("b_n_tok") < SHORT_TOKENS)
+    return [
         (a_ch.isNotNull() & (a_ch == b_ch), "exact", "CONTENT_HASH"),
         (empty, "ambiguous", "EMPTY_TEXT"),
         (short, "ambiguous", "SHORT_TEXT"),
         (F.col("a_slug_key") == F.col("b_slug_key"), "exact", "SLUG_MATCH"),
         (F.col("a_nproj_key") == F.col("b_nproj_key"), "different", "NUM_DIFF"),
+    ]
+
+
+def _tier2_rules() -> list[tuple[Column, str, str]]:
+    """Cascade rules 6-10 over the `m.*` intersect-count attributes (see
+    verify_pairs): jaccard and containment are ARITHMETIC over the counts
+    computed once per pair — |a∪b| = |a|+|b|-|a∩b| for the distinct hashed
+    arrays, so no array_union is ever built."""
+    m = F.col("m")
+    i_sh = m.i_sh.cast("double")
+    union_sh = (m.na_sh + m.nb_sh - m.i_sh).cast("double")
+    jac_sh = F.when(union_sh == 0, F.lit(0.0)).otherwise(i_sh / union_sh)
+    min_sh = F.least(m.na_sh, m.nb_sh).cast("double")
+    contain = F.when(min_sh <= 0, F.lit(0.0)).otherwise(i_sh / min_sh)
+    i_ts = m.i_ts.cast("double")
+    union_ts = (m.na_ts + m.nb_ts - m.i_ts).cast("double")
+    jac_tok = F.when(union_ts == 0, F.lit(0.0)).otherwise(i_ts / union_ts)
+    return [
         (
-            (contain >= CONTAINMENT_MIN_RATIO)
-            & (F.least(F.col("a_n_tok"), F.col("b_n_tok")) >= 10),
+            (contain >= CONTAINMENT_MIN_RATIO) & (m.min_tok >= 10),
             "strong",
             "CONTAINMENT",
         ),
         (jac_sh >= STRONG_JACCARD, "strong", "SHINGLE_JACCARD"),
         (jac_tok >= STRONG_JACCARD, "strong", "TOKEN_JACCARD"),
         (jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
-        (
-            F.col("a_lang").isNotNull()
-            & F.col("b_lang").isNotNull()
-            & (F.col("a_lang") != F.col("b_lang")),
-            "different",
-            "LANGUAGE",
-        ),
+        (m.lang_diff, "different", "LANGUAGE"),
     ]
+
+
+def _when_chain(
+    rules: list[tuple[Column, str, str]], default: tuple[Column, Column] | None
+) -> tuple[Column, Column]:
     status = None
     reason = None
     for cond, s, r in rules:
         status = F.when(cond, s) if status is None else status.when(cond, s)
         reason = F.when(cond, r) if reason is None else reason.when(cond, r)
-    return status.otherwise("ambiguous"), reason.otherwise("UNKNOWN")
+    if default is None:
+        return status, reason  # unresolved rows -> NULL
+    return status.otherwise(default[0]), reason.otherwise(default[1])
 
 
-def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
-    """(id_a, id_b, status, reason) for every candidate pair.
-
-    Joins features twice (by id_a, id_b), projecting ONLY the hashed verify
-    columns — string slugs/shingles never enter this shuffle. For small
-    probe sets AQE elects broadcast automatically.
-    """
-    cols = ["id", "ch", "slug_key", "nproj_key", "shingles_h", "tokset_h", "n_tok", "lang"]
-    narrow = features.select(*cols)
-    fa = narrow.select([F.col(c).alias(f"a_{c}") for c in cols])
-    fb = narrow.select([F.col(c).alias(f"b_{c}") for c in cols])
-    joined = (
+def _pair_join(pairs: DataFrame, features: DataFrame, cols: list[str]) -> DataFrame:
+    fa = features.select([F.col(c).alias(f"a_{c}") for c in cols])
+    fb = features.select([F.col(c).alias(f"b_{c}") for c in cols])
+    return (
         pairs.select("id_a", "id_b")
         .join(fa, on=F.col("id_a") == F.col("a_id"))
         .join(fb, on=F.col("id_b") == F.col("b_id"))
     )
-    status, reason = verify_expr()
-    return joined.select(
-        "id_a", "id_b", status.alias("status"), reason.alias("reason")
+
+
+def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
+    """(id_a, id_b, status, reason) for every candidate pair — the cascade
+    as a TWO-TIER distributed plan with rule-for-rule identical semantics
+    to the reference's early-exit ordering:
+
+    Tier 1 joins only the scalar feature columns (content hash, slug/nproj
+    keys, token count — ~60 B/side) and resolves cascade rules 1-5; in a
+    dedup-heavy corpus that settles the bulk of pairs (every exact/slug
+    family). Tier 2 re-joins the int64 hash ARRAYS only for pairs tier 1
+    left unresolved, so the wide shuffle (the 1M-doc profile measured
+    7.3 GB when every pair carried both docs' arrays) shrinks by the
+    tier-1 resolution rate.
+
+    Tier-2 set measures are computed ONCE per pair behind a Generate
+    barrier (explode of a 1-element struct array — a node CollapseProject
+    cannot fold the `when`-chains into; without it each measure re-runs
+    per when-arm, measured ~15x the necessary per-pair CPU), and only
+    intersections are materialized: |a∪b| = |a|+|b|-|a∩b| on the distinct
+    hashed arrays, so array_union never runs.
+    """
+    tier1_cols = ["id", "ch", "slug_key", "nproj_key", "n_tok", "lang"]
+    j1 = _pair_join(pairs, features.select(*tier1_cols), tier1_cols)
+    status1, reason1 = _when_chain(_tier1_rules(), None)
+    t1 = materialize(
+        j1.select(
+            "id_a",
+            "id_b",
+            status1.alias("status"),
+            reason1.alias("reason"),
+            # tier-2 rules also need these two scalars; carrying them in
+            # the (small) tier-1 verdict table avoids a third feature join
+            F.least(F.col("a_n_tok"), F.col("b_n_tok")).alias("min_tok"),
+            (
+                F.col("a_lang").isNotNull()
+                & F.col("b_lang").isNotNull()
+                & (F.col("a_lang") != F.col("b_lang"))
+            ).alias("lang_diff"),
+        ),
+        "verify_tier1",
     )
+    resolved = t1.filter(F.col("status").isNotNull()).select(
+        "id_a", "id_b", "status", "reason"
+    )
+
+    todo = t1.filter(F.col("status").isNull()).select(
+        "id_a", "id_b", "min_tok", "lang_diff"
+    )
+    fa = features.select(
+        F.col("id").alias("a_id"),
+        F.col("shingles_h").alias("a_sh"),
+        F.col("tokset_h").alias("a_ts"),
+    )
+    fb = features.select(
+        F.col("id").alias("b_id"),
+        F.col("shingles_h").alias("b_sh"),
+        F.col("tokset_h").alias("b_ts"),
+    )
+    j2 = (
+        todo.join(fa, on=F.col("id_a") == F.col("a_id"))
+        .join(fb, on=F.col("id_b") == F.col("b_id"))
+    )
+    metrics = F.struct(
+        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).alias("i_sh"),
+        F.size(F.col("a_sh")).alias("na_sh"),
+        F.size(F.col("b_sh")).alias("nb_sh"),
+        F.size(F.array_intersect(F.col("a_ts"), F.col("b_ts"))).alias("i_ts"),
+        F.size(F.col("a_ts")).alias("na_ts"),
+        F.size(F.col("b_ts")).alias("nb_ts"),
+        F.col("min_tok").alias("min_tok"),
+        F.col("lang_diff").alias("lang_diff"),
+    )
+    metered = j2.select(
+        "id_a", "id_b", F.explode(F.array(metrics)).alias("m")
+    )
+    status2, reason2 = _when_chain(
+        _tier2_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
+    )
+    tier2 = metered.select(
+        "id_a", "id_b", status2.alias("status"), reason2.alias("reason")
+    )
+    return resolved.unionByName(tier2)
 
 
 def verdict_counts(verified: DataFrame) -> DataFrame:

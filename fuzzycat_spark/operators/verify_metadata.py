@@ -652,3 +652,101 @@ def verify_metadata_pairs(
         status.otherwise("ambiguous").alias("status"),
         reason.otherwise("unknown").alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# group-level verification (the reference's GroupVerifier)
+# ---------------------------------------------------------------------------
+
+# reference blacklist data (fuzzycat/data.py:25-31) — pluggable, these are
+# the shipped defaults
+CONTAINER_NAME_BLACKLIST: tuple[str, ...] = ("crossref listing of deleted dois",)
+PUBLISHER_BLACKLIST: tuple[str, ...] = ("test accounts",)
+
+
+def group_verify(
+    records: DataFrame,
+    key_col: str,
+    id_col: str = "ident",
+    max_cluster_size: int = 10,
+    container_blacklist: tuple[str, ...] = CONTAINER_NAME_BLACKLIST,
+    publisher_blacklist: tuple[str, ...] = PUBLISHER_BLACKLIST,
+    **cascade_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The GroupVerifier dataflow (`/root/reference/fuzzycat/verify.py:
+    100-147`) as one distributed plan: cluster screens -> within-cluster
+    pair enumeration -> publisher/container screens -> pairwise cascade.
+
+    Returns (verified, counters):
+      verified — (id_a, id_b, status, reason) for every surviving pair
+      counters — (reason, n) mirroring the reference's Counter, including
+                 the cluster screens (SINGULAR_CLUSTER,
+                 MAX_CLUSTER_SIZE_EXCEEDED) and blacklist hit counts.
+
+    Two reference quirks preserved deliberately:
+    - the blacklist screens COUNT but do not skip the pair: the reference's
+      `continue` (verify.py:136,141) only advances the inner (a, b) side
+      loop, so the pair is still verified — same here (hits are counted
+      per offending SIDE, pairs verify regardless);
+    - cluster screens count CLUSTERS, not members (verify.py:128-132).
+    """
+    keyed = records.select(
+        F.col(key_col).alias("_k"), F.col(id_col).alias("_id")
+    ).filter(F.col("_k").isNotNull())
+    sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    singular = sizes.filter(F.col("_n") < 2).count()
+    oversize = sizes.filter(F.col("_n") > max_cluster_size).count()
+
+    eligible = keyed.join(
+        sizes.filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_cluster_size)
+        ).select("_k"),
+        on="_k",
+    )
+    # within-cluster pair enumeration through the shared single-shuffle
+    # band-table machinery: each cluster key is one bucket
+    from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        eligible.select(
+            F.col("_id").alias("id"),
+            F.lit("grp").alias("band_id"),
+            F.col("_k").alias("band_hash"),
+        ),
+        max_bucket_size=None,
+    )
+
+    # per-side blacklist hit counters (counted, not skipped — see quirk)
+    cname = F.lower(F.trim(F.coalesce(F.col("extra.container_name"), F.lit(""))))
+    pub = F.lower(F.trim(F.coalesce(F.col("publisher"), F.lit(""))))
+    flags = records.select(
+        F.col(id_col).alias("id"),
+        cname.isin(*container_blacklist).alias("_cbl")
+        if container_blacklist
+        else F.lit(False).alias("_cbl"),
+        pub.isin(*publisher_blacklist).alias("_pbl")
+        if publisher_blacklist
+        else F.lit(False).alias("_pbl"),
+    )
+    sides = pairs.select(F.col("id_a").alias("id")).unionByName(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    hit = sides.join(flags, on="id").agg(
+        F.sum(F.col("_cbl").cast("long")).alias("cbl"),
+        F.sum(F.col("_pbl").cast("long")).alias("pbl"),
+    ).first()
+
+    feats = record_features(records, id_col=id_col)
+    verified = verify_metadata_pairs(pairs, feats, **cascade_kwargs)
+
+    spark = records.sparkSession
+    screen_rows = [
+        ("SINGULAR_CLUSTER", singular),
+        ("MAX_CLUSTER_SIZE_EXCEEDED", oversize),
+        ("CONTAINER_NAME_BLACKLIST", int(hit["cbl"] or 0)),
+        ("PUBLISHER_BLACKLIST", int(hit["pbl"] or 0)),
+    ]
+    counters = spark.createDataFrame(screen_rows, "reason string, n long").unionByName(
+        verified.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return verified, counters

@@ -89,27 +89,39 @@ def extract_media_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        proj = None
+        proj = np.random.RandomState(7).standard_normal((64, embedding_dim))
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r["bytes"]) if r["bytes"] is not None else b""
-                px = decode(raw, r["kind"])
-                hist, _ = np.histogram(px, bins=64, range=(0, 256))
-                hist = hist.astype(np.float64)
-                hist /= max(hist.sum(), 1.0)
-                if proj is None or proj.shape[1] != embedding_dim:
-                    proj = np.random.RandomState(7).standard_normal((64, embedding_dim))
-                emb = (hist @ proj).astype(np.float32)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "content_sha": hashlib.sha256(raw).hexdigest(),
-                        "n_bytes": len(raw),
-                        "embedding": emb,
-                    }
+            n = len(pdf)
+            if n == 0:
+                continue
+            raws = pdf["bytes"].map(lambda b: bytes(b) if b is not None else b"")
+            # the codec seam is inherently one media object per call; every
+            # step around it is column-wise over the whole Arrow batch
+            pixels = [decode(r, k) for r, k in zip(raws, pdf["kind"])]
+            lens = np.fromiter((p.size for p in pixels), dtype=np.int64, count=n)
+            hist = np.zeros((n, 64), dtype=np.float64)
+            if lens.sum() > 0:
+                # ragged batch histogram in one bincount: flatten all pixel
+                # arrays, bucket to 64 bins, offset each row's bins by row*64
+                flat = np.concatenate(pixels)
+                row_idx = np.repeat(np.arange(n), lens)
+                bins = np.clip(flat.astype(np.int64) >> 2, 0, 63)
+                hist = (
+                    np.bincount(row_idx * 64 + bins, minlength=n * 64)
+                    .reshape(n, 64)
+                    .astype(np.float64)
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            hist /= np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+            emb = (hist @ proj).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "content_sha": raws.map(lambda r: hashlib.sha256(r).hexdigest()),
+                    "n_bytes": raws.map(len).astype("int64"),
+                    "embedding": list(emb),
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     narrow = media.select("media_id", "kind", "bytes")
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
@@ -133,19 +145,30 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                sha = hashlib.sha256(bytes(r["bytes"] or b"")).hexdigest()[:16]
-                for ts in range(0, max(dur, 1), every_ms):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_ts_ms": ts,
-                            "frame_ref": f"{sha}@{ts}",
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            n = len(pdf)
+            if n == 0:
+                continue
+            dur = pdf["duration_ms"].fillna(0).astype("int64").to_numpy()
+            shas = pdf["bytes"].map(
+                lambda b: hashlib.sha256(bytes(b) if b is not None else b"").hexdigest()[:16]
+            ).to_numpy()
+            # frames per video = ceil(max(dur,1)/every_ms); the whole batch
+            # schedule is one repeat + one offset arange, no per-row loop
+            n_frames = np.maximum((dur + every_ms - 1) // every_ms, 1)
+            total = int(n_frames.sum())
+            starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            ts = (np.arange(total) - np.repeat(starts, n_frames)) * every_ms
+            refs = pd.Series(np.repeat(shas, n_frames)).str.cat(
+                pd.Series(ts).astype(str), sep="@"
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
+                    "frame_ts_ms": ts.astype("int64"),
+                    "frame_ref": refs.to_numpy(),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
 
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", "duration_ms", "bytes"

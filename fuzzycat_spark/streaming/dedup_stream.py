@@ -13,21 +13,30 @@ module is the Spark-native version of that incremental story:
   (stream-static join), then appends its own band rows to the index —
   the grow-only index mirrors the reference's ES candidate store.
 
+State layout (all object-store-safe: existence = try-read, never
+os.path):
+- `<index>/`            band rows (id, band_id, band_hash), partitioned by
+                        band_id so cross-joins prune partitions
+- `<index>_features/`   per-id verify features (hashed forms only)
+- `<index>_sizes/`      per-bucket cumulative counts — the hot-band guard:
+                        buckets whose TOTAL size (history + this batch)
+                        exceeds the cap are excluded from the cross join,
+                        so a boilerplate band can never accumulate into a
+                        quadratic per-batch join
+
 foreachBatch is the idiomatic pattern here because the per-batch logic
-needs multi-output writes (pairs sink + index append), which pure
-streaming operators cannot express.
+needs multi-output writes (pairs sink + index/feature/size appends), which
+pure streaming operators cannot express.
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.hashing import content_hash
-from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
-from fuzzycat_spark.operators.lsh import minhash_band_table
+from fuzzycat_spark.operators.dedup import DedupConfig, strategy_band_table
+from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
 from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 from fuzzycat_spark.plans.checkpoint import materialize
 
@@ -51,6 +60,16 @@ def streaming_exact_dedup(
     )
 
 
+def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Object-store-safe existence probe: attempt the read and treat an
+    unreadable/absent path as no table. `os.path.exists` is wrong for
+    s3a://-style URIs; the catalog/read attempt is the portable check."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
 def incremental_dedup_batch(
     batch: DataFrame,
     index_path: str,
@@ -60,32 +79,68 @@ def incremental_dedup_batch(
     """foreachBatch body: verify `batch` against itself + the accumulated
     index, append verified pairs, then extend the index.
 
-    The index table is (id, band_id, band_hash) — the LSH state. New-batch
-    candidates = (new x new within batch) ∪ (new x indexed), exactly the
-    reference's probe-vs-store search (`matching.py:20-181`) done as a
-    stream-static join.
+    The index persists ALL strategy band rows (exact hash, slug key,
+    MinHash bands), so cross-batch exact and slug dups link through the
+    same stream-static join as LSH collisions — the reference's
+    probe-vs-store search (`matching.py:20-181`) with one code path.
+
+    Skew/size discipline per batch:
+    - re-ingested ids are dropped before any work (idempotent re-delivery
+      neither duplicates state nor re-verifies old pairs)
+    - the hot-band guard uses CUMULATIVE bucket sizes (a tiny side table,
+      one row per distinct bucket) rather than re-scanning the whole index
+    - historical features are semi-joined down to the ids that actually
+      collided before the verify join
+    - superseded per-batch materializations are pruned (keep_last) so a
+      long-running stream doesn't grow local disk without bound
     """
     spark = batch.sparkSession
-    batch = materialize(batch, None)
+    feat_path = index_path + "_features"
+    sizes_path = index_path + "_sizes"
+
+    batch = materialize(batch, "stream_batch", keep_last=2)
     prep = prepare_pages(batch, cfg.id_col, cfg.text_col)
 
+    feat_hist = try_read_parquet(spark, feat_path)
+    if feat_hist is not None:
+        # idempotency guard: drop ids the index already carries
+        prep = materialize(
+            prep.join(feat_hist.select("id"), on="id", how="left_anti"),
+            "stream_prep",
+            keep_last=2,
+        )
+
     new_bands = materialize(
-        minhash_band_table(
-            prep, "id", cfg.text_col, cfg.num_perm, cfg.bands, cfg.rows,
-            cfg.shingle_n, use_udf=cfg.minhash_udf, shingles_col="shingles",
-        ),
-        None,
+        strategy_band_table(prep, cfg), "stream_bands", keep_last=2
     )
 
-    # within-batch candidates (all strategies)
-    cands = candidate_pairs(batch, cfg, prep=prep)
+    # cumulative per-bucket sizes: old + this batch's contribution
+    new_sizes = new_bands.groupBy("band_id", "band_hash", "cap").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    old_sizes = try_read_parquet(spark, sizes_path)
+    if old_sizes is not None:
+        new_sizes = (
+            new_sizes.unionByName(old_sizes)
+            .groupBy("band_id", "band_hash", "cap")
+            .agg(F.sum("n").alias("n"))
+        )
+    sizes = materialize(new_sizes, "stream_sizes", keep_last=2)
+    hot = sizes.filter(F.col("n") > F.col("cap")).select("band_id", "band_hash")
 
-    # cross candidates: new batch vs historical index
-    if os.path.exists(index_path):
-        index = spark.read.parquet(index_path)
+    # within-batch candidates (single-shuffle capped pair expansion)
+    cands = lsh_candidate_pairs(new_bands, max_bucket_size="cap")
+
+    # cross candidates: new batch vs historical index, hot bands excluded
+    # on BOTH sides by cumulative size (the within-batch cap alone would
+    # let a band that grew hot across batches join quadratically)
+    index = try_read_parquet(spark, index_path)
+    if index is not None:
+        cool_new = new_bands.join(hot, on=["band_id", "band_hash"], how="left_anti")
+        cool_old = index.join(hot, on=["band_id", "band_hash"], how="left_anti")
         cross = (
-            new_bands.alias("n")
-            .join(index.alias("o"), on=["band_id", "band_hash"])
+            cool_new.alias("n")
+            .join(cool_old.alias("o"), on=["band_id", "band_hash"])
             .select(
                 F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
                 F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
@@ -95,18 +150,33 @@ def incremental_dedup_batch(
         )
         cands = cands.unionByName(cross).distinct()
 
-    # features for ids on either side: batch features + historical features
-    feat_path = index_path + "_features"
-    new_feats = prep
-    feats = new_feats
-    if os.path.exists(feat_path):
-        feats = feats.unionByName(spark.read.parquet(feat_path))
+    cands = materialize(cands, "stream_cands", keep_last=2)
+
+    # features: this batch's + ONLY the historical rows that collided
+    feats = prep
+    if feat_hist is not None:
+        hit_ids = (
+            cands.select(F.col("id_a").alias("id"))
+            .unionByName(cands.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        feats = feats.unionByName(
+            feat_hist.join(hit_ids, on="id", how="left_semi")
+        )
 
     verified = verify_pairs(cands, feats)
     verified.write.mode("append").parquet(pairs_path)
 
-    new_bands.write.mode("append").parquet(index_path)
-    new_feats.write.mode("append").parquet(feat_path)
+    # state appends last, after the pairs are durable; band rows partition
+    # by band_id so future cross joins prune to colliding strategies/bands
+    new_bands.select("id", "band_id", "band_hash").write.partitionBy(
+        "band_id"
+    ).mode("append").parquet(index_path)
+    prep.write.mode("append").parquet(feat_path)
+    # sizes is cumulative (not append); its source is the ephemeral
+    # materialization above, so overwriting the live path never reads the
+    # files it is deleting
+    sizes.write.mode("overwrite").parquet(sizes_path)
 
 
 def run_incremental_dedup(

@@ -1,0 +1,109 @@
+"""Windowed event aggregation: tumbling-window stats and sessionization.
+
+The reference has no streaming/eventing story at all (batch rebuilds per
+run, `/root/reference/notes/2021_09_review.md:97-101`); a training-data
+pipeline needs windowed rollups over its ingest/telemetry stream. Both
+operators exist in a batch form (oracle-checkable against DuckDB
+gaps-and-islands SQL) and a streaming form (same expressions over
+readStream + watermark) — the batch/stream parity IS the test.
+
+Scale notes: tumbling windows aggregate with map-side partial combine on
+(window, type) — one shuffle sized by cardinality of the group space, not
+the event count. Session windows shuffle by user_id (Spark's
+session_window merge is per-key); watermarks bound streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW = "15 minutes"
+DEFAULT_GAP = "30 minutes"
+
+
+def tumbling_event_stats(
+    events: DataFrame, window: str = DEFAULT_WINDOW, ts_col: str = "ts"
+) -> DataFrame:
+    """(win_start, event_type, n_events, total_value) per tumbling window.
+
+    Epoch-aligned windows (same origin as DuckDB's time_bucket)."""
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def user_sessions(
+    events: DataFrame, gap: str = DEFAULT_GAP, ts_col: str = "ts"
+) -> DataFrame:
+    """(user_id, session_start, n_events, total_value) — session = maximal
+    run of a user's events with strictly-less-than-`gap` spacing (Spark's
+    session_window merge semantics; the DuckDB oracle mirrors it with a
+    gaps-and-islands lag/cumsum)."""
+    return (
+        events.groupBy("user_id", F.session_window(ts_col, gap).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_tumbling_event_stats(
+    stream: DataFrame,
+    window: str = DEFAULT_WINDOW,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of tumbling_event_stats: identical aggregation over a
+    watermarked stream; late rows beyond `watermark` are dropped and window
+    state is bounded by it. Sink in append mode emits a window when the
+    watermark passes its end."""
+    # watermarks require TIMESTAMP; parquet event time is often NTZ —
+    # cast under the (UTC) session zone, same wall instant
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_user_sessions(
+    stream: DataFrame,
+    gap: str = DEFAULT_GAP,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via session_window + watermark (state for a
+    session is emitted once the watermark passes its close)."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -151,3 +151,140 @@ def test_simhash_close_for_similar_far_for_different(spark):
     hams = [r.v for r in d.select(hamming32(F.col("x"), F.col("y")).alias("v")).collect()]
     assert hams[0] < hams[1]
     assert hams[0] <= 8
+
+
+# --- sandcrawler_slugify: the reference's own naughty-string table -----------
+# Ported verbatim (as data) from /root/reference/fuzzycat/sandcrawler.py:93-157
+# — every case the reference asserts, including the char-map-only ones the
+# NFKD approximation cannot produce (Greek transliteration, ø/ł/ß, OCR
+# confusables, map-to-null glyphs).
+
+SC_TABLE = [
+    ("", ""),
+    ("asdf", "asdf"),
+    ("'Hello World!'", "helloworld"),
+    ("ASDF", "asdf"),
+    ("as\n  df", "asdf"),
+    ("asł  bb ø", "aslbbo"),
+    ("`hello¿", "hello"),
+    ("علمية", "علمية"),
+    ("期刊的数字", "期刊的数字"),
+    ("les pré-impressions explorées à partir", "lespreimpressionsexploreesapartir"),
+    ("γ-Globulin", "yglobulin"),
+    ("\xb5meter", "umeter"),  # MICRO SIGN maps to u...
+    ("μmeter", "μmeter"),  # ...but GREEK SMALL MU stays itself
+    ("-9223372036854775808/-1", "92233720368547758081"),
+    (r",./;'[]\-= <>?:\"{}|_+ !@#$%^&*()`~", ""),
+    (
+        " \n\r \x85          "
+        "   ​  　",
+        "",
+    ),
+    ("Ω≈ç√∫˜≤≥÷", "ωc"),
+    ("åß∂ƒ©˙∆˚¬…æ", "asfae"),
+    ("œ∑´®†¥¨ˆøπ“‘", "oeoπ"),
+    ("¡™£¢∞§¶•ªº–≠ ", "tmao"),
+    ("¸˛Ç◊ı˜Â¯˘¿", "cia"),
+    ("ÅÍÎÏ˝ÓÔÒÚÆ☃", "aiiiooouae"),
+    ("Œ„´‰ˇÁ¨ˆØ∏”’", "oeao"),
+    ("`⁄€‹›ﬁﬂ‡°·‚—±", "fifl"),
+    (
+        "ЁЂЃЄЅІЇЈЉЊЋЌЍЎЏАБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+        "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+        "еђгєѕііјљњћкиуџабвгдежзииклмнопрстуфхцчшщъыьэюя"
+        "абвгдежзииклмнопрстуфхцчшщъыьэюя",
+    ),
+    ("⁰⁴⁵₀₁₂", "045012"),
+    ("社會科學院語學研究所", "社會科學院語學研究所"),
+    ("( ͡° ͜ʖ ͡°)", ""),
+    ("👾 🙇 💁 🙅 🙆 🙋 🙎 🙍", "👾🙇💁🙅🙆🙋🙎🙍"),
+    ("2️⃣ 3️⃣ 4️⃣ 5️⃣", "2345"),
+    ("﷽ ", "﷽"),
+    (
+        "\"̗̺͖̹̯͓Ṯ̤͍̥͇͈h̲́e͏͓̼̗̙̼̣͔ ͇̜̱̠͓͍ͅN͕͠e̗̱z̘̝̜̺͙p̤̺̹͍̯͚e̠̻̠͜r̨̤͍̺̖͔̖̖d̠̟̭̬̝͟i̦͖̩͓͔̤a̠̗̬͉̙n͚͜ ̻̞̰͚ͅh̵͉i̳̞v̢͇ḙ͎͟-҉̭̩̼͔m̤̭̫i͕͇̝̦n̗͙ḍ̟ ̯̲͕͞ǫ̟̯̰̲͙̻̝f ̪̰̰̗̖̭̘͘c̦͍̲̞͍̩̙ḥ͚a̮͎̟̙͜ơ̩̹͎s̤.̝̝ ҉Z̡̖̜͖̰̣͉̜a͖̰͙̬͡l̲̫̳͍̩g̡̟̼̱͚̞̬ͅo̗͜.̟",
+        "thenezperdianhivemindofchaoszalgo",
+    ),
+    ("Ｔｈｅ ｑｕｉｃｋ ｂｒｏｗｎ ｆｏｘ ｊｕｍｐｓ ｏｖｅｒ ｔｈｅ ｌａｚｙ ｄｏｇ", "thequickbrownfoxjumpsoverthelazydog"),
+    ("𝕋𝕙𝕖 𝕢𝕦𝕚𝕔𝕜 𝕓𝕣𝕠𝕨𝕟 𝕗𝕠𝕩 𝕛𝕦𝕞𝕡𝕤 𝕠𝕧𝕖𝕣 𝕥𝕙𝕖 𝕝𝕒𝕫𝕪 𝕕𝕠𝕘 ", "thequickbrownfoxjumpsoverthelazydog"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", SC_TABLE)
+def test_sandcrawler_slugify_reference_table(raw, expected):
+    from fuzzycat_spark.functions.normalize import sandcrawler_slugify
+
+    assert sandcrawler_slugify(raw) == expected
+
+
+def test_sandcrawler_slugify_udf_matches_scalar(spark):
+    from fuzzycat_spark.functions.normalize import (
+        sandcrawler_slugify,
+        sandcrawler_slugify_udf,
+    )
+
+    cases = [raw for raw, _ in SC_TABLE if raw] + ["title: Some Paper", None]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        r.v for r in df.select(sandcrawler_slugify_udf(F.col("text")).alias("v")).collect()
+    ]
+    assert got == [sandcrawler_slugify(c) for c in cases]
+
+
+def test_sandcrawler_slugify_prefix_removal():
+    from fuzzycat_spark.functions.normalize import sandcrawler_slugify
+
+    # deliberate deviation from the reference's slug[:len(prefix)] typo
+    # (sandcrawler.py:79): prefixes are REMOVED, cascade order preserved
+    assert sandcrawler_slugify("title: Dark Matter") == "darkmatter"
+    assert sandcrawler_slugify("original article: article: x") == "x"
+
+
+def test_prepare_pages_unicode_slug_mode(spark):
+    from fuzzycat_spark.operators.verify import prepare_pages
+
+    df = spark.createDataFrame(
+        [("a", "Héllo Wörld Again Today Fine"), ("b", "Héllo Wörld Again Today Fine")],
+        "url string, text string",
+    )
+    prep = prepare_pages(df, slug_mode="unicode")
+    rows = {r.id: r for r in prep.collect()}
+    assert rows["a"].slug_key == rows["b"].slug_key
+    assert rows["a"].n_tok == 5
+
+
+# --- nysiis phonetic key ------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,code",
+    [
+        ("MACINTOSH", "MCANT"),
+        ("KNIGHT", "NAGT"),
+        ("KNUTH", "NAT"),
+        ("MITCHELL", "MATCAL"),
+        ("BISHOP", "BASAP"),
+        ("BROWN", "BRAN"),
+        ("PFEISTER", "FASTAR"),
+        ("PHILLIPS", "FALAP"),
+        ("O'Daniel", "ODANAL"),
+        ("SCHMIDT", "SNAD"),
+        ("", ""),
+        (None, None),
+        ("123", ""),
+        ("knight", "NAGT"),  # case-insensitive
+    ],
+)
+def test_nysiis_reference_vectors(name, code):
+    from fuzzycat_spark.functions.phonetic import nysiis
+
+    assert nysiis(name) == code
+
+
+def test_nysiis_udf_blocks_homophones(spark):
+    from fuzzycat_spark.functions.phonetic import nysiis, nysiis_key
+
+    names = ["Johnson", "Jonson", "Knight", "Night", "Smith", "Schmidt"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {r.name: r.k for r in df.select("name", nysiis_key(F.col("name")).alias("k")).collect()}
+    assert got == {n: nysiis(n) for n in names}
+    assert got["Johnson"] == got["Jonson"]
+    assert got["Knight"] == got["Night"]

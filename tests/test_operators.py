@@ -118,3 +118,37 @@ def test_connected_components_long_chain(spark):
     labels = connected_components(edges, max_iterations=8).collect()
     assert {r.cluster_id for r in labels} == {"n00"}
     assert len(labels) == 33
+
+
+def test_exact_substring_pairs_short_contained_doc(spark):
+    """The tier shingle-containment misses: a 30-token doc inside a
+    600-token doc (shingle jaccard ~0.05) MUST surface via the
+    first-k-gram probe against the all-k-grams index (guaranteed recall
+    for full containment)."""
+    from fuzzycat_spark.operators.substring import exact_substring_pairs
+
+    words = [f"w{i}" for i in range(600)]
+    big = " ".join(words)
+    small = " ".join(words[200:230])          # 30 tokens, verbatim run
+    unrelated = " ".join(f"z{i}" for i in range(80))
+    partial = " ".join(words[580:600] + ["q1", "q2", "q3", "q4", "q5"] * 2)
+    df = spark.createDataFrame(
+        [("big", big), ("small", small), ("other", unrelated), ("partial", partial)],
+        "url string, text string",
+    )
+    got = {(r.id_in, r.id_of) for r in exact_substring_pairs(df, k=25).collect()}
+    assert ("small", "big") in got
+    # partial overlap (20 shared tokens < its full text) must NOT match
+    assert all(p[0] != "partial" for p in got)
+    assert all("other" not in p for p in got)
+
+
+def test_exact_substring_pairs_mutual_for_identical(spark):
+    from fuzzycat_spark.operators.substring import exact_substring_pairs
+
+    text = " ".join(f"t{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [("a", text), ("b", text)], "url string, text string"
+    )
+    got = {(r.id_in, r.id_of) for r in exact_substring_pairs(df, k=25).collect()}
+    assert got == {("a", "b"), ("b", "a")}

@@ -34,6 +34,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evt_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,13 +81,23 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # -- parse the event log ------------------------------------------------
-    log_file = os.path.join(evt_dir, app_id)
+    # -- parse the event log (Spark 4 writes a rolling dir) ------------------
+    candidates = []
+    for root, _dirs, files in os.walk(evt_dir):
+        for fn in files:
+            if app_id in fn or app_id in root:
+                candidates.append(os.path.join(root, fn))
+    lines: list[str] = []
+    for path in sorted(candidates):
+        if "appstatus" in os.path.basename(path):
+            continue
+        with open(path, errors="ignore") as f:
+            lines.extend(f)
     stages: dict[int, dict] = {}
     job_group_of_job: dict[int, str] = {}
     stage_to_job: dict[int, int] = {}
-    with open(log_file) as f:
-        for line in f:
+    if True:
+        for line in lines:
             try:
                 e = json.loads(line)
             except json.JSONDecodeError:
@@ -102,27 +114,38 @@ def main() -> None:
                 si = e["Stage Info"]
                 sid = si["Stage ID"]
                 dur = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1e3
-                stages[sid] = {
-                    "stage": sid,
-                    "name": si.get("Stage Name", "")[:80],
-                    "tasks": si.get("Number of Tasks"),
-                    "wall_sec": round(dur, 2),
-                    "group": job_group_of_job.get(stage_to_job.get(sid, -1), ""),
-                    "run_ms": 0,
-                    "cpu_ms": 0,
-                    "gc_ms": 0,
-                    "py_ms": 0,
-                    "shuffle_write_mb": 0.0,
-                    "deser_ms": 0,
+                st = stages.setdefault(sid, {
+                    "stage": sid, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
+                    "py_ms": 0, "shuffle_write_mb": 0.0, "deser_ms": 0,
                     "sched_delay_ms": 0,
-                }
+                })
+                st["name"] = si.get("Stage Name", "")[:80]
+                st["tasks"] = si.get("Number of Tasks")
+                st["wall_sec"] = round(dur, 2)
+                st["group"] = job_group_of_job.get(stage_to_job.get(sid, -1), "")
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
-                st = stages.get(sid)
+                # TaskEnd events precede their StageCompleted — accumulate
+                # into a default record and merge identity fields later
+                st = stages.setdefault(
+                    sid,
+                    {
+                        "stage": sid,
+                        "name": "",
+                        "tasks": None,
+                        "wall_sec": 0.0,
+                        "group": "",
+                        "run_ms": 0,
+                        "cpu_ms": 0,
+                        "gc_ms": 0,
+                        "py_ms": 0,
+                        "shuffle_write_mb": 0.0,
+                        "deser_ms": 0,
+                        "sched_delay_ms": 0,
+                    },
+                )
                 tm = e.get("Task Metrics") or {}
                 ti = e.get("Task Info") or {}
-                if st is None:
-                    continue
                 st["run_ms"] += tm.get("Executor Run Time", 0)
                 st["cpu_ms"] += int(tm.get("Executor CPU Time", 0) / 1e6)
                 st["gc_ms"] += tm.get("JVM GC Time", 0)
