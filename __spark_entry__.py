@@ -397,6 +397,14 @@ def q_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    from fuzzycat_spark.functions.text import bpe_ish_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_pred"))
 
@@ -586,6 +594,28 @@ def q_ann_knn(spark, sf_dir):
     )
 
 
+def q_ann_similar_pairs(spark, sf_dir):
+    """Bounded-at-scale threshold pairs: exact cosine only WITHIN
+    hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
+    stays as the labeled exact baseline)."""
+    from fuzzycat_spark.operators.knn import bucketed_similar_pairs
+
+    return bucketed_similar_pairs(
+        _emb(spark, sf_dir), _SIM_THRESHOLD, n_planes=_ANN_PLANES_N, dim=_ANN_DIM
+    ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def _ann_similar_pairs_sql() -> str:
+    return f"""
+WITH bk AS ({_ann_bucket_sql()})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_D}, 6) AS cosine
+FROM embeddings a
+JOIN bk ba ON a.vec_id = ba.vec_id
+JOIN bk bb ON ba.bucket = bb.bucket
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE a.vec_id < b.vec_id AND round({_COS_D}, 9) >= {_SIM_THRESHOLD}"""
+
+
 def _ann_bucket_sql() -> str:
     bits = " || ".join(
         "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -671,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_stats": q_block_stats,
         "cluster_size_histogram": q_cluster_size_histogram,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -691,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
+        "ann_similar_pairs": q_ann_similar_pairs,
     }
 
 
@@ -774,6 +806,11 @@ def oracle_sql() -> dict[str, str]:
         "similar_embeddings": _SIMILAR_PAIRS_SQL,
         "ann_buckets": _ann_bucket_sql(),
         "ann_knn": _ann_knn_sql(),
+        "ann_similar_pairs": _ann_similar_pairs_sql(),
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

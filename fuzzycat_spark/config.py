@@ -44,6 +44,20 @@ def get_spark(
         # hot LSH bands are the skew risk; split aggressively
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+        # local mode: shuffle blocks live on local disk behind the OS page
+        # cache (no network leg), so compression trades CPU against page-
+        # cache/writeback pressure. Default stays ON (measured steadier on
+        # multi-GB pair shuffles); SPARK_GRAFT_SHUFFLE_COMPRESS=false flips
+        # it for A/B runs. Cluster deployments keep compression for the
+        # network-bound shuffle.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

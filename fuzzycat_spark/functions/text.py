@@ -13,14 +13,42 @@ from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.normalize import slug_text, tokens_col
 
-# Minimal stopword inventories for the language-ID heuristic. These are the
-# classifier's parameters — tests only require Spark and the DuckDB oracle
-# agree, and real corpora would swap in larger lists.
+# Stopword inventories for the language-ID heuristic — the classifier's
+# parameters (the Spark expression and the DuckDB oracle both derive from
+# this constant, so they can never disagree). 30 high-frequency function
+# words per language; shared forms (e.g. "la" fr/es, "in" en/de) are fine:
+# the vote is argmax over per-language hit counts, ties -> "und".
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
-    "de": ("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"),
-    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
-    "es": ("el", "la", "los", "que", "y", "es", "en", "un", "por", "con"),
+    "en": (
+        "the", "and", "of", "to", "in", "is", "that", "for", "with", "a",
+        "as", "was", "on", "are", "by", "this", "be", "from", "at", "or",
+        "an", "it", "not", "which", "but", "his", "her", "they", "have", "has",
+    ),
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu",
+        "den", "dem", "des", "eine", "einen", "auf", "im", "als", "auch", "sich",
+        "nach", "bei", "aus", "wird", "werden", "sind", "oder", "wie", "dass", "fur",
+    ),
+    "fr": (
+        "le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans",
+        "des", "du", "en", "un", "au", "aux", "ce", "cette", "qui", "sur",
+        "plus", "par", "avec", "sont", "ont", "mais", "ou", "nous", "se", "ne",
+    ),
+    "es": (
+        "el", "la", "los", "que", "y", "es", "en", "un", "por", "con",
+        "las", "del", "se", "una", "su", "para", "no", "al", "lo", "como",
+        "mas", "pero", "sus", "le", "ya", "o", "este", "ha", "son", "entre",
+    ),
+    "it": (
+        "il", "di", "che", "e", "la", "per", "un", "in", "non", "una",
+        "sono", "con", "si", "del", "le", "della", "i", "al", "dei", "come",
+        "anche", "piu", "nel", "ma", "ha", "gli", "alla", "lo", "questo", "essere",
+    ),
+    "pt": (
+        "o", "de", "a", "e", "que", "do", "da", "em", "um", "para",
+        "com", "nao", "uma", "os", "no", "se", "na", "por", "mais", "as",
+        "dos", "como", "mas", "ao", "ele", "das", "seu", "sua", "ou", "foi",
+    ),
 }
 
 
@@ -37,6 +65,21 @@ def token_count(col: Column | str) -> Column:
     """Whitespace token count of the slugged text (BPE-ish proxy: the slug
     splits punctuation off first, so counts approximate subword-merge input)."""
     return F.size(tokens_col(col)).cast("long")
+
+
+# GPT-2-style pre-tokenizer classes, minus the lookahead RE2 can't do:
+# optional leading space + (letter run | digit run | punct run). Counting
+# these matches approximates the sequence a BPE merge would start from.
+# Shared verbatim by the DuckDB oracle (RE2) and Spark (Java regex).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Pre-tokenizer match count over raw text — the LLM-pipeline token
+    estimate (letters/digits/punctuation runs with attached space), native
+    regexp_count, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 
 def quality_score_cols(col: Column | str) -> dict[str, Column]:

@@ -50,23 +50,27 @@ def block_stats(df: DataFrame, key: Column, id_col: str = "url") -> DataFrame:
     plus the cluster-size histogram it reports
     (`notes/2020_11_testruns.md:58-82`). One aggregate pass.
     """
-    keyed = df.select(
-        key.alias("block_key"), F.col(id_col).alias("id")
-    )
+    # empty/null keys fold into ONE null group, so the whole stat set is a
+    # single scan + two chained aggregations — no separate eager count()
+    # job for the empties (that was a hidden second scan of the input)
+    norm_key = F.when(key.isNull() | (key == ""), F.lit(None)).otherwise(key)
     per_key = (
-        keyed.filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+        df.select(norm_key.alias("block_key"))
         .groupBy("block_key")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
-    empties = keyed.filter(
-        F.col("block_key").isNull() | (F.col("block_key") == "")
-    ).count()
-    agg = per_key.agg(
-        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("key_ok"),
-        F.count(F.lit(1)).alias("num_clusters"),
+    ok = F.col("block_key").isNotNull()
+    return per_key.agg(
+        F.coalesce(F.sum(F.when(ok, F.col("cluster_size"))), F.lit(0)).alias("key_ok"),
+        F.count(F.when(ok, F.lit(1))).alias("num_clusters"),
         F.coalesce(
-            F.sum(F.when(F.col("cluster_size") >= 2, 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(ok & (F.col("cluster_size") >= 2), 1).otherwise(0)),
+            F.lit(0),
         ).alias("num_multi_clusters"),
-        F.coalesce(F.max("cluster_size"), F.lit(0)).alias("max_cluster_size"),
-    ).withColumn("key_empty", F.lit(empties))
-    return agg
+        F.coalesce(F.max(F.when(ok, F.col("cluster_size"))), F.lit(0)).alias(
+            "max_cluster_size"
+        ),
+        F.coalesce(
+            F.sum(F.when(~ok, F.col("cluster_size"))), F.lit(0)
+        ).alias("key_empty"),
+    )

@@ -45,12 +45,20 @@ def connected_components(
     ck = checkpointer or StageCheckpointer(spark)
 
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    eobs = Observation("cc_n_edges")
     sym = ck.write(
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .observe(eobs, F.count(F.lit(1)).alias("n")),
         "cc_edges",
     )
+    # initial label = min(self, neighbors) — the first propagation round
+    # fused into label creation, so clique-shaped families converge after
+    # a single confirming iteration
     labels = ck.write(
-        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")),
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "id"),
         "cc_labels",
     )
 
@@ -58,8 +66,9 @@ def connected_components(
     # corpus: a per-iteration join over a few thousand edges at corpus-width
     # partitioning is pure scheduling overhead. ~100k edges per partition;
     # restored after the loop (try/finally — an exception mid-loop must not
-    # leave a shared session at the reduced partition count).
-    n_edges = sym.count()
+    # leave a shared session at the reduced partition count). The edge
+    # count rides on the cc_edges write (Observation), not a second job.
+    n_edges = int(eobs.get["n"])
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))

@@ -84,7 +84,7 @@ def strategy_band_table(
             minhash_band_table(
                 prep, "id", cfg.text_col, cfg.num_perm, cfg.bands,
                 cfg.rows, cfg.shingle_n, use_udf=cfg.minhash_udf,
-                h64_col="sh_md5h" if cfg.minhash_udf else None,
+                h64_col="shingles_h" if cfg.minhash_udf else None,
                 shingles_col=None if cfg.minhash_udf else "shingles",
             ).select("id", F.col("band_id").cast("string").alias("band_id"), "band_hash")
         )

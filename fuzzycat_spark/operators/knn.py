@@ -77,6 +77,16 @@ def hyperplane_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _flip_bit(bucket: Column, i: int) -> Column:
+    """Bucket string with bit i flipped (1-indexed position i+1)."""
+    flipped = F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+        F.lit("1")
+    )
+    return F.concat(
+        F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, 2048)
+    )
+
+
 def hyperplane_knn(
     probes: DataFrame,
     index: DataFrame,
@@ -86,32 +96,86 @@ def hyperplane_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets, exact re-rank
     within the bucket join. One shuffle on bucket keys; no cross join.
 
-    Recall improves with fewer planes (bigger buckets) — callers trade
-    bucket size vs recall. Pairs in different buckets are unreachable, the
+    Recall improves with fewer planes (bigger buckets) or with
+    `multiprobe=1`, which ALSO probes every bucket one sign-flip away
+    (n_planes+1 keys on the probe side only — the index stays one row per
+    vector). Pairs outside the probed buckets are unreachable, the
     standard ANN tradeoff.
+
+    `dim` is required: array columns carry no length in the schema, and
+    inferring it would run a hidden driver-side job inside an operator.
     """
     if dim is None:
-        dim = len(probes.select(vec_col).first()[0])
+        raise ValueError(
+            "hyperplane_knn requires dim= (the embedding width): the schema "
+            "cannot provide it and inferring it would trigger a hidden "
+            "driver-side action"
+        )
     planes = hyperplane_planes(dim, n_planes, seed)
-    a = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("ea"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    )
+    bucket = hyperplane_bucket_col(F.col(vec_col), planes)
+    if multiprobe:
+        probe_buckets = F.array(bucket, *[_flip_bit(bucket, i) for i in range(n_planes)])
+        a = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("ea"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
+    else:
+        a = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("ea"),
+            bucket.alias("bucket"),
+        )
     b = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("eb"),
-        hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        bucket.alias("bucket"),
     )
     joined = a.join(b, on="bucket").filter(F.col("probe_id") != F.col("neighbor_id"))
     sim = cosine_col(F.col("ea"), F.col("eb"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = joined.select("probe_id", "neighbor_id", sim.alias("cosine"))
+    if multiprobe:
+        out = out.distinct()
     return (
-        joined.select("probe_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_similar_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) for same-bucket pairs with cosine >= threshold
+    — the bounded-at-scale form of the all-pairs threshold query: one
+    shuffle on bucket keys, exact cosine only within buckets. Cross-bucket
+    pairs are sacrificed (ANN recall tradeoff); raise recall with fewer
+    planes, or route high-stakes tiers through multiprobe hyperplane_knn.
+    """
+    if dim is None:
+        raise ValueError("bucketed_similar_pairs requires dim= (see hyperplane_knn)")
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucket = hyperplane_bucket_col(F.col(vec_col), planes)
+    t = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("e"), bucket.alias("bucket")
+    )
+    a = t.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "bucket")
+    b = t.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "bucket")
+    cos = cosine_col(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.round(F.col("cosine"), 9) >= threshold)
     )

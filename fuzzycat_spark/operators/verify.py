@@ -132,11 +132,12 @@ def prepare_pages(
         F.size(F.col("toks")).alias("n_tok"),
         F.md5(F.col("slug").cast("binary")).alias("slug_key"),
         F.md5(num_project(F.col("slug")).cast("binary")).alias("nproj_key"),
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles_h"),
+        # ONE hash pass per shingle: the md5-derived int64 doubles as the
+        # MinHash base hash (oracle-reproducible) AND the verify
+        # intersection element (jaccard is invariant under any consistent
+        # per-element hash) — no second xxhash64 array is stored
+        F.transform(shingles, md5_h64).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
-        # MinHash base hashes (md5-derived, oracle-reproducible) — computed
-        # here so the band table UDF reads a ready array<long> attribute
-        F.transform(shingles, md5_h64).alias("sh_md5h"),
     )
     return materialize(stage, "prep_features")
 
@@ -161,20 +162,22 @@ def _tier1_rules() -> list[tuple[Column, str, str]]:
     ]
 
 
+def _jaccard_from_counts(i: Column, na: Column, nb: Column) -> Column:
+    """|a∩b| / |a∪b| with |a∪b| = |a|+|b|-|a∩b| (arrays hold distinct
+    hashes, so no array_union is ever built)."""
+    union = (na + nb - i).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(i.cast("double") / union)
+
+
 def _tier2_rules() -> list[tuple[Column, str, str]]:
-    """Cascade rules 6-10 over the `m.*` intersect-count attributes (see
-    verify_pairs): jaccard and containment are ARITHMETIC over the counts
-    computed once per pair — |a∪b| = |a|+|b|-|a∩b| for the distinct hashed
-    arrays, so no array_union is ever built."""
+    """Cascade rules 6-7 (shingle containment + strong shingle jaccard)
+    over the `m.*` shingle intersect-count attributes."""
     m = F.col("m")
-    i_sh = m.i_sh.cast("double")
-    union_sh = (m.na_sh + m.nb_sh - m.i_sh).cast("double")
-    jac_sh = F.when(union_sh == 0, F.lit(0.0)).otherwise(i_sh / union_sh)
-    min_sh = F.least(m.na_sh, m.nb_sh).cast("double")
-    contain = F.when(min_sh <= 0, F.lit(0.0)).otherwise(i_sh / min_sh)
-    i_ts = m.i_ts.cast("double")
-    union_ts = (m.na_ts + m.nb_ts - m.i_ts).cast("double")
-    jac_tok = F.when(union_ts == 0, F.lit(0.0)).otherwise(i_ts / union_ts)
+    jac_sh = _jaccard_from_counts(m.i, m.na, m.nb)
+    min_sh = F.least(m.na, m.nb).cast("double")
+    contain = F.when(min_sh <= 0, F.lit(0.0)).otherwise(
+        m.i.cast("double") / min_sh
+    )
     return [
         (
             (contain >= CONTAINMENT_MIN_RATIO) & (m.min_tok >= 10),
@@ -182,8 +185,18 @@ def _tier2_rules() -> list[tuple[Column, str, str]]:
             "CONTAINMENT",
         ),
         (jac_sh >= STRONG_JACCARD, "strong", "SHINGLE_JACCARD"),
+    ]
+
+
+def _tier3_rules() -> list[tuple[Column, str, str]]:
+    """Cascade rules 8-10: token jaccard (needs the tokset arrays), then
+    the weak-shingle rule over the jac_sh scalar carried from tier 2, then
+    the language screen."""
+    m = F.col("m")
+    jac_tok = _jaccard_from_counts(m.i, m.na, m.nb)
+    return [
         (jac_tok >= STRONG_JACCARD, "strong", "TOKEN_JACCARD"),
-        (jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
+        (m.jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
         (m.lang_diff, "different", "LANGUAGE"),
     ]
 
@@ -211,25 +224,51 @@ def _pair_join(pairs: DataFrame, features: DataFrame, cols: list[str]) -> DataFr
     )
 
 
+def _array_tier(
+    todo: DataFrame,
+    features: DataFrame,
+    arr_col: str,
+    carry: list[str],
+) -> DataFrame:
+    """Join ONE hash-array column for both pair sides and expose intersect
+    counts (i, na, nb) plus the carried scalars as `m.*` attributes behind
+    a Generate barrier (explode of a 1-element struct array — a node
+    CollapseProject cannot fold the downstream `when`-chains into; without
+    it each measure re-runs per when-arm, measured ~15x the necessary
+    per-pair CPU). Only intersections are materialized; unions are
+    arithmetic (see _jaccard_from_counts)."""
+    fa = features.select(F.col("id").alias("a_id"), F.col(arr_col).alias("a_arr"))
+    fb = features.select(F.col("id").alias("b_id"), F.col(arr_col).alias("b_arr"))
+    j = (
+        todo.join(fa, on=F.col("id_a") == F.col("a_id"))
+        .join(fb, on=F.col("id_b") == F.col("b_id"))
+    )
+    fields = [
+        F.size(F.array_intersect(F.col("a_arr"), F.col("b_arr"))).alias("i"),
+        F.size(F.col("a_arr")).alias("na"),
+        F.size(F.col("b_arr")).alias("nb"),
+    ] + [F.col(c).alias(c) for c in carry]
+    return j.select("id_a", "id_b", F.explode(F.array(F.struct(*fields))).alias("m"))
+
+
 def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
     """(id_a, id_b, status, reason) for every candidate pair — the cascade
-    as a TWO-TIER distributed plan with rule-for-rule identical semantics
-    to the reference's early-exit ordering:
+    as a THREE-TIER distributed plan with rule-for-rule identical
+    semantics to the reference's early-exit ordering:
 
-    Tier 1 joins only the scalar feature columns (content hash, slug/nproj
-    keys, token count — ~60 B/side) and resolves cascade rules 1-5; in a
-    dedup-heavy corpus that settles the bulk of pairs (every exact/slug
-    family). Tier 2 re-joins the int64 hash ARRAYS only for pairs tier 1
-    left unresolved, so the wide shuffle (the 1M-doc profile measured
-    7.3 GB when every pair carried both docs' arrays) shrinks by the
-    tier-1 resolution rate.
+    - Tier 1 joins only scalar feature columns (content hash, slug/nproj
+      keys, token count — ~60 B/side) and resolves cascade rules 1-5; in a
+      dedup-heavy corpus that settles every exact/slug family.
+    - Tier 2 joins ONLY the shingle-hash arrays for pairs tier 1 left
+      unresolved and settles containment + strong shingle jaccard.
+    - Tier 3 joins ONLY the tokset-hash arrays for the remainder (token
+      jaccard, then the weak-shingle rule over the jac_sh scalar carried
+      from tier 2, then the language screen).
 
-    Tier-2 set measures are computed ONCE per pair behind a Generate
-    barrier (explode of a 1-element struct array — a node CollapseProject
-    cannot fold the `when`-chains into; without it each measure re-runs
-    per when-arm, measured ~15x the necessary per-pair CPU), and only
-    intersections are materialized: |a∪b| = |a|+|b|-|a∩b| on the distinct
-    hashed arrays, so array_union never runs.
+    Each tier shuffles strictly less volume than the last: the 1M-doc
+    profile measured 7.3 GB when every pair carried BOTH docs' full
+    feature rows through one fat join; tiering bounds the wide shuffles
+    by the per-tier unresolved fraction and one array family at a time.
     """
     tier1_cols = ["id", "ch", "slug_key", "nproj_key", "n_tok", "lang"]
     j1 = _pair_join(pairs, features.select(*tier1_cols), tier1_cols)
@@ -240,8 +279,8 @@ def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
             "id_b",
             status1.alias("status"),
             reason1.alias("reason"),
-            # tier-2 rules also need these two scalars; carrying them in
-            # the (small) tier-1 verdict table avoids a third feature join
+            # later tiers need these scalars; carrying them in the (small)
+            # verdict tables avoids extra feature joins
             F.least(F.col("a_n_tok"), F.col("b_n_tok")).alias("min_tok"),
             (
                 F.col("a_lang").isNotNull()
@@ -251,47 +290,42 @@ def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
         ),
         "verify_tier1",
     )
-    resolved = t1.filter(F.col("status").isNotNull()).select(
+    resolved1 = t1.filter(F.col("status").isNotNull()).select(
         "id_a", "id_b", "status", "reason"
     )
 
-    todo = t1.filter(F.col("status").isNull()).select(
+    todo2 = t1.filter(F.col("status").isNull()).select(
         "id_a", "id_b", "min_tok", "lang_diff"
     )
-    fa = features.select(
-        F.col("id").alias("a_id"),
-        F.col("shingles_h").alias("a_sh"),
-        F.col("tokset_h").alias("a_ts"),
+    m2 = _array_tier(todo2, features, "shingles_h", ["min_tok", "lang_diff"])
+    status2, reason2 = _when_chain(_tier2_rules(), None)
+    m = F.col("m")
+    t2 = materialize(
+        m2.select(
+            "id_a",
+            "id_b",
+            status2.alias("status"),
+            reason2.alias("reason"),
+            _jaccard_from_counts(m.i, m.na, m.nb).alias("jac_sh"),
+            m.lang_diff.alias("lang_diff"),
+        ),
+        "verify_tier2",
     )
-    fb = features.select(
-        F.col("id").alias("b_id"),
-        F.col("shingles_h").alias("b_sh"),
-        F.col("tokset_h").alias("b_ts"),
+    resolved2 = t2.filter(F.col("status").isNotNull()).select(
+        "id_a", "id_b", "status", "reason"
     )
-    j2 = (
-        todo.join(fa, on=F.col("id_a") == F.col("a_id"))
-        .join(fb, on=F.col("id_b") == F.col("b_id"))
+
+    todo3 = t2.filter(F.col("status").isNull()).select(
+        "id_a", "id_b", "jac_sh", "lang_diff"
     )
-    metrics = F.struct(
-        F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).alias("i_sh"),
-        F.size(F.col("a_sh")).alias("na_sh"),
-        F.size(F.col("b_sh")).alias("nb_sh"),
-        F.size(F.array_intersect(F.col("a_ts"), F.col("b_ts"))).alias("i_ts"),
-        F.size(F.col("a_ts")).alias("na_ts"),
-        F.size(F.col("b_ts")).alias("nb_ts"),
-        F.col("min_tok").alias("min_tok"),
-        F.col("lang_diff").alias("lang_diff"),
+    m3 = _array_tier(todo3, features, "tokset_h", ["jac_sh", "lang_diff"])
+    status3, reason3 = _when_chain(
+        _tier3_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
     )
-    metered = j2.select(
-        "id_a", "id_b", F.explode(F.array(metrics)).alias("m")
+    tier3 = m3.select(
+        "id_a", "id_b", status3.alias("status"), reason3.alias("reason")
     )
-    status2, reason2 = _when_chain(
-        _tier2_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
-    )
-    tier2 = metered.select(
-        "id_a", "id_b", status2.alias("status"), reason2.alias("reason")
-    )
-    return resolved.unionByName(tier2)
+    return resolved1.unionByName(resolved2).unionByName(tier3)
 
 
 def verdict_counts(verified: DataFrame) -> DataFrame:

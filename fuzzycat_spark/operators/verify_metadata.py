@@ -11,6 +11,16 @@ Faithfulness notes (each deliberate, matching observed reference behavior):
 - glom PathAccessError-skip semantics (`verify.py:169-174` et al.) map to
   NULL-guards: a rule requiring a path only fires when that column is
   non-null.
+  KNOWN REPRESENTATIONAL LIMIT: the flattened schema cannot distinguish a
+  MISSING key (reference: glom raises, rule is skipped) from a key
+  PRESENT with value None (reference: the rule fires — e.g.
+  release_type None != 'dataset' -> DIFFERENT at verify.py:342,
+  container_id None == None at verify.py:535/611, dict_has_key counting
+  an explicit None pmid at verify.py:514). Both arrive as SQL NULL here,
+  and NULL takes the missing-key (skip) branch. The 318-pair golden
+  corpus carries no explicit-None records, so parity there is 100%; if
+  exact parity on explicit-null records is ever required, add per-field
+  presence-flag columns at ingest and switch the guards to them.
 - Python `None` set-membership in author sets (`verify.py:455-458`: raw
   names may be None and still participate in set ops) is emulated with a
   `\\x00` sentinel element.
@@ -716,9 +726,23 @@ def group_verify(
         max_bucket_size=None,
     )
 
-    # per-side blacklist hit counters (counted, not skipped — see quirk)
-    cname = F.lower(F.trim(F.coalesce(F.col("extra.container_name"), F.lit(""))))
-    pub = F.lower(F.trim(F.coalesce(F.col("publisher"), F.lit(""))))
+    # per-side blacklist hit counters (counted, not skipped — see quirk);
+    # fields absent from the schema behave like the reference's .get("")
+    # defaults (never blacklisted)
+    has_extra_cn = "extra" in records.columns and any(
+        f.name == "container_name"
+        for f in records.schema["extra"].dataType.fields
+    ) if "extra" in records.columns else False
+    cname = (
+        F.lower(F.trim(F.coalesce(F.col("extra.container_name"), F.lit(""))))
+        if has_extra_cn
+        else F.lit("")
+    )
+    pub = (
+        F.lower(F.trim(F.coalesce(F.col("publisher"), F.lit(""))))
+        if "publisher" in records.columns
+        else F.lit("")
+    )
     flags = records.select(
         F.col(id_col).alias("id"),
         cname.isin(*container_blacklist).alias("_cbl")

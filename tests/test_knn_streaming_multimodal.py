@@ -49,11 +49,35 @@ def test_brute_force_knn_finds_planted_neighbor(vectors):
 
 def test_hyperplane_knn_recall(vectors):
     exact = {r.probe_id: r.neighbor_id for r in brute_force_knn(vectors, vectors, k=1).collect()}
-    approx = {r.probe_id: r.neighbor_id for r in hyperplane_knn(vectors, vectors, k=1, n_planes=6).collect()}
+    approx = {r.probe_id: r.neighbor_id for r in hyperplane_knn(vectors, vectors, k=1, n_planes=6, dim=16).collect()}
     planted = [i for i in range(0, 40, 4)]
     # planted near-dups are nearly-parallel vectors -> same bucket with high prob
     recall = sum(1 for i in planted if approx.get(i) == exact[i]) / len(planted)
     assert recall >= 0.7
+    # multiprobe (one-bit flips, probe side only) can only add candidates
+    multi = {r.probe_id: r.neighbor_id for r in hyperplane_knn(
+        vectors, vectors, k=1, n_planes=6, dim=16, multiprobe=1).collect()}
+    recall_m = sum(1 for i in planted if multi.get(i) == exact[i]) / len(planted)
+    assert recall_m >= recall
+
+
+def test_hyperplane_knn_requires_dim(vectors):
+    with pytest.raises(ValueError):
+        hyperplane_knn(vectors, vectors, k=1, n_planes=6)
+
+
+def test_bucketed_similar_pairs_subset_of_exact(vectors, spark):
+    from fuzzycat_spark.operators.knn import bucketed_similar_pairs, cosine_col
+
+    got = {(r.id_a, r.id_b) for r in bucketed_similar_pairs(
+        vectors, 0.9, n_planes=4, dim=16, id_col="vec_id").collect()}
+    a = vectors.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = vectors.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {(r.id_a, r.id_b) for r in a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(cosine_col(F.col("ea"), F.col("eb")) >= 0.9)
+             .select("id_a", "id_b").collect()}
+    assert got <= exact          # never invents pairs
+    assert len(got) >= len(exact) * 0.5   # planted parallel pairs mostly co-bucket
 
 
 def test_incremental_dedup_across_batches(spark):

@@ -23,7 +23,10 @@ import tempfile
 N_FAMILIES = int(sys.argv[1]) if len(sys.argv) > 1 else 25000
 N_SPAM = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
 CORPUS = sys.argv[3] if len(sys.argv) > 3 else None
-LEVELS = (8, 32)
+# "N and 4N cores" levels; override e.g. SPARK_GRAFT_LEVELS=2,8
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
+)
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -44,16 +47,25 @@ synth_pages(spark, n_families={N_FAMILIES}, n_spam={N_SPAM}).write.mode("overwri
         subprocess.run([sys.executable, "-c", gen], check=True,
                        stderr=subprocess.DEVNULL)
 
+    # several reps per level, best wall kept: run-to-run variance on this
+    # box (page-cache state, writeback) is 20-40% — the MIN is the
+    # least-noise estimator of the job's actual cost at a level
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     results = []
     for cores in LEVELS:
-        out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "scaling_worker.py"),
-             str(cores), corpus_path],
-            check=True, capture_output=True, text=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
-        print(line, flush=True)
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.join(HERE, "scaling_worker.py"),
+                 str(cores), corpus_path],
+                check=True, capture_output=True, text=True,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            runs.append(json.loads(line))
+            print(line, flush=True)
+        best = min(runs, key=lambda r: r["wall_sec"])
+        best["all_wall_sec"] = [r["wall_sec"] for r in runs]
+        results.append(best)
 
     lo, hi = results[0], results[-1]
     speedup = lo["wall_sec"] / hi["wall_sec"]
