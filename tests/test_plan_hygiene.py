@@ -1,0 +1,73 @@
+"""Plan-shape assertions: the properties the 100 TB story depends on are
+visible in the physical plan, so they are tested like behavior — column
+pruning reaches the parquet scan, no operator introduces a cartesian
+product, and the pair-generation path contains exactly the expected
+shuffle structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_count_prunes_scan_columns(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_token_count(spark, SF))
+    # the documents table carries text/html-ish payloads; the count query
+    # must read only (doc_id, text)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for l in scan_lines:
+        schema = l.split("ReadSchema:")[1]
+        assert "doc_id" in schema and "text" in schema
+        assert "html" not in schema and "lang" not in schema
+
+
+def test_no_cartesian_products_in_pipeline(spark):
+    import __spark_entry__ as E
+
+    for q in ("candidates", "verified_pairs", "substring_pairs"):
+        df = E.queries()[q](spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, f"{q} plan has a cartesian:\n{plan[:2000]}"
+
+
+def test_candidates_single_band_shuffle(spark):
+    """The band table is consumed by exactly ONE shuffle (window+groupBy
+    reuse the same hash partitioning) — a second exchange over band keys
+    would mean the single-shuffle design regressed."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["lsh_candidates"](spark, SF))
+    band_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "band_hash" in l
+    ]
+    assert len(band_exchanges) <= 1, plan
+
+
+def test_verify_tier1_join_is_narrow(spark):
+    """Tier-1 feature joins must not carry the hash arrays: no shuffle of
+    shingles_h/tokset_h before the tier-1 verdict filter."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
+    from fuzzycat_spark.operators.verify import prepare_pages, _pair_join, _tier1_rules, _when_chain
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prep = prepare_pages(docs, "doc_id", "text")
+    cands = candidate_pairs(docs, DedupConfig(id_col="doc_id"), prep=prep)
+    cols = ["id", "ch", "slug_key", "nproj_key", "n_tok", "lang"]
+    j1 = _pair_join(cands, prep.select(*cols), cols)
+    plan = _plan(j1)
+    # the candidates lineage legitimately reads shingles_h (band table);
+    # what must NOT exist is an a_*/b_* pair-side projection of any array
+    for side in ("a", "b"):
+        assert f"{side}_shingles_h" not in plan
+        assert f"{side}_tokset_h" not in plan
