@@ -12,7 +12,7 @@ never the raw slug/text — at 100 TB the shuffle payload is (id, key) only.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,6 +46,10 @@ class DedupConfig:
     max_block_size: int = 100
     max_bucket_size: int = 200
     simhash_band_bits: int = 8
+    # "substring" strategy: guaranteed-recall containment candidates
+    # (operators/substring.py) — catches short-doc-in-long-doc dups whose
+    # jaccard is too low for any LSH band; min contained length in tokens
+    substring_k: int = 25
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -130,8 +134,30 @@ def candidate_pairs(
     """
     if prep is None:
         prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
-    bands = strategy_band_table(prep, cfg, pages=pages)
-    return lsh_candidate_pairs(bands, max_bucket_size="cap")
+    band_strategies = tuple(s for s in cfg.strategies if s != "substring")
+    pairs = None
+    if band_strategies:
+        bands = strategy_band_table(
+            prep, replace(cfg, strategies=band_strategies), pages=pages
+        )
+        pairs = lsh_candidate_pairs(bands, max_bucket_size="cap")
+    if "substring" in cfg.strategies:
+        from fuzzycat_spark.operators.substring import exact_substring_pairs
+
+        ss = exact_substring_pairs(
+            pages,
+            cfg.id_col,
+            cfg.text_col,
+            k=cfg.substring_k,
+            max_bucket_size=cfg.max_bucket_size,
+        ).select(
+            F.least(F.col("id_in"), F.col("id_of")).alias("id_a"),
+            F.greatest(F.col("id_in"), F.col("id_of")).alias("id_b"),
+        )
+        pairs = ss.distinct() if pairs is None else pairs.unionByName(ss).distinct()
+    if pairs is None:
+        raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
+    return pairs
 
 
 def dedup_pages(

@@ -63,3 +63,33 @@ def test_assignments_cover_all_docs(spark, result):
         .count()
     )
     assert bad == 0
+
+
+def test_substring_strategy_clusters_short_contained_docs(spark):
+    """A 30-token doc verbatim inside a 600-token doc: every LSH band
+    misses it (shingle jaccard ~0.05), but the substring strategy's
+    guaranteed-recall candidates + the cascade's CONTAINMENT rule must
+    cluster them."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+
+    words = [f"w{i}" for i in range(600)]
+    rows = [
+        ("big", " ".join(words)),
+        ("small", " ".join(words[200:230])),
+        ("other", " ".join(f"z{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    base = DedupConfig(strategies=("exact", "slug", "minhash"))
+    _, assign_base = dedup_pages(df, base)
+    got_base = {r.id: r.cluster_id for r in assign_base.collect()}
+
+    withss = DedupConfig(strategies=("exact", "slug", "minhash", "substring"))
+    verified, assign = dedup_pages(df, withss)
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    vmap = {(r.id_a, r.id_b): (r.status, r.reason) for r in verified.collect()}
+
+    assert got_base["small"] != got_base["big"]          # the tier LSH misses
+    assert got["small"] == got["big"]                    # substring catches it
+    assert got["other"] not in (got["big"],)
+    assert vmap[("big", "small")] == ("strong", "CONTAINMENT")

@@ -288,3 +288,22 @@ def test_nysiis_udf_blocks_homophones(spark):
     assert got == {n: nysiis(n) for n in names}
     assert got["Johnson"] == got["Jonson"]
     assert got["Knight"] == got["Night"]
+
+
+def test_lang_id_real_sentences(spark):
+    from fuzzycat_spark.functions.text import lang_id_col
+
+    cases = {
+        "en": "the cat sat on the mat and it was happy with this for a while",
+        "de": "der hund ist nicht mit der katze und das ist auch ein problem",
+        "fr": "le chat est dans la maison et il ne veut pas sortir pour le moment",
+        "es": "el perro es un animal que vive en la casa con los otros animales",
+        "it": "il gatto non vuole essere anche nella casa come gli altri animali",
+        "pt": "o gato esta na casa e nao quer sair para o jardim com os outros",
+    }
+    df = spark.createDataFrame(
+        [(lang, text) for lang, text in cases.items()], "lang string, text string"
+    )
+    got = {r.lang: r.pred for r in df.select("lang", lang_id_col("text").alias("pred")).collect()}
+    hits = sum(1 for k, v in got.items() if k == v)
+    assert hits >= 5, got

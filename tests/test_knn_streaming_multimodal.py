@@ -123,3 +123,46 @@ def test_strict_decoder_marks_integration_point():
     a = deterministic_fake_decoder(b"same", "image")
     b = deterministic_fake_decoder(b"same", "image")
     assert (a == b).all()
+
+
+def test_incremental_equals_batch_dedup(spark):
+    """Three micro-batches through the incremental path must surface the
+    SAME exact/strong pair set as one batch dedup over the union — the
+    stream-static index join is the batch self-join, split by time."""
+    import tempfile
+
+    from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+    from fuzzycat_spark.streaming.dedup_stream import incremental_dedup_batch
+
+    fam = "the quick brown fox jumps over the lazy dog again and again today fine"
+    rows = [
+        ("a1", fam),
+        ("a2", fam + " extra"),
+        ("b1", "completely unrelated text about database systems and storage"),
+        ("a3", fam),
+        ("b2", "completely unrelated text about database systems and storage!"),
+        ("c1", "third family of documents discussing weather patterns in spring"),
+        ("a4", fam + " extra words"),
+        ("c2", "third family of documents discussing weather patterns in spring today"),
+    ]
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup_pages(df, cfg)[0]
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="inc_eq_")
+    index, pairs_path = f"{tmp}/index", f"{tmp}/pairs"
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        b = spark.createDataFrame(rows[lo:hi], "url string, text string")
+        incremental_dedup_batch(b, index, pairs_path, cfg)
+    inc_pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_path)
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+    assert inc_pairs == batch_pairs
