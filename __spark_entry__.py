@@ -640,6 +640,106 @@ SELECT probe_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3"""
 
 
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: deterministic seeds (k lowest-id vectors) +
+    one Lloyd iteration, then nearest-centroid assignment. The inverted-list
+    build step of the IVF ANN scale path."""
+    from fuzzycat_spark.operators.knn import ivf_assign, ivf_centroids
+
+    e = _emb(spark, sf_dir)
+    cents = ivf_centroids(e, k=_IVF_K, n_iter=1)
+    return ivf_assign(e, cents).select(F.col("vec_id_").alias("vec_id"), "cid")
+
+
+def q_ivf_knn(spark, sf_dir):
+    """IVF top-k: each probe scans only its nprobe nearest inverted lists
+    (~nprobe/k of the index, corpus-size independent)."""
+    from fuzzycat_spark.operators.knn import ivf_centroids, ivf_knn
+
+    e = _emb(spark, sf_dir)
+    cents = ivf_centroids(e, k=_IVF_K, n_iter=1)
+    return ivf_knn(e, e, cents, k=3, nprobe=_IVF_NPROBE).select(
+        "probe_id", "neighbor_id", "rank"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _ivf_cents_cte() -> str:
+    """Shared CTEs reproducing ivf_centroids(k=8, n_iter=1) + ivf_assign:
+    seeds -> argmax-cosine assignment -> per-position rounded means -> final
+    assignment. DuckDB lists are 1-based where posexplode is 0-based; only
+    the ordering matters."""
+    e_emb = "CAST(e.embedding AS DOUBLE[])"
+    return f"""
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, c AS centroid
+  FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS c
+        FROM embeddings ORDER BY vec_id LIMIT {_IVF_K})
+),
+asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_cos_sql(e_emb, "s.centroid")}, 9) DESC, s.cid) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cents AS (
+  SELECT cid, list(av ORDER BY pos) AS centroid FROM (
+    SELECT a.cid, t.i AS pos, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS av
+    FROM embeddings e
+    JOIN asg0 a USING (vec_id), generate_series(1, {_ANN_DIM}) AS t(i)
+    GROUP BY a.cid, t.i
+  ) GROUP BY cid
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_cos_sql(e_emb, "c.centroid")}, 9) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
+def _ivf_assign_sql() -> str:
+    return f"WITH {_ivf_cents_cte()} SELECT vec_id, cid FROM asg"
+
+
+def _ivf_knn_sql() -> str:
+    e_emb = "CAST(e.embedding AS DOUBLE[])"
+    return f"""
+WITH {_ivf_cents_cte()},
+probe_lists AS (
+  SELECT probe_id, cid FROM (
+    SELECT e.vec_id AS probe_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_cos_sql(e_emb, "c.centroid")}, 9) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT p.probe_id, n.vec_id AS neighbor_id,
+    CAST(row_number() OVER (PARTITION BY p.probe_id
+      ORDER BY round({_COS_D}, 9) DESC, n.vec_id) AS BIGINT) AS rank
+  FROM probe_lists p
+  JOIN asg n ON n.cid = p.cid
+  JOIN embeddings a ON a.vec_id = p.probe_id
+  JOIN embeddings b ON b.vec_id = n.vec_id
+  WHERE n.vec_id != p.probe_id
+) WHERE rank <= 3"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -723,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "user_sessions": q_user_sessions,
         "ann_similar_pairs": q_ann_similar_pairs,
+        "ivf_assign": q_ivf_assign,
+        "ivf_knn": q_ivf_knn,
     }
 
 
@@ -806,6 +908,8 @@ def oracle_sql() -> dict[str, str]:
         "similar_embeddings": _SIMILAR_PAIRS_SQL,
         "ann_buckets": _ann_bucket_sql(),
         "ann_knn": _ann_knn_sql(),
+        "ivf_assign": _ivf_assign_sql(),
+        "ivf_knn": _ivf_knn_sql(),
         "ann_similar_pairs": _ann_similar_pairs_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,

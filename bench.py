@@ -21,8 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_FAMILIES = int(os.environ.get("SPARK_GRAFT_SYNTH_FAMILIES", "4000"))
-SYNTH_SPAM = int(os.environ.get("SPARK_GRAFT_SYNTH_SPAM", "2000"))
+# 105k docs: large enough that the e2e timing is compute-bound (at 18k the
+# ~15-job pipeline is fixed-overhead bound — ~20s of scheduling + checkpoint
+# latency regardless of corpus size, see SCALING.md), small enough to keep
+# the whole suite under ~90s at local[32]
+SYNTH_FAMILIES = int(os.environ.get("SPARK_GRAFT_SYNTH_FAMILIES", "24000"))
+SYNTH_SPAM = int(os.environ.get("SPARK_GRAFT_SYNTH_SPAM", "9000"))
 
 
 def main() -> None:
@@ -68,10 +72,21 @@ def main() -> None:
     n_docs = SYNTH_FAMILIES * 4 + SYNTH_SPAM
     pages = synth_pages(spark, n_families=SYNTH_FAMILIES, n_spam=SYNTH_SPAM)
     pages = pages.localCheckpoint()  # time the pipeline, not the generator
-    t0 = time.time()
-    _, assign = dedup_pages(pages, DedupConfig())
-    assert assign.count() == n_docs
-    pages_sec = round(time.time() - t0, 3)
+    # full-pipeline warmup on a 2% sample (codegen + resident Python
+    # workers), then best of 2 timed runs: C2 JIT finishes compiling the
+    # generated code DURING the first full-size pass (measured 2-6x on the
+    # first run only), and the min is the least-noise estimator on this
+    # shared VM (same methodology as tools/bench_scaling.py / SCALING.md)
+    warm = pages.sample(0.02, seed=1).localCheckpoint()
+    _, wa = dedup_pages(warm, DedupConfig())
+    wa.count()
+    pages_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        _, assign = dedup_pages(pages, DedupConfig())
+        assert assign.count() == n_docs
+        rep = round(time.time() - t0, 3)
+        pages_sec = rep if pages_sec is None else min(pages_sec, rep)
     timings["pages_dedup_e2e"] = pages_sec
 
     total = round(sum(timings.values()), 3)

@@ -15,6 +15,28 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _scratch_dir() -> str:
+    """Scratch dir for shuffle files/spills (spark.local.dir).
+
+    Prefer tmpfs (/dev/shm) on this single-VM stand-in: the VM's virtio
+    disk writeback gives 2-6x run-to-run swings on shuffle/checkpoint
+    writes, pure measurement noise. On a real cluster this is the node's
+    local SSD array (set SPARK_GRAFT_LOCAL_DIR or spark.local.dir in
+    spark-submit); shuffle data is ephemeral either way.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "fuzzycat_spark_local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "fuzzycat-spark",
     cores: int | str = "*",
@@ -58,6 +80,7 @@ def get_spark(
             "spark.shuffle.spill.compress",
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
         )
+        .config("spark.local.dir", _scratch_dir())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

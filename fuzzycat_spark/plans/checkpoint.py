@@ -33,6 +33,25 @@ _EPHEMERAL: dict[str, "StageCheckpointer"] = {}
 _MAT_COUNTER = 0
 
 
+def _ephemeral_root() -> str | None:
+    """Root for EPHEMERAL checkpoint dirs (auto-created, removed at exit).
+
+    tmpfs (/dev/shm) when available: on this single-VM stand-in the virtio
+    disk's writeback stalls add 2-6x run-to-run noise to every parquet
+    round-trip. Durable/resumable checkpoints (StageCheckpointer with an
+    explicit base_dir — on a cluster, the Iceberg/object-store path) are
+    unaffected. Override with FUZZYCAT_CKPT_DIR; None falls back to the
+    system tempdir.
+    """
+    override = os.environ.get("FUZZYCAT_CKPT_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None
+
+
 def materialize(
     df: DataFrame, name: str | None = None, keep_last: int | None = None
 ) -> DataFrame:
@@ -76,7 +95,9 @@ class StageCheckpointer:
 
     def __init__(self, spark: SparkSession, base_dir: str | None = None):
         self.spark = spark
-        self.base_dir = base_dir or tempfile.mkdtemp(prefix="fuzzycat_ckpt_")
+        self.base_dir = base_dir or tempfile.mkdtemp(
+            prefix="fuzzycat_ckpt_", dir=_ephemeral_root()
+        )
         self._manifest_path = os.path.join(self.base_dir, "_manifest.json")
         self._manifest: dict[str, dict] = {}
         if os.path.exists(self._manifest_path):

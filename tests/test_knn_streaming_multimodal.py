@@ -80,6 +80,38 @@ def test_bucketed_similar_pairs_subset_of_exact(vectors, spark):
     assert len(got) >= len(exact) * 0.5   # planted parallel pairs mostly co-bucket
 
 
+def test_ivf_assign_partitions_index(vectors):
+    from fuzzycat_spark.operators.knn import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(vectors, k=4, n_iter=1)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 4
+    assert all(len(r.centroid) == 16 for r in rows)
+    asg = ivf_assign(vectors, cents).collect()
+    # exactly one list per vector (unlike multiprobe LSH: no distinct needed)
+    assert len(asg) == vectors.count()
+    assert len({r.vec_id_ for r in asg}) == len(asg)
+    assert {r.cid for r in asg} <= {r.cid for r in rows}
+
+
+def test_ivf_knn_recall_and_exactness_at_full_probe(vectors):
+    from fuzzycat_spark.operators.knn import ivf_centroids, ivf_knn
+
+    cents = ivf_centroids(vectors, k=4, n_iter=1)
+    exact = {r.probe_id: r.neighbor_id for r in brute_force_knn(vectors, vectors, k=1).collect()}
+    # nprobe == k probes every list -> identical to brute force
+    full = {r.probe_id: r.neighbor_id
+            for r in ivf_knn(vectors, vectors, cents, k=1, nprobe=4).collect()}
+    assert full == exact
+    # nprobe=2 scans half the index; planted near-dups land in the same
+    # list as their original, so recall on top-1 stays high
+    approx = {r.probe_id: r.neighbor_id
+              for r in ivf_knn(vectors, vectors, cents, k=1, nprobe=2).collect()}
+    planted = [i for i in range(0, 40, 4)]
+    hits = sum(1 for p in planted if approx.get(p) == 1000 + p)
+    assert hits >= len(planted) * 0.8
+
+
 def test_incremental_dedup_across_batches(spark):
     tmp = tempfile.mkdtemp()
     index, pairs = f"{tmp}/index", f"{tmp}/pairs"
