@@ -740,6 +740,99 @@ SELECT probe_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3"""
 
 
+_WINNOW_W = 4
+_WINNOW_MIN_COMMON = 2
+_WINNOW_CAP = 200
+
+
+def q_winnow_fps(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken 2004):
+    rightmost-min of each w-window of shingle hashes — localized
+    sub-document fingerprints for partial-overlap detection."""
+    from fuzzycat_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", k=SHINGLE_N, w=_WINNOW_W
+    ).select(F.col("id").alias("doc_id"), "fp", "pos")
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Document pairs sharing >= min_common winnowing fingerprints —
+    catches shared-paragraph overlap that whole-doc LSH jaccard misses."""
+    from fuzzycat_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    fps = winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", k=SHINGLE_N, w=_WINNOW_W
+    )
+    return winnow_overlap_pairs(
+        fps, min_common=_WINNOW_MIN_COMMON, max_bucket_size=_WINNOW_CAP
+    )
+
+
+def _winnow_sel_cte() -> str:
+    """CTEs reproducing winnow_fingerprints: ordered shingles with
+    position -> 40-bit-hash/20-bit-inverted-pos pack -> rightmost-min per
+    w-window -> unpack. All-BIGINT arithmetic, bit-identical to Spark."""
+    pm, hm = 1 << 20, 1 << 40
+    return f"""
+wt AS (SELECT doc_id, {_SLUG} AS slug FROM documents),
+wtok AS (
+  SELECT doc_id, CASE WHEN slug = '' THEN []::VARCHAR[]
+                      ELSE string_split(slug, ' ') END AS toks
+  FROM wt
+),
+wshl AS (
+  SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+    ELSE [array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+          for i in range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1)]
+    END AS sarr
+  FROM wtok
+),
+wexp AS (
+  SELECT doc_id,
+    unnest([{{'p': i - 1, 's': sarr[i]}} for i in range(1, len(sarr) + 1)]) AS u
+  FROM wshl
+),
+wpacked AS (
+  SELECT doc_id, u.p AS pos,
+    (('0x' || substr(md5(u.s), 1, 16))::UBIGINT % {hm})::BIGINT * {pm}
+      + ({pm - 1} - u.p) AS pack
+  FROM wexp
+  WHERE u.p < {pm - 1}
+),
+wsel AS (
+  SELECT DISTINCT doc_id, win // {pm} AS fp, {pm - 1} - (win % {pm}) AS pos
+  FROM (
+    SELECT doc_id, pos,
+      min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS win,
+      count(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM wpacked
+  ) WHERE pos <= n_sh - {_WINNOW_W} OR (n_sh < {_WINNOW_W} AND pos = 0)
+)"""
+
+
+def _winnow_fps_sql() -> str:
+    return f"WITH {_winnow_sel_cte()} SELECT doc_id, fp, pos FROM wsel"
+
+
+def _winnow_overlap_sql() -> str:
+    return f"""
+WITH {_winnow_sel_cte()},
+wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+wcool AS (
+  SELECT doc_id, fp FROM wfp
+  WHERE fp IN (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= {_WINNOW_CAP})
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+FROM wcool a JOIN wcool b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WINNOW_MIN_COMMON}"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -825,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_similar_pairs": q_ann_similar_pairs,
         "ivf_assign": q_ivf_assign,
         "ivf_knn": q_ivf_knn,
+        "winnow_fps": q_winnow_fps,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 
@@ -910,6 +1005,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn": _ann_knn_sql(),
         "ivf_assign": _ivf_assign_sql(),
         "ivf_knn": _ivf_knn_sql(),
+        "winnow_fps": _winnow_fps_sql(),
+        "winnow_overlap": _winnow_overlap_sql(),
         "ann_similar_pairs": _ann_similar_pairs_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,

@@ -99,6 +99,21 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_ordered(toks: Column, n: int = 3) -> Column:
+    """ORDERED, non-distinct word n-gram shingles — position i of the
+    result is the shingle starting at token i (winnowing needs the
+    positional stream, not the set). Same `toks`-must-be-an-attribute
+    caveat as `word_shingles_from_tokens`; same short-doc fallback (the
+    whole token run as one shingle) and empty-doc empty array."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        ngrams
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Shingles straight from a text column. Convenience for small inputs
     and oracle queries — for pipelines, materialize `tokens_col` first and

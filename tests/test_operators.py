@@ -152,3 +152,52 @@ def test_exact_substring_pairs_mutual_for_identical(spark):
     )
     got = {(r.id_in, r.id_of) for r in exact_substring_pairs(df, k=25).collect()}
     assert got == {("a", "b"), ("b", "a")}
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Two docs sharing a run of >= w+k-1 tokens share >= 1 fingerprint
+    (the SIGMOD'04 winnowing guarantee), even when the run sits at
+    different positions and the rest of the text is disjoint."""
+    from fuzzycat_spark.operators.winnow import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = " ".join(f"common{i}" for i in range(k + w - 1 + 3))
+    a = "alpha beta gamma " + shared + " delta epsilon"
+    b = "one two three four five six " + shared
+    c = "totally unrelated words nothing in common here at all folks"
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], "doc_id string, text string"
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc["a"] & by_doc["b"], "shared run must yield a common fingerprint"
+    assert not (by_doc["a"] & by_doc["c"])
+    assert not (by_doc["b"] & by_doc["c"])
+
+
+def test_winnow_density_and_overlap_pairs(spark):
+    """Fingerprint count stays a small fraction of the shingle count, and
+    overlap pairing finds exactly the pair with the common paragraph."""
+    from fuzzycat_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    para = " ".join(f"para{i}" for i in range(30))
+    docs = [("x", " ".join(f"xw{i}" for i in range(200)) + " " + para),
+            ("y", para + " " + " ".join(f"yw{i}" for i in range(200))),
+            ("z", " ".join(f"zw{i}" for i in range(200)))]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    n_fp = fps.count()
+    # ~2/(w+1) density: 3 docs x ~230 shingles -> well under half selected
+    assert n_fp < 3 * 230 * 0.6
+    pairs = {(r.id_a, r.id_b): r.n_common
+             for r in winnow_overlap_pairs(fps, min_common=2).collect()}
+    assert set(pairs) == {("x", "y")}
+    assert pairs[("x", "y")] >= 2
