@@ -117,6 +117,68 @@ def strategy_band_table(
     return bands.withColumn("cap", cap)
 
 
+def star_edges(prep: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+    """(id_a, id_b, status, reason) star edges for the DETERMINISTIC
+    key-equality strategies: every member of a content-hash / slug-key
+    group links to the group's min-id representative.
+
+    Key equality is transitive, so a group of n docs needs only n-1 edges
+    for connected components to recover the full cluster — pair
+    ENUMERATION (C(n,2)) is both unnecessary and the thing the bucket cap
+    had to truncate. This is the hot-key answer for boilerplate mega-
+    clusters (the reference's pathological case, `fuzzycat/__main__.py:
+    220-223`): a 10^6-copy template page costs 10^6-1 edges, zero
+    verification, no cap, full recall. Caps/salting remain on the
+    APPROXIMATE (LSH) strategies, where a bucket collision is a
+    hypothesis, not a verdict.
+
+    Mirrors the cascade's rule order: CONTENT_HASH stars are
+    unconditional (rule 1 precedes the length screens); SLUG_MATCH stars
+    only cover docs the length screens would let through (empty/short
+    docs fall to the pairwise cascade's ambiguous statuses, which never
+    form edges).
+    """
+    from pyspark.sql.window import Window
+
+    outs = []
+    if "exact" in cfg.strategies:
+        w = Window.partitionBy("ch")
+        outs.append(
+            prep.filter(F.col("ch").isNotNull())
+            .withColumn("_rep", F.min("id").over(w))
+            .filter(F.col("id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "id").alias("id_a"),
+                F.greatest("_rep", "id").alias("id_b"),
+                F.lit("exact").alias("status"),
+                F.lit("CONTENT_HASH").alias("reason"),
+            )
+        )
+    if "slug" in cfg.strategies:
+        from fuzzycat_spark.operators.verify import SHORT_TOKENS
+
+        w = Window.partitionBy("slug_key")
+        outs.append(
+            prep.filter(
+                F.col("slug_key").isNotNull() & (F.col("n_tok") >= SHORT_TOKENS)
+            )
+            .withColumn("_rep", F.min("id").over(w))
+            .filter(F.col("id") != F.col("_rep"))
+            .select(
+                F.least("_rep", "id").alias("id_a"),
+                F.greatest("_rep", "id").alias("id_b"),
+                F.lit("exact").alias("status"),
+                F.lit("SLUG_MATCH").alias("reason"),
+            )
+        )
+    if not outs:
+        return None
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def candidate_pairs(
     pages: DataFrame,
     cfg: DedupConfig = DedupConfig(),
@@ -174,14 +236,48 @@ def dedup_pages(
     # projection: no html/text payload, SURVEY §4's "shuffle only verify
     # columns")
     prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
-    # materialize candidates before the feature joins: with the lazy
-    # window+join+distinct plan inline, the verify joins get planned without
-    # row statistics and run ~5x slower than against the materialized table
-    cands = materialize(candidate_pairs(pages, cfg, prep=prep), "candidates")
-    # materialize the verified pairs once: connected components iterates over
-    # the edge list, and without a checkpoint every CC action would re-run
-    # blocking+verify (on a cluster this is the Iceberg stage checkpoint)
-    verified = materialize(verify_pairs(cands, prep), "verified")
+    # deterministic key-equality strategies (exact hash, slug) link via
+    # O(n) star edges — no pair enumeration, no cap, full recall on
+    # boilerplate mega-clusters (see star_edges); only the APPROXIMATE
+    # strategies go through capped pair expansion + the verify cascade
+    stars = star_edges(prep, cfg)
+    near_cfg = replace(
+        cfg,
+        strategies=tuple(s for s in cfg.strategies if s not in ("exact", "slug")),
+    )
+    if near_cfg.strategies:
+        # materialize candidates before the feature joins: with the lazy
+        # window+join+distinct plan inline, the verify joins get planned
+        # without row statistics and run ~5x slower
+        cands = materialize(candidate_pairs(pages, near_cfg, prep=prep), "candidates")
+        verified_near = verify_pairs(cands, prep)
+    else:
+        verified_near = None
+    # union star + verified pairs, one row per pair with the cascade's
+    # precedence (CONTENT_HASH < SLUG_MATCH < pairwise verdict); then
+    # materialize: connected components iterates over the edge list, and
+    # without a checkpoint every CC action would re-run blocking+verify
+    # (on a cluster this is the Iceberg stage checkpoint)
+    parts = [p for p in (stars, verified_near) if p is not None]
+    if not parts:
+        raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    from pyspark.sql.window import Window
+
+    prio = (
+        F.when(F.col("reason") == "CONTENT_HASH", 0)
+        .when(F.col("reason") == "SLUG_MATCH", 1)
+        .otherwise(2)
+    )
+    wp = Window.partitionBy("id_a", "id_b").orderBy(prio.asc(), F.col("reason"))
+    deduped = (
+        unioned.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    verified = materialize(deduped, "verified")
     edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
     cc = connected_components(edges)
     assignments = (

@@ -113,6 +113,28 @@ def incremental_dedup_batch(
     new_bands = materialize(
         strategy_band_table(prep, cfg), "stream_bands", keep_last=2
     )
+    # deterministic key-equality bands (exact hash, slug) link via star
+    # edges — same O(n) no-cap design as the batch pipeline (see
+    # operators/dedup.star_edges): each new member links to the band's
+    # representative (the historical min id if the band was seen before,
+    # else the batch-local min), so boilerplate mega-clusters stay fully
+    # connected across batches without ever joining member x member.
+    _KEY_BANDS = ("exact", "slug")
+    # slug stars honor the cascade's length screen (short/empty docs fall
+    # to ambiguous, never an edge) — drop their slug rows before they can
+    # reach the index or a star (mirrors batch star_edges)
+    from fuzzycat_spark.operators.verify import SHORT_TOKENS
+
+    short_ids = prep.filter(F.col("n_tok") < SHORT_TOKENS).select("id")
+    new_bands = new_bands.join(
+        short_ids.withColumn("_short_slug", F.lit(True)),
+        on="id",
+        how="left",
+    ).filter(
+        ~((F.col("band_id") == "slug") & F.col("_short_slug").isNotNull())
+    ).drop("_short_slug")
+    new_key = new_bands.filter(F.col("band_id").isin(*_KEY_BANDS))
+    new_near = new_bands.filter(~F.col("band_id").isin(*_KEY_BANDS))
 
     # cumulative per-bucket sizes: old + this batch's contribution
     new_sizes = new_bands.groupBy("band_id", "band_hash", "cap").agg(
@@ -128,16 +150,58 @@ def incremental_dedup_batch(
     sizes = materialize(new_sizes, "stream_sizes", keep_last=2)
     hot = sizes.filter(F.col("n") > F.col("cap")).select("band_id", "band_hash")
 
-    # within-batch candidates (single-shuffle capped pair expansion)
-    cands = lsh_candidate_pairs(new_bands, max_bucket_size="cap")
+    # within-batch candidates for APPROXIMATE bands only (single-shuffle
+    # capped pair expansion); key bands link through stars below
+    cands = lsh_candidate_pairs(new_near, max_bucket_size="cap")
 
-    # cross candidates: new batch vs historical index, hot bands excluded
-    # on BOTH sides by cumulative size (the within-batch cap alone would
-    # let a band that grew hot across batches join quadratically)
+    # star edges for the key bands: rep = historical min id for the band
+    # if present, else the batch-local min
     index = try_read_parquet(spark, index_path)
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_hash")
+    key_m = new_key.withColumn("_newrep", F.min("id").over(wb))
     if index is not None:
-        cool_new = new_bands.join(hot, on=["band_id", "band_hash"], how="left_anti")
-        cool_old = index.join(hot, on=["band_id", "band_hash"], how="left_anti")
+        hist_reps = (
+            index.filter(F.col("band_id").isin(*_KEY_BANDS))
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("id").alias("_histrep"))
+        )
+        key_m = key_m.join(hist_reps, on=["band_id", "band_hash"], how="left")
+    else:
+        key_m = key_m.withColumn("_histrep", F.lit(None).cast("string"))
+    star_pairs = (
+        key_m.withColumn("_rep", F.coalesce("_histrep", "_newrep"))
+        .filter(F.col("id") != F.col("_rep"))
+        .select(
+            F.least("_rep", "id").alias("id_a"),
+            F.greatest("_rep", "id").alias("id_b"),
+            F.when(F.col("band_id") == "exact", F.lit("CONTENT_HASH"))
+            .otherwise(F.lit("SLUG_MATCH"))
+            .alias("reason"),
+        )
+        .withColumn(
+            "_prio", F.when(F.col("reason") == "CONTENT_HASH", 0).otherwise(1)
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id_a", "id_b").orderBy("_prio")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("id_a", "id_b", F.lit("exact").alias("status"), "reason")
+    )
+
+    # cross candidates for approximate bands: new batch vs historical
+    # index, hot bands excluded on BOTH sides by cumulative size (the
+    # within-batch cap alone would let a band that grew hot across
+    # batches join quadratically)
+    if index is not None:
+        cool_new = new_near.join(hot, on=["band_id", "band_hash"], how="left_anti")
+        cool_old = index.filter(~F.col("band_id").isin(*_KEY_BANDS)).join(
+            hot, on=["band_id", "band_hash"], how="left_anti"
+        )
         cross = (
             cool_new.alias("n")
             .join(cool_old.alias("o"), on=["band_id", "band_hash"])
@@ -164,8 +228,13 @@ def incremental_dedup_batch(
             feat_hist.join(hit_ids, on="id", how="left_semi")
         )
 
+    # star-linked pairs bypass the cascade (key equality IS the verdict);
+    # drop them from the candidate set so a pair is emitted once
+    cands = cands.join(
+        star_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+    )
     verified = verify_pairs(cands, feats)
-    verified.write.mode("append").parquet(pairs_path)
+    verified.unionByName(star_pairs).write.mode("append").parquet(pairs_path)
 
     # state appends last, after the pairs are durable; band rows partition
     # by band_id so future cross joins prune to colliding strategies/bands
