@@ -2,9 +2,11 @@
 
 The full graft of the reference's `cluster | verify` dataflow
 (`/root/reference/notes/old_pipeline.md:13-27` + `fuzzycat/verify.py:100-147`)
-onto web pages, with multi-strategy candidate generation (exact hash, slug
-key, MinHash-LSH, SimHash buckets) unioned before verification, and real
-connected components replacing "cluster = records sharing one key".
+onto web pages. Deterministic key-equality strategies (exact content
+hash, slug key) link clusters via O(n) star edges (`star_edges`);
+approximate strategies (MinHash-LSH, SimHash buckets) go through capped
+pair expansion + the verify cascade; real connected components replace
+"cluster = records sharing one key".
 
 Every block key that crosses a shuffle is a fixed-width hash (md5/long),
 never the raw slug/text — at 100 TB the shuffle payload is (id, key) only.
