@@ -849,6 +849,17 @@ def q_user_sessions(spark, sf_dir):
     return user_sessions(_events(spark, sf_dir))
 
 
+def q_event_hopping(spark, sf_dir):
+    """Hopping (sliding) windows: 30-minute length, 15-minute stride —
+    every event lands in exactly 2 windows; equals the union of two
+    stride-shifted tumbling aggregations (which is the oracle's form)."""
+    from fuzzycat_spark.streaming.windows import hopping_event_stats
+
+    return hopping_event_stats(
+        _events(spark, sf_dir), window="30 minutes", slide="15 minutes"
+    )
+
+
 _SUBSTR_K = 25
 
 
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "substring_pairs": q_substring_pairs,
         "event_windows": q_event_windows,
+        "event_hopping": q_event_hopping,
         "user_sessions": q_user_sessions,
         "ann_similar_pairs": q_ann_similar_pairs,
         "ivf_assign": q_ivf_assign,
@@ -1030,6 +1042,17 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2""",
+        "event_hopping": """
+            SELECT win_start, event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM (
+              SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+                     event_type, value FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - INTERVAL '15 minutes' AS win_start,
+                     event_type, value FROM events
+            ) GROUP BY 1, 2""",
         "user_sessions": """
             WITH o AS (
               SELECT user_id, ts, value,

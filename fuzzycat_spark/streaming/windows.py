@@ -60,6 +60,33 @@ def user_sessions(
     )
 
 
+def hopping_event_stats(
+    events: DataFrame,
+    window: str = DEFAULT_WINDOW,
+    slide: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(win_start, event_type, n_events, total_value) per HOPPING window
+    (length = `window`, stride = `slide`, default window/2) — the sliding
+    rollup a rate-monitoring surface reads. Each event lands in
+    length/stride windows; Spark's window() emits them without an
+    explicit explode. With length = k*stride the result equals the union
+    of k stride-shifted tumbling aggregations, which is exactly how the
+    DuckDB oracle states it (no lateral unnest needed).
+    """
+    slide = slide or f"{int(window.split()[0]) // 2} {window.split()[1]}"
+    return (
+        events.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
 def streaming_tumbling_event_stats(
     stream: DataFrame,
     window: str = DEFAULT_WINDOW,
@@ -81,6 +108,30 @@ def streaming_tumbling_event_stats(
             F.round(F.sum("value"), 6).alias("total_value"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_hopping_event_stats(
+    stream: DataFrame,
+    window: str = DEFAULT_WINDOW,
+    slide: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of hopping_event_stats (watermarked; append mode
+    emits each window once the watermark passes its end)."""
+    slide = slide or f"{int(window.split()[0]) // 2} {window.split()[1]}"
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
     )
 
 

@@ -11,6 +11,8 @@ import tempfile
 import pytest
 
 from fuzzycat_spark.streaming.windows import (
+    hopping_event_stats,
+    streaming_hopping_event_stats,
     streaming_tumbling_event_stats,
     streaming_user_sessions,
     tumbling_event_stats,
@@ -61,6 +63,11 @@ def test_user_sessions_counts_cover_all_events(events):
             streaming_user_sessions,
             ["user_id", "session_start", "n_events", "total_value"],
         ),
+        (
+            hopping_event_stats,
+            streaming_hopping_event_stats,
+            ["win_start", "event_type", "n_events", "total_value"],
+        ),
     ],
 )
 def test_streaming_matches_batch(spark, events, batch_fn, stream_fn, cols):
@@ -87,3 +94,68 @@ def test_streaming_matches_batch(spark, events, batch_fn, stream_fn, cols):
         assert _rows(got, cols) == _rows(batch_fn(events), cols)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_watermark_drops_late_events(spark):
+    """Append-mode streaming with a watermark must DROP an event that
+    arrives after the watermark has passed its window's end — the
+    bounded-state contract late web-crawl timestamps rely on."""
+    import os
+
+    out_dir = tempfile.mkdtemp(prefix="late_")
+    src_dir = f"{out_dir}/src"
+    os.makedirs(src_dir)
+    schema = "event_id long, user_id long, event_type string, value double, ts string"
+    base = "2024-01-01 00:{m:02d}:00"
+    batch1 = [
+        (1, 1, "view", 1.0, base.format(m=5)),
+        # 2h later: advances the watermark (1h delay) past window [0,15m)
+        (2, 1, "view", 1.0, "2024-01-01 02:00:00"),
+    ]
+    batch2 = [
+        (3, 1, "view", 1.0, base.format(m=7)),   # LATE: window closed -> dropped
+        (4, 1, "view", 1.0, "2024-01-01 02:05:00"),  # on time
+    ]
+    from pyspark.sql import functions as F
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        # FileStreamSource reads files in discovery order; copy into src
+        import glob
+
+        src = glob.glob(f"{out_dir}/{name}/part-*.parquet")[0]
+        shutil.copy(src, f"{src_dir}/{name}.parquet")
+
+    write_batch(batch1, "b1")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{out_dir}/b1").schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+
+    def run_drain():
+        # memory sink can't resume from a checkpoint; a parquet sink is the
+        # durable restart-safe shape production uses
+        q = (
+            streaming_tumbling_event_stats(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", f"{out_dir}/sink")
+            .outputMode("append")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_drain()
+    write_batch(batch2, "b2")
+    run_drain()
+    rows = {
+        (str(r.win_start), r.n_events)
+        for r in spark.read.parquet(f"{out_dir}/sink").collect()
+    }
+    # the 00:00 window was finalized with ONLY event 1 — late event 3 never
+    # counted; event 4's window (02:00) is still open, hence not emitted yet
+    assert ("2024-01-01 00:00:00", 1) in rows
+    assert not any(w.startswith("2024-01-01 00:00") and n == 2 for w, n in rows)
+    shutil.rmtree(out_dir, ignore_errors=True)
