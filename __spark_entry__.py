@@ -875,6 +875,61 @@ def q_substring_pairs(spark, sf_dir):
     )
 
 
+_FILTER_MIN_TOK = 10
+_FILTER_MIN_QUALITY = 0.5
+_FILTER_LANGS = ("en", "de", "fr", "es", "it", "pt")
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The training-data keep decision: compose token count, quality
+    score, and language-ID into a single filter — the downstream consumer
+    of the text-analysis operators. Returns the KEPT docs with the
+    signals that admitted them."""
+    q = q_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    l = q_lang_id(spark, sf_dir)
+    return (
+        q.join(l, on="doc_id")
+        .filter(
+            (F.col("n_tokens") >= _FILTER_MIN_TOK)
+            & (F.col("quality") >= _FILTER_MIN_QUALITY)
+            & F.col("lang_pred").isin(*_FILTER_LANGS)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+    )
+
+
+def _corpus_filter_sql() -> str:
+    langs = ", ".join(repr(x) for x in _FILTER_LANGS)
+    return f"""
+WITH q AS ({_QUALITY_SQL}), l AS ({_lang_vote_sql()})
+SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE q.n_tokens >= {_FILTER_MIN_TOK}
+  AND q.quality >= {_FILTER_MIN_QUALITY}
+  AND l.lang_pred IN ({langs})"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the driver gate: documents' text bytes
+    stand in for an opaque media payload; the distributed mapInPandas
+    batch path computes (content_sha, n_bytes), which SQL can recompute
+    exactly — the embedding (decoder-dependent) is covered by unit tests."""
+    from fuzzycat_spark.sources.multimodal import extract_media_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("text").cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(media).select(
+        F.col("media_id").cast("long").alias("doc_id"), "content_sha", "n_bytes"
+    )
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -932,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "winnow_fps": q_winnow_fps,
         "winnow_overlap": q_winnow_overlap,
+        "corpus_filter": q_corpus_filter,
+        "media_features": q_media_features,
     }
 
 
@@ -1019,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn": _ivf_knn_sql(),
         "winnow_fps": _winnow_fps_sql(),
         "winnow_overlap": _winnow_overlap_sql(),
+        "corpus_filter": _corpus_filter_sql(),
+        "media_features": """
+            SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
+                   CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
+                     AS n_bytes
+            FROM documents""",
         "ann_similar_pairs": _ann_similar_pairs_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,
