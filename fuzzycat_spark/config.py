@@ -31,6 +31,12 @@ def _scratch_dir() -> str:
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         d = os.path.join(shm, "fuzzycat_spark_local")
         os.makedirs(d, exist_ok=True)
+        # killed JVMs leave their spark-<uuid> shuffle dirs behind (no
+        # shutdown hook on SIGKILL); age-gated sweep keeps the tmpfs root
+        # from accumulating RAM-resident garbage across runs
+        from fuzzycat_spark.plans.checkpoint import _sweep_stale
+
+        _sweep_stale(d, "spark-")
         return d
     import tempfile
 

@@ -48,8 +48,30 @@ def _ephemeral_root() -> str | None:
         return override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        _sweep_stale(shm, "fuzzycat_ckpt_")
         return shm
     return None
+
+
+def _sweep_stale(root: str, prefix: str, max_age_sec: int = 3 * 3600) -> None:
+    """Remove stale ephemeral dirs left by KILLED processes (atexit never
+    runs on SIGKILL/timeout). Age-gated so concurrent live sessions are
+    never touched; tmpfs roots otherwise grow RAM-resident garbage across
+    runs."""
+    now = time.time()
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for n in names:
+        if not n.startswith(prefix):
+            continue
+        p = os.path.join(root, n)
+        try:
+            if now - os.path.getmtime(p) > max_age_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def materialize(
