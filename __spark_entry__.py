@@ -322,7 +322,7 @@ fp AS (
   FROM bits GROUP BY doc_id
 )
 SELECT tk.doc_id,
-  CASE WHEN len(tk.toks) = 0 THEN -1 ELSE fp.simhash END AS simhash
+  CAST(CASE WHEN len(tk.toks) = 0 THEN -1 ELSE fp.simhash END AS BIGINT) AS simhash
 FROM tk LEFT JOIN fp ON tk.doc_id = fp.doc_id
 ORDER BY tk.doc_id""".format(slug=_SLUG)
 
