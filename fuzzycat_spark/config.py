@@ -15,6 +15,14 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _free_bytes(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return 0
+    return st.f_bavail * st.f_frsize
+
+
 def _scratch_dir() -> str:
     """Scratch dir for shuffle files/spills (spark.local.dir).
 
@@ -28,7 +36,17 @@ def _scratch_dir() -> str:
     if override:
         return override
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+    # Shuffle spills happen precisely when memory is scarce, so tmpfs is
+    # only safe with real headroom: require >=24 GiB free on /dev/shm
+    # (and never on boxes where tmpfs is sized small), else spill to the
+    # disk tempdir like stock Spark. SPARK_GRAFT_LOCAL_DIR overrides both
+    # ways.
+    _MIN_SHM_FREE = 24 << 30
+    if (
+        os.path.isdir(shm)
+        and os.access(shm, os.W_OK)
+        and _free_bytes(shm) >= _MIN_SHM_FREE
+    ):
         d = os.path.join(shm, "fuzzycat_spark_local")
         os.makedirs(d, exist_ok=True)
         # killed JVMs leave their spark-<uuid> shuffle dirs behind (no

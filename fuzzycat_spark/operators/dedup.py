@@ -119,7 +119,32 @@ def strategy_band_table(
     return bands.withColumn("cap", cap)
 
 
-def star_edges(prep: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
+def _star_edges_for_key(
+    members: DataFrame, key: str, reason: str
+) -> DataFrame:
+    """member→min-id-representative edges for one equality key column.
+
+    groupBy + equi-join, NOT Window.partitionBy(key): the window form
+    funnels an entire key group through one task — exactly the 10^6-copy
+    hot-key case star edges exist to handle. The groupBy reduces map-side
+    (one row per key per partition crosses the shuffle), and the join back
+    is AQE-skew-splittable (the hot key's member partition splits, the
+    single rep row replicates) or broadcast when the rep table is small.
+    """
+    reps = members.groupBy(key).agg(F.min("id").alias("_rep"))
+    return (
+        members.join(reps, on=key)
+        .filter(F.col("id") != F.col("_rep"))
+        .select(
+            F.least("_rep", "id").alias("id_a"),
+            F.greatest("_rep", "id").alias("id_b"),
+            F.lit("exact").alias("status"),
+            F.lit(reason).alias("reason"),
+        )
+    )
+
+
+def star_edges(prep: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame | None:
     """(id_a, id_b, status, reason) star edges for the DETERMINISTIC
     key-equality strategies: every member of a content-hash / slug-key
     group links to the group's min-id representative.
@@ -140,37 +165,25 @@ def star_edges(prep: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame:
     docs fall to the pairwise cascade's ambiguous statuses, which never
     form edges).
     """
-    from pyspark.sql.window import Window
-
     outs = []
     if "exact" in cfg.strategies:
-        w = Window.partitionBy("ch")
         outs.append(
-            prep.filter(F.col("ch").isNotNull())
-            .withColumn("_rep", F.min("id").over(w))
-            .filter(F.col("id") != F.col("_rep"))
-            .select(
-                F.least("_rep", "id").alias("id_a"),
-                F.greatest("_rep", "id").alias("id_b"),
-                F.lit("exact").alias("status"),
-                F.lit("CONTENT_HASH").alias("reason"),
+            _star_edges_for_key(
+                prep.filter(F.col("ch").isNotNull()).select("id", "ch"),
+                "ch",
+                "CONTENT_HASH",
             )
         )
     if "slug" in cfg.strategies:
         from fuzzycat_spark.operators.verify import SHORT_TOKENS
 
-        w = Window.partitionBy("slug_key")
         outs.append(
-            prep.filter(
-                F.col("slug_key").isNotNull() & (F.col("n_tok") >= SHORT_TOKENS)
-            )
-            .withColumn("_rep", F.min("id").over(w))
-            .filter(F.col("id") != F.col("_rep"))
-            .select(
-                F.least("_rep", "id").alias("id_a"),
-                F.greatest("_rep", "id").alias("id_b"),
-                F.lit("exact").alias("status"),
-                F.lit("SLUG_MATCH").alias("reason"),
+            _star_edges_for_key(
+                prep.filter(
+                    F.col("slug_key").isNotNull() & (F.col("n_tok") >= SHORT_TOKENS)
+                ).select("id", "slug_key"),
+                "slug_key",
+                "SLUG_MATCH",
             )
         )
     if not outs:

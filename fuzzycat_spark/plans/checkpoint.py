@@ -53,11 +53,46 @@ def _ephemeral_root() -> str | None:
     return None
 
 
+HEARTBEAT = "_fuzzycat_heartbeat"
+
+
+def _touch_heartbeat(base_dir: str) -> None:
+    """Mark `base_dir` as owned by a live session. _sweep_stale ages a dir
+    by the newest of (dir mtime, heartbeat mtime, direct-children mtimes),
+    so a long-running session that touches this on every materialize/load
+    is never reaped mid-flight even if its last WRITE was hours ago."""
+    try:
+        with open(os.path.join(base_dir, HEARTBEAT), "w") as f:
+            f.write(str(time.time()))
+    except OSError:
+        pass
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime among the dir, its heartbeat, and its direct children
+    (Spark's own spark-<uuid> scratch dirs get no heartbeat, but their
+    blockmgr/tmp subdirs are touched while the JVM is alive)."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return float("inf")  # racing a concurrent delete — leave it alone
+    try:
+        for child in os.listdir(path):
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(path, child)))
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return newest
+
+
 def _sweep_stale(root: str, prefix: str, max_age_sec: int = 3 * 3600) -> None:
     """Remove stale ephemeral dirs left by KILLED processes (atexit never
-    runs on SIGKILL/timeout). Age-gated so concurrent live sessions are
-    never touched; tmpfs roots otherwise grow RAM-resident garbage across
-    runs."""
+    runs on SIGKILL/timeout). Age-gated on the NEWEST activity inside the
+    dir (heartbeat/children, not just the top-level mtime) so concurrent
+    live sessions in a long compute phase are never touched; tmpfs roots
+    otherwise grow RAM-resident garbage across runs."""
     now = time.time()
     try:
         names = os.listdir(root)
@@ -67,11 +102,8 @@ def _sweep_stale(root: str, prefix: str, max_age_sec: int = 3 * 3600) -> None:
         if not n.startswith(prefix):
             continue
         p = os.path.join(root, n)
-        try:
-            if now - os.path.getmtime(p) > max_age_sec:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
+        if now - _newest_mtime(p) > max_age_sec:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def materialize(
@@ -133,6 +165,7 @@ class StageCheckpointer:
         (a hard plan/lineage boundary)."""
         path = os.path.join(self.base_dir, name)
         t0 = time.time()
+        _touch_heartbeat(self.base_dir)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         self._manifest[name] = {
@@ -150,6 +183,7 @@ class StageCheckpointer:
         )
 
     def load(self, name: str) -> DataFrame:
+        _touch_heartbeat(self.base_dir)
         return self.spark.read.parquet(self._manifest[name]["path"])
 
     def stage(self, name: str, build) -> DataFrame:

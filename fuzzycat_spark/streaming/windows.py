@@ -21,6 +21,45 @@ from pyspark.sql import functions as F
 DEFAULT_WINDOW = "15 minutes"
 DEFAULT_GAP = "30 minutes"
 
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    value, unit = interval.strip().split()
+    try:
+        secs = int(value) * _UNIT_SECONDS[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported interval unit in {interval!r}") from None
+    if secs <= 0:
+        raise ValueError(f"interval must be positive: {interval!r}")
+    return secs
+
+
+def _half_slide(window: str) -> str:
+    """Exact window/2 as a seconds interval — '15 minutes' -> '450 seconds'.
+
+    Naive `int(value)//2` on the original unit turns '15 minutes' into
+    '7 minutes' (breaking the union-of-k-shifted-tumblings equivalence the
+    hopping oracle states) and '1 hour' into the invalid '0 hour'; halving
+    in seconds is exact for every even-second window. An odd-second window
+    (e.g. '15 seconds') has no exact half — require an explicit slide.
+    """
+    secs = _interval_seconds(window)
+    if secs % 2:
+        raise ValueError(
+            f"window {window!r} is an odd number of seconds; pass slide= explicitly"
+        )
+    return f"{secs // 2} seconds"
+
 
 def tumbling_event_stats(
     events: DataFrame, window: str = DEFAULT_WINDOW, ts_col: str = "ts"
@@ -74,7 +113,7 @@ def hopping_event_stats(
     of k stride-shifted tumbling aggregations, which is exactly how the
     DuckDB oracle states it (no lateral unnest needed).
     """
-    slide = slide or f"{int(window.split()[0]) // 2} {window.split()[1]}"
+    slide = slide or _half_slide(window)
     return (
         events.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
         .agg(
@@ -120,7 +159,7 @@ def streaming_hopping_event_stats(
 ) -> DataFrame:
     """Streaming form of hopping_event_stats (watermarked; append mode
     emits each window once the watermark passes its end)."""
-    slide = slide or f"{int(window.split()[0]) // 2} {window.split()[1]}"
+    slide = slide or _half_slide(window)
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)

@@ -67,3 +67,33 @@ def test_status_ranked_matches(spark):
     v = spark.createDataFrame(rows, "id_a string, id_b string, status string, reason string")
     got = {r.probe: (r.match, r.status) for r in status_ranked_matches(v).collect()}
     assert got == {"a": ("y", "exact"), "b": ("q", "ambiguous")}
+
+
+def test_sweep_spares_live_dir_with_fresh_heartbeat(tmp_path):
+    """A session in a long compute phase (dir mtime hours old, heartbeat
+    fresh) must survive a concurrent sweep; a truly dead dir must not."""
+    import os
+    import time as _time
+
+    from fuzzycat_spark.plans.checkpoint import (
+        HEARTBEAT,
+        _sweep_stale,
+        _touch_heartbeat,
+    )
+
+    root = str(tmp_path)
+    old = 4 * 3600
+    live = os.path.join(root, "fuzzycat_ckpt_live")
+    dead = os.path.join(root, "fuzzycat_ckpt_dead")
+    for d in (live, dead):
+        os.makedirs(d)
+    _touch_heartbeat(live)
+    stale = _time.time() - old
+    # age the dirs themselves AND the dead dir's contents
+    os.utime(live, (stale, stale))
+    os.utime(dead, (stale, stale))
+    hb = os.path.join(live, HEARTBEAT)
+    assert os.path.exists(hb)  # heartbeat mtime stays fresh
+    _sweep_stale(root, "fuzzycat_ckpt_")
+    assert os.path.isdir(live)
+    assert not os.path.exists(dead)

@@ -96,6 +96,38 @@ def test_streaming_matches_batch(spark, events, batch_fn, stream_fn, cols):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_default_slide_is_exact_half_window():
+    """'15 minutes' must default to a 450-second slide (window/2), not the
+    old int-division '7 minutes'; '1 hour' must not become '0 hour'; an
+    odd-second window has no exact half and must demand an explicit slide."""
+    from fuzzycat_spark.streaming.windows import _half_slide
+
+    assert _half_slide("15 minutes") == "450 seconds"
+    assert _half_slide("1 hour") == "1800 seconds"
+    assert _half_slide("30 minutes") == "900 seconds"
+    assert _half_slide("1 day") == "43200 seconds"
+    with pytest.raises(ValueError, match="odd"):
+        _half_slide("15 seconds")
+    with pytest.raises(ValueError, match="unit"):
+        _half_slide("15 fortnights")
+
+
+def test_default_slide_hopping_counts(spark):
+    """With the fixed default, every event lands in exactly
+    window/slide = 2 hopping windows (the union-of-shifted-tumblings
+    property the oracle is stated with)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "view", 1.0, "2024-01-01 00:03:00"), (2, "view", 1.0, "2024-01-01 00:59:00")]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hopping_event_stats(df, window="15 minutes")  # default slide
+    assert sum(r.n_events for r in out.collect()) == 2 * len(rows)
+    out_1h = hopping_event_stats(df, window="1 hour")  # old code raised here
+    assert sum(r.n_events for r in out_1h.collect()) == 2 * len(rows)
+
+
 def test_watermark_drops_late_events(spark):
     """Append-mode streaming with a watermark must DROP an event that
     arrives after the watermark has passed its window's end — the
