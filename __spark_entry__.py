@@ -41,10 +41,15 @@ from fuzzycat_spark.functions.text import (
 )
 from fuzzycat_spark.operators.blocking import block_stats
 from fuzzycat_spark.operators.components import connected_components
-from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dup_stats
+from fuzzycat_spark.operators.dedup import (
+    DedupConfig,
+    candidate_pairs,
+    dedup_pages,
+    dup_stats,
+)
 from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
 from fuzzycat_spark.operators.pairs import block_pairs
-from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
+from fuzzycat_spark.operators.verify import SHORT_TOKENS, prepare_pages, verify_pairs
 
 # ---------------------------------------------------------------------------
 # shared config (the "shingle/signature config" recall is defined at)
@@ -62,6 +67,24 @@ DOC_CFG = DedupConfig(
     id_col="doc_id",
     text_col="text",
     strategies=("exact", "slug", "minhash"),
+    num_perm=NUM_PERM,
+    bands=BANDS,
+    rows=ROWS,
+    shingle_n=SHINGLE_N,
+    minhash_udf=True,
+    max_block_size=MAX_BLOCK,
+    max_bucket_size=MAX_BUCKET,
+)
+
+
+ALL_STRATEGIES = ("exact", "slug", "minhash", "simhash", "substring")
+
+# the ONE-pipeline config: every blocking strategy composed, matching the
+# reference's single cluster|verify dataflow (notes/old_pipeline.md:13-27)
+ALL_CFG = DedupConfig(
+    id_col="doc_id",
+    text_col="text",
+    strategies=ALL_STRATEGIES,
     num_perm=NUM_PERM,
     bands=BANDS,
     rows=ROWS,
@@ -245,6 +268,132 @@ edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM verified WHERE status IN ('exact', 'strong')
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM verified WHERE status IN ('exact', 'strong')
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+
+def _components_all_sql() -> str:
+    """Oracle for the ALL-strategy pipeline (`dedup_pages` with exact, slug,
+    minhash, simhash, substring). Component-equivalent edge set: star edges
+    are min-id spanning stars in Spark, full in-group enumeration here —
+    identical connected components either way (key equality is transitive),
+    and assignments is the gated output.
+    """
+    k = _SUBSTR_K
+    return f"""WITH RECURSIVE {_BAND_CTES},
+-- SimHash fingerprints (same kernel as _SIMHASH_SQL) -> Charikar chunks
+sh_fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id, j,
+           sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM (SELECT doc_id, ('0x' || substr(md5(tkn), 1, 8))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(toks) AS tkn FROM tok))
+    CROSS JOIN (SELECT unnest(range(32)) AS j) bb
+    GROUP BY doc_id, j
+  ) GROUP BY doc_id
+),
+all_bands AS (
+  SELECT doc_id, CAST(band_id AS VARCHAR) AS band_id, band_hash FROM band_rows
+  UNION ALL
+  SELECT doc_id, 'sh' || CAST(j AS VARCHAR) AS band_id,
+         CAST((fp >> (j * 8)) & 255 AS VARCHAR) AS band_hash
+  FROM sh_fp CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+  WHERE fp >= 0
+),
+bkt_ok AS (
+  SELECT band_id, band_hash FROM all_bands
+  GROUP BY band_id, band_hash HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+abr AS (SELECT all_bands.* FROM all_bands JOIN bkt_ok USING (band_id, band_hash)),
+band_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM abr a JOIN abr b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+-- exact-substring containment: probe = first token {k}-gram, index = all
+-- distinct {k}-grams (capped per gram), contains() confirmation
+ss_grams AS (
+  SELECT doc_id, slug,
+         [array_to_string(toks[i:i+{k - 1}], ' ')
+          for i in range(1, len(toks) - {k} + 2)] AS gs
+  FROM tok WHERE len(toks) >= {k}
+),
+ss_idx AS (
+  SELECT * FROM (
+    SELECT doc_id AS id_of, unnest(list_distinct(gs)) AS g FROM ss_grams
+  ) QUALIFY count(*) OVER (PARTITION BY g) <= {MAX_BUCKET}
+),
+ss_probe AS (SELECT doc_id AS id_in, gs[1] AS g FROM ss_grams),
+ss_pairs AS (
+  SELECT DISTINCT least(c.id_in, c.id_of) AS id_a,
+                  greatest(c.id_in, c.id_of) AS id_b
+  FROM (SELECT DISTINCT id_in, id_of
+        FROM ss_probe JOIN ss_idx USING (g) WHERE id_in != id_of) c
+  JOIN ss_grams a ON c.id_in = a.doc_id
+  JOIN ss_grams b ON c.id_of = b.doc_id
+  WHERE strpos(b.slug, a.slug) > 0
+),
+cand AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM band_cand UNION ALL SELECT * FROM ss_pairs
+  )
+),
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM cand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+),
+-- star-edge strategies: uncapped key-equality groups (enumeration here,
+-- min-id stars in Spark — same components)
+star_exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, md5(text) AS kk FROM t WHERE text IS NOT NULL) a
+  JOIN (SELECT doc_id, md5(text) AS kk FROM t WHERE text IS NOT NULL) b USING (kk)
+  WHERE a.doc_id < b.doc_id
+),
+star_slug AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, md5(slug) AS kk FROM tok
+        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}) a
+  JOIN (SELECT doc_id, md5(slug) AS kk FROM tok
+        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}) b USING (kk)
+  WHERE a.doc_id < b.doc_id
+),
+edges0 AS (
+  SELECT id_a, id_b FROM verified WHERE status IN ('exact', 'strong')
+  UNION SELECT * FROM star_exact
+  UNION SELECT * FROM star_slug
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges0
 ),
 reach(id, r) AS (
   SELECT src, src FROM edges
@@ -516,6 +665,17 @@ def q_components(spark, sf_dir):
         .join(cc, on="id", how="left")
         .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
     )
+
+
+def q_components_all(spark, sf_dir):
+    """The ONE-pipeline query: `dedup_pages` with EVERY strategy enabled
+    (exact + slug star edges, MinHash-LSH + SimHash bucket candidates,
+    exact-substring containment) composed through the verify cascade and
+    connected components — the reference's single cluster|verify dataflow
+    (`/root/reference/notes/old_pipeline.md:13-27`) with all the graft's
+    strategies turned on at once. Returns (id, cluster_id) assignments."""
+    _, assignments = dedup_pages(_docs(spark, sf_dir), ALL_CFG)
+    return assignments
 
 
 def q_dup_stats(spark, sf_dir):
@@ -948,9 +1108,11 @@ def q_lang_stats(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full dedup pipeline (blocking → LSH → verify → CC) over the
-    sf0.001 documents table; returns (id, cluster_id) assignments."""
-    return q_components(spark, "/root/testdata/sf0.001")
+    """Flagship: the ALL-strategy dedup pipeline (exact/slug star edges +
+    MinHash-LSH + SimHash + substring containment → verify cascade → CC)
+    over the sf0.001 documents table; returns (id, cluster_id)
+    assignments. Oracle-gated as `components_all`."""
+    return q_components_all(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -971,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": q_candidates,
         "verified_pairs": q_verified_pairs,
         "components": q_components,
+        "components_all": q_components_all,
         "dup_stats": q_dup_stats,
         "closest_match": q_closest_match,
         "knn": q_knn,
@@ -1052,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_VERIFIED_CTES}
             SELECT id_a, id_b, status, reason FROM verified""",
         "components": _CC_SQL,
+        "components_all": _components_all_sql(),
         "closest_match": f"""
             WITH {_VERIFIED_CTES}
             SELECT probe, match, status, rank FROM (

@@ -65,6 +65,25 @@ def test_assignments_cover_all_docs(spark, result):
     assert bad == 0
 
 
+def test_all_strategy_pipeline_composes(spark):
+    """EVERY strategy enabled at once (the driver's `components_all`
+    shape): recall must not drop below the default config's, precision
+    must hold, and the extra strategies must not fracture clusters."""
+    corpus = synth_pages(spark, n_families=40, n_spam=20, with_labels=True).cache()
+    pages = corpus.select("url", "warc_ts", "html", "text", "lang")
+    cfg = DedupConfig(
+        strategies=("exact", "slug", "minhash", "simhash", "substring")
+    )
+    _, assign = dedup_pages(pages, cfg)
+    labeled = assign.join(
+        corpus.select(F.col("url").alias("id"), "true_cluster_id"), on="id"
+    ).select("id", "cluster_id", "true_cluster_id")
+    recall, precision, total = _pair_metrics(labeled)
+    assert total > 50
+    assert recall >= 0.99, f"all-strategy recall {recall} below threshold"
+    assert precision >= 0.98, f"all-strategy precision {precision} too low"
+
+
 def test_substring_strategy_clusters_short_contained_docs(spark):
     """A 30-token doc verbatim inside a 600-token doc: every LSH band
     misses it (shingle jaccard ~0.05), but the substring strategy's
