@@ -699,31 +699,30 @@ def group_verify(
       loop, so the pair is still verified — same here (hits are counted
       per offending SIDE, pairs verify regardless);
     - cluster screens count CLUSTERS, not members (verify.py:128-132).
+
+    Cost: exactly ONE Spark job. The cluster screens and blacklist hit
+    counters ride the pair-table materialization as Observations
+    (CollectMetrics nodes inside the pairs plan — the same pattern as the
+    CC loop's convergence counter, components.py) instead of the three
+    driver actions (.count() x2 + .first()) the round-2 version ran —
+    three full extra scans of the cluster table at 100 TB.
     """
+    from pyspark.sql import Observation
+
     keyed = records.select(
         F.col(key_col).alias("_k"), F.col(id_col).alias("_id")
     ).filter(F.col("_k").isNotNull())
-    sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
-    singular = sizes.filter(F.col("_n") < 2).count()
-    oversize = sizes.filter(F.col("_n") > max_cluster_size).count()
-
-    eligible = keyed.join(
-        sizes.filter(
-            (F.col("_n") >= 2) & (F.col("_n") <= max_cluster_size)
-        ).select("_k"),
-        on="_k",
+    # cluster screens observed ON the sizes aggregate the eligibility join
+    # consumes — no second pass over the cluster table
+    screen_obs = Observation("gv_screens")
+    sizes = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("_n")).observe(
+        screen_obs,
+        F.count(F.when(F.col("_n") < 2, F.lit(1))).alias("singular"),
+        F.count(F.when(F.col("_n") > max_cluster_size, F.lit(1))).alias("oversize"),
     )
-    # within-cluster pair enumeration through the shared single-shuffle
-    # band-table machinery: each cluster key is one bucket
-    from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
-
-    pairs = lsh_candidate_pairs(
-        eligible.select(
-            F.col("_id").alias("id"),
-            F.lit("grp").alias("band_id"),
-            F.col("_k").alias("band_hash"),
-        ),
-        max_bucket_size=None,
+    eligible = keyed.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_cluster_size)),
+        on="_k",
     )
 
     # per-side blacklist hit counters (counted, not skipped — see quirk);
@@ -744,7 +743,7 @@ def group_verify(
         else F.lit("")
     )
     flags = records.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("_id"),
         cname.isin(*container_blacklist).alias("_cbl")
         if container_blacklist
         else F.lit(False).alias("_cbl"),
@@ -752,23 +751,51 @@ def group_verify(
         if publisher_blacklist
         else F.lit(False).alias("_pbl"),
     )
-    sides = pairs.select(F.col("id_a").alias("id")).unionByName(
-        pairs.select(F.col("id_b").alias("id"))
+    # within an eligible cluster of size n, FULL pair enumeration puts each
+    # member in exactly n-1 pairs, so per-side hit counts are
+    # sum((n-1) * flagged) over members — computable UPSTREAM of the pair
+    # expansion, which lets the counter ride the same job as an Observation
+    bl_obs = Observation("gv_blacklist")
+    weight = (F.col("_n") - 1).cast("long")
+    flagged = eligible.join(flags, on="_id", how="left").observe(
+        bl_obs,
+        F.coalesce(
+            F.sum(F.when(F.col("_cbl"), weight).otherwise(F.lit(0))), F.lit(0)
+        ).alias("cbl"),
+        F.coalesce(
+            F.sum(F.when(F.col("_pbl"), weight).otherwise(F.lit(0))), F.lit(0)
+        ).alias("pbl"),
     )
-    hit = sides.join(flags, on="id").agg(
-        F.sum(F.col("_cbl").cast("long")).alias("cbl"),
-        F.sum(F.col("_pbl").cast("long")).alias("pbl"),
-    ).first()
+
+    # within-cluster pair enumeration through the shared single-shuffle
+    # band-table machinery: each cluster key is one bucket; materializing
+    # the (small) pair table is the ONE job — both Observations fill here,
+    # and the cascade's feature joins get planned over a real table
+    from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
+    from fuzzycat_spark.plans.checkpoint import materialize
+
+    pairs = materialize(
+        lsh_candidate_pairs(
+            flagged.select(
+                F.col("_id").alias("id"),
+                F.lit("grp").alias("band_id"),
+                F.col("_k").alias("band_hash"),
+            ),
+            max_bucket_size=None,
+        ),
+        "group_verify_pairs",
+    )
+    screens, hits = screen_obs.get, bl_obs.get
 
     feats = record_features(records, id_col=id_col)
     verified = verify_metadata_pairs(pairs, feats, **cascade_kwargs)
 
     spark = records.sparkSession
     screen_rows = [
-        ("SINGULAR_CLUSTER", singular),
-        ("MAX_CLUSTER_SIZE_EXCEEDED", oversize),
-        ("CONTAINER_NAME_BLACKLIST", int(hit["cbl"] or 0)),
-        ("PUBLISHER_BLACKLIST", int(hit["pbl"] or 0)),
+        ("SINGULAR_CLUSTER", int(screens["singular"])),
+        ("MAX_CLUSTER_SIZE_EXCEEDED", int(screens["oversize"])),
+        ("CONTAINER_NAME_BLACKLIST", int(hits["cbl"] or 0)),
+        ("PUBLISHER_BLACKLIST", int(hits["pbl"] or 0)),
     ]
     counters = spark.createDataFrame(screen_rows, "reason string, n long").unionByName(
         verified.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))

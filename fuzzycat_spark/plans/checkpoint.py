@@ -177,6 +177,9 @@ class StageCheckpointer:
         self._flush()
         return out
 
+    def path(self, name: str) -> str:
+        return self._manifest[name]["path"]
+
     def done(self, name: str) -> bool:
         return name in self._manifest and os.path.exists(
             os.path.join(self._manifest[name]["path"], "_SUCCESS")

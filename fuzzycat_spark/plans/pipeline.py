@@ -15,18 +15,31 @@ from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 
 
-def _lineage(df: DataFrame) -> dict:
-    """Per-partition row counts — the lineage record each stage carries."""
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
-        .orderBy("pid")
-        .collect()
+def _lineage(stage_path: str) -> dict:
+    """Per-partition row counts for a checkpointed stage, read from the
+    parquet FOOTERS of the stage's part files — metadata only, zero Spark
+    jobs (the round-2 version re-scanned every stage with a
+    groupBy(spark_partition_id).count() after its write, doubling the
+    action count of the whole pipeline). The part files ARE the stage's
+    partitions (one per write task), so footer row counts are exactly the
+    per-partition lineage record; on an object store the same footer reads
+    are ranged GETs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        f for f in os.listdir(stage_path)
+        if f.startswith("part-") and f.endswith(".parquet")
     )
+    per_part = {
+        i: pq.ParquetFile(os.path.join(stage_path, f)).metadata.num_rows
+        for i, f in enumerate(parts)
+    }
     return {
-        "n_rows": int(sum(r["count"] for r in rows)),
-        "n_partitions": len(rows),
-        "rows_per_partition": {int(r["pid"]): int(r["count"]) for r in rows},
+        "n_rows": int(sum(per_part.values())),
+        "n_partitions": len(per_part),
+        "rows_per_partition": per_part,
     }
 
 
@@ -43,7 +56,7 @@ def run_dedup_pipeline(
 
     def record(name: str, df: DataFrame) -> DataFrame:
         if lineage:
-            ck.record_counters(name, _lineage(df))
+            ck.record_counters(name, _lineage(ck.path(name)))
         return df
 
     prep = record("prepared", ck.stage("prepared", lambda: prepare_pages(pages, cfg.id_col, cfg.text_col)))

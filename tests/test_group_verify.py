@@ -79,3 +79,46 @@ def test_group_verify_screens_and_pairs(releases):
     }
     for r in rows:
         assert r.reason in reason_counts
+
+
+def test_group_verify_is_single_action_with_exact_blacklist_counts(
+    releases, monkeypatch
+):
+    """The screens/blacklist counters must ride the pair-materialization
+    job as Observations — no .count()/.first()/.collect() driver actions
+    inside group_verify — and the per-side blacklist count must equal the
+    reference's side-loop semantics: a flagged member of an n-cluster is
+    seen in n-1 pairs."""
+    import pyspark.sql.dataframe as dataframe_mod
+
+    idents = [r.ident for r in releases.select("ident").limit(3).collect()]
+    keyed = releases.withColumn(
+        "grp_key",
+        F.when(F.col("ident").isin(idents), F.lit("forced-group")).otherwise(
+            F.concat(F.lit("solo-"), F.col("ident"))
+        ),
+    ).withColumn(
+        "publisher",
+        F.when(F.col("ident") == idents[0], F.lit("Test Accounts")),
+    )
+
+    def _forbid(name):
+        def inner(self, *a, **k):
+            raise AssertionError(f"driver action DataFrame.{name} inside group_verify")
+        return inner
+
+    for name in ("count", "first", "collect", "head", "take"):
+        monkeypatch.setattr(dataframe_mod.DataFrame, name, _forbid(name))
+    verified, counters = group_verify(keyed, key_col="grp_key", max_cluster_size=6)
+    monkeypatch.undo()
+
+    cnt = {r.reason: r.n for r in counters.collect()}
+    # one flagged member of the forced 3-cluster appears in 3-1=2 pairs
+    assert cnt["PUBLISHER_BLACKLIST"] == 2
+    assert cnt["CONTAINER_NAME_BLACKLIST"] == 0
+    # every other record is a singleton cluster
+    assert cnt["SINGULAR_CLUSTER"] == releases.count() - 3
+    assert cnt["MAX_CLUSTER_SIZE_EXCEEDED"] == 0
+    got_pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    a, b, c = sorted(idents)
+    assert got_pairs == {(a, b), (a, c), (b, c)}
