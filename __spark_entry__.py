@@ -754,6 +754,56 @@ def q_ann_knn(spark, sf_dir):
     )
 
 
+def q_ann_knn_multiprobe(spark, sf_dir):
+    """Multiprobe hyperplane ANN: every probe ALSO scans the n_planes
+    buckets one sign-flip away (probe-side explosion only — the index
+    stays one row per vector), trading n_planes+1 probe keys for recall.
+    Candidate set is a strict superset of q_ann_knn's."""
+    from fuzzycat_spark.operators.knn import hyperplane_knn
+
+    e = _emb(spark, sf_dir)
+    res = hyperplane_knn(
+        e, e, k=3, n_planes=_ANN_PLANES_N, dim=_ANN_DIM, multiprobe=1
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbor_id")
+    )
+    return (
+        res.select("probe_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "neighbor_id", "rank")
+    )
+
+
+def _ann_knn_multiprobe_sql() -> str:
+    n = _ANN_PLANES_N
+    return f"""
+WITH bk AS ({_ann_bucket_sql()}),
+pbk AS (
+  SELECT vec_id, bucket FROM bk
+  UNION ALL
+  SELECT vec_id,
+         substr(bucket, 1, i - 1)
+         || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(bucket, i + 1) AS bucket
+  FROM bk CROSS JOIN (SELECT unnest(range(1, {n + 1})) AS i)
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, bb.vec_id AS neighbor_id
+  FROM pbk p JOIN bk bb ON p.bucket = bb.bucket
+  WHERE p.vec_id != bb.vec_id
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT c.probe_id, c.neighbor_id,
+    CAST(row_number() OVER (PARTITION BY c.probe_id
+         ORDER BY round({_COS_D}, 9) DESC, c.neighbor_id) AS BIGINT) AS rank
+  FROM cand c
+  JOIN embeddings a ON c.probe_id = a.vec_id
+  JOIN embeddings b ON c.neighbor_id = b.vec_id
+) WHERE rank <= 3"""
+
+
 def q_ann_similar_pairs(spark, sf_dir):
     """Bounded-at-scale threshold pairs: exact cosine only WITHIN
     hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
@@ -1140,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_embeddings": q_similar_embeddings,
         "ann_buckets": q_ann_buckets,
         "ann_knn": q_ann_knn,
+        "ann_knn_multiprobe": q_ann_knn_multiprobe,
         "lang_stats": q_lang_stats,
         "substring_pairs": q_substring_pairs,
         "event_windows": q_event_windows,
@@ -1236,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_embeddings": _SIMILAR_PAIRS_SQL,
         "ann_buckets": _ann_bucket_sql(),
         "ann_knn": _ann_knn_sql(),
+        "ann_knn_multiprobe": _ann_knn_multiprobe_sql(),
         "ivf_assign": _ivf_assign_sql(),
         "ivf_knn": _ivf_knn_sql(),
         "winnow_fps": _winnow_fps_sql(),

@@ -112,3 +112,27 @@ def nysiis_udf(s: pd.Series) -> pd.Series:
 def nysiis_key(col: Column) -> Column:
     """Column form for blocking: nysiis code of the (name) column."""
     return nysiis_udf(col)
+
+
+def nysiis_name(full_name: str | None) -> str | None:
+    """Multi-token form for full person names: the space-joined NYSIIS
+    codes of each alphabetic token ('Jon Smyth' and 'John Smith' both key
+    to 'JAN SNAT'). None -> None; no alphabetic tokens -> ''."""
+    if full_name is None:
+        return None
+    import re
+
+    toks = re.findall(r"[A-Za-z]+", full_name)
+    return " ".join(nysiis(t) for t in toks)
+
+
+@pandas_udf(StringType())
+def nysiis_name_udf(s: pd.Series) -> pd.Series:
+    return s.map(nysiis_name, na_action="ignore")
+
+
+def nysiis_name_key(col: Column) -> Column:
+    """Blocking key for FULL names (per-token codes, space-joined) — the
+    band generator the `nysiis` DedupConfig strategy feeds into the shared
+    single-shuffle bucket machinery."""
+    return nysiis_name_udf(col)

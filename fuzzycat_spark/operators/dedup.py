@@ -52,6 +52,11 @@ class DedupConfig:
     # (operators/substring.py) — catches short-doc-in-long-doc dups whose
     # jaccard is too low for any LSH band; min contained length in tokens
     substring_k: int = 25
+    # "nysiis" strategy: phonetic blocking over a NAME column (the
+    # reference ran NYSIIS as a first-class key algorithm,
+    # notes/matching_metrics.md:13-14) — homophone families bucket
+    # together, then the cascade verifies like any approximate strategy
+    name_col: str | None = None
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -105,6 +110,20 @@ def strategy_band_table(
                 F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
                 "band_hash",
             )
+        )
+    if "nysiis" in cfg.strategies:
+        if pages is None or cfg.name_col is None:
+            raise ValueError(
+                "nysiis strategy needs the raw pages frame and cfg.name_col"
+            )
+        from fuzzycat_spark.functions.phonetic import nysiis_name_key
+
+        tables.append(
+            pages.select(
+                F.col(cfg.id_col).alias("id"),
+                F.lit("nysiis").alias("band_id"),
+                nysiis_name_key(F.col(cfg.name_col)).alias("band_hash"),
+            ).filter(F.col("band_hash").isNotNull() & (F.col("band_hash") != ""))
         )
     if not tables:
         raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")

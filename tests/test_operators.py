@@ -201,3 +201,34 @@ def test_winnow_density_and_overlap_pairs(spark):
              for r in winnow_overlap_pairs(fps, min_common=2).collect()}
     assert set(pairs) == {("x", "y")}
     assert pairs[("x", "y")] >= 2
+
+
+def test_nysiis_strategy_blocks_homophone_names(spark):
+    """The reference ran NYSIIS as a first-class blocking key
+    (notes/matching_metrics.md:13-14): homophone author names must land in
+    the same bucket and surface as a candidate pair; unrelated names must
+    not pair."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dedup_pages
+
+    rows = [
+        ("a", "John Knight", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "Jon Night", "one two three four five six seven eight nine"),
+        ("c", "Mary Jones", "red orange yellow green blue indigo violet"),
+    ]
+    df = spark.createDataFrame(rows, "url string, author string, text string")
+    cfg = DedupConfig(strategies=("nysiis",), name_col="author")
+    got = {(r.id_a, r.id_b) for r in candidate_pairs(df, cfg).collect()}
+    assert got == {("a", "b")}
+    # the full pipeline composes: candidates go through the cascade (texts
+    # differ, so the pair must NOT merge into one cluster)
+    _, assign = dedup_pages(df, cfg)
+    clusters = {r.id: r.cluster_id for r in assign.collect()}
+    assert len(set(clusters.values())) == 3
+
+
+def test_nysiis_strategy_requires_name_col(spark):
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
+
+    df = spark.createDataFrame([("a", "t")], "url string, text string")
+    with pytest.raises(ValueError, match="name_col"):
+        candidate_pairs(df, DedupConfig(strategies=("nysiis",)))
