@@ -1140,6 +1140,24 @@ def q_media_features(spark, sf_dir):
     )
 
 
+_UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
+
+
+def q_unicode_slug(spark, sf_dir):
+    """Full-Unicode slug keys (NFKD + category strip + lowercase) over the
+    committed non-Latin fixture corpus (Greek/Cyrillic/CJK/accented-Latin
+    dup families — the shapes the ASCII fold keys on lossy residue;
+    reference normalizer scope: `fuzzycat/sandcrawler.py:5-64`). The
+    oracle reads the fixture's `uslug` column, precomputed by the SCALAR
+    slugifier at generation time, so this gates the distributed
+    Arrow-batched UDF path row-for-row against the scalar reference."""
+    from fuzzycat_spark.functions.normalize import unicode_slugify_udf
+
+    return spark.read.parquet(_UNICODE_FIXTURE).select(
+        "doc_id", unicode_slugify_udf(F.col("text")).alias("uslug")
+    )
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "corpus_filter": q_corpus_filter,
         "media_features": q_media_features,
+        "unicode_slug": q_unicode_slug,
     }
 
 
@@ -1293,6 +1312,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _winnow_fps_sql(),
         "winnow_overlap": _winnow_overlap_sql(),
         "corpus_filter": _corpus_filter_sql(),
+        "unicode_slug": f"""
+            SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)

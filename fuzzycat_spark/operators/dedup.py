@@ -52,6 +52,11 @@ class DedupConfig:
     # (operators/substring.py) — catches short-doc-in-long-doc dups whose
     # jaccard is too low for any LSH band; min contained length in tokens
     substring_k: int = 25
+    # slug normalization for keys/tokens/shingles: "ascii" (pure-Catalyst
+    # fold, Latin corpora), "unicode" (NFKD/category-strip pandas UDF, the
+    # reference sandcrawler normalizer's scope), or "auto" (per-row:
+    # unicode for rows containing non-ASCII, ascii fold otherwise)
+    slug_mode: str = "ascii"
     # "nysiis" strategy: phonetic blocking over a NAME column (the
     # reference ran NYSIIS as a first-class key algorithm,
     # notes/matching_metrics.md:13-14) — homophone families bucket
@@ -229,7 +234,7 @@ def candidate_pairs(
     the caller also verifies, so normalization runs once for both phases.
     """
     if prep is None:
-        prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
+        prep = prepare_pages(pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
     band_strategies = tuple(s for s in cfg.strategies if s != "substring")
     pairs = None
     if band_strategies:
@@ -269,7 +274,7 @@ def dedup_pages(
     # one materialized preparation feeds blocking AND verification (narrow
     # projection: no html/text payload, SURVEY §4's "shuffle only verify
     # columns")
-    prep = prepare_pages(pages, cfg.id_col, cfg.text_col)
+    prep = prepare_pages(pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
     # deterministic key-equality strategies (exact hash, slug) link via
     # O(n) star edges — no pair enumeration, no cap, full recall on
     # boilerplate mega-clusters (see star_edges); only the APPROXIMATE

@@ -99,6 +99,19 @@ def prepare_pages(
         )
     elif slug_mode == "ascii":
         slug_expr = slug_text(F.col("_text"))
+    elif slug_mode == "auto":
+        # per-row dispatch: the unicode slugifier only where the ASCII fold
+        # would key on lossy residue (any non-ASCII codepoint present);
+        # pure-ASCII rows stay on the codegen fold. Keys are only ever
+        # compared within a family, and a family is homogeneous under this
+        # predicate unless its members differ exactly in the characters
+        # that made them non-equal anyway.
+        from fuzzycat_spark.functions.normalize import unicode_slugify_udf
+
+        slug_expr = F.when(
+            F.col("_text").rlike("[^\\u0000-\\u007F]"),
+            F.coalesce(unicode_slugify_udf(F.col("_text")), F.lit("")),
+        ).otherwise(slug_text(F.col("_text")))
     else:
         raise ValueError(f"unknown slug_mode: {slug_mode!r}")
     s1 = _gen_barrier(

@@ -59,7 +59,15 @@ def run_dedup_pipeline(
             ck.record_counters(name, _lineage(ck.path(name)))
         return df
 
-    prep = record("prepared", ck.stage("prepared", lambda: prepare_pages(pages, cfg.id_col, cfg.text_col)))
+    prep = record(
+        "prepared",
+        ck.stage(
+            "prepared",
+            lambda: prepare_pages(
+                pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode
+            ),
+        ),
+    )
     cands = record("candidates", ck.stage("candidates", lambda: candidate_pairs(pages, cfg, prep=prep)))
     verified = record("verified", ck.stage("verified", lambda: verify_pairs(cands, prep)))
 

@@ -112,3 +112,72 @@ def test_substring_strategy_clusters_short_contained_docs(spark):
     assert got["small"] == got["big"]                    # substring catches it
     assert got["other"] not in (got["big"],)
     assert vmap[("big", "small")] == ("strong", "CONTAINMENT")
+
+
+def test_unicode_slug_mode_clusters_non_latin_families(spark):
+    """Greek/Cyrillic/decomposed-accent dup families: the default ASCII
+    fold keys them on lossy residue (Greek folds to empty, combining marks
+    split tokens), so they must NOT cluster; slug_mode='unicode' must
+    cluster each family exactly (reference normalizer scope:
+    fuzzycat/sandcrawler.py:5-64)."""
+    fams = [
+        [
+            "Η Ελλάδα είναι μια όμορφη χώρα με μεγάλη ιστορία",
+            "η ελλαδα ειναι μια ομορφη χωρα με μεγαλη ιστορια",
+            "Η ΕΛΛΆΔΑ ΕΊΝΑΙ ΜΙΑ ΌΜΟΡΦΗ ΧΏΡΑ, ΜΕ ΜΕΓΆΛΗ ΙΣΤΟΡΊΑ!",
+        ],
+        [
+            "Москва является столицей Российской Федерации уже давно",
+            "МОСКВА ЯВЛЯЕТСЯ СТОЛИЦЕЙ РОССИЙСКОЙ ФЕДЕРАЦИИ УЖЕ ДАВНО",
+        ],
+        [
+            "Café résumé naïve façade déjà vu encore une fois",
+            "CAFÉ RÉSUMÉ NAÏVE FAÇADE "
+            "DÉJÀ VU ENCORE UNE FOIS",
+        ],
+    ]
+    rows = [
+        (f"d{i}_{j}", t, i) for i, fam in enumerate(fams) for j, t in enumerate(fam)
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "url string, text string"
+    )
+    true_fam = {r[0]: r[2] for r in rows}
+
+    def n_true_pairs(assign_df):
+        got = {r.id: r.cluster_id for r in assign_df.collect()}
+        return sum(
+            1
+            for x in got
+            for y in got
+            if x < y and true_fam[x] == true_fam[y] and got[x] == got[y]
+        ), got
+
+    _, a_ascii = dedup_pages(df, DedupConfig(strategies=("slug",)))
+    ascii_hits, _ = n_true_pairs(a_ascii)
+    _, a_uni = dedup_pages(
+        df, DedupConfig(strategies=("slug",), slug_mode="unicode")
+    )
+    uni_hits, uni_clusters = n_true_pairs(a_uni)
+    total_true = 3 + 1 + 1  # C(3,2) + C(2,2) + C(2,2)
+    assert uni_hits == total_true, f"unicode recall {uni_hits}/{total_true}"
+    assert ascii_hits < total_true  # the ASCII fold provably misses these
+    # no cross-family merges under unicode
+    assert len({uni_clusters[f"d{i}_0"] for i in range(3)}) == 3
+
+
+def test_auto_slug_mode_routes_rows_by_script(spark):
+    """slug_mode='auto': non-ASCII rows get unicode keys, pure-ASCII rows
+    keep the codegen fold — both families cluster in ONE run."""
+    rows = [
+        ("g0", "Η Ελλάδα είναι μια όμορφη χώρα με μεγάλη ιστορία"),
+        ("g1", "Η ΕΛΛΆΔΑ ΕΊΝΑΙ ΜΙΑ ΌΜΟΡΦΗ ΧΏΡΑ, ΜΕ ΜΕΓΆΛΗ ΙΣΤΟΡΊΑ!"),
+        ("a0", "plain ascii duplicate family text with enough tokens"),
+        ("a1", "Plain ASCII duplicate family text, with enough tokens!"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    _, assign = dedup_pages(df, DedupConfig(strategies=("slug",), slug_mode="auto"))
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    assert got["g0"] == got["g1"]
+    assert got["a0"] == got["a1"]
+    assert got["g0"] != got["a0"]
