@@ -15,14 +15,26 @@ module is the Spark-native version of that incremental story:
 
 State layout (all object-store-safe: existence = try-read, never
 os.path):
-- `<index>/`            band rows (id, band_id, band_hash), partitioned by
-                        band_id so cross-joins prune partitions
-- `<index>_features/`   per-id verify features (hashed forms only)
-- `<index>_sizes/`      per-bucket cumulative counts — the hot-band guard:
-                        buckets whose TOTAL size (history + this batch)
-                        exceeds the cap are excluded from the cross join,
-                        so a boilerplate band can never accumulate into a
-                        quadratic per-batch join
+- `<index>/epoch=N/`          band rows (id, band_id, band_hash),
+                              sub-partitioned by band_id so cross-joins
+                              prune partitions
+- `<index>_features/epoch=N/` per-id verify features (hashed forms only)
+- `<index>_sizes/epoch=N/`    cumulative per-bucket counts SNAPSHOT — the
+                              hot-band guard: buckets whose TOTAL size
+                              (history + this batch) exceeds the cap are
+                              excluded from the cross join
+- `<pairs>/epoch=N/`          the verified-pair sink
+- `<index>_sizes/_CURRENT`    the commit pointer: the highest epoch whose
+                              writes ALL completed
+
+Crash atomicity: every state table is written per-epoch with overwrite
+semantics and the pointer is swapped LAST (a single small-file rename
+locally, a single PUT on an object store). foreachBatch re-runs a failed
+epoch under the SAME epoch id, so a replay overwrites the partial
+epoch=N dirs in place and only then commits the pointer — reads filter
+to epochs <= pointer, so a kill between any two writes can neither lose
+the cumulative hot-band state (the round-2 in-place sizes overwrite
+could) nor double-append pairs/index/feature rows.
 
 foreachBatch is the idiomatic pattern here because the per-batch logic
 needs multi-output writes (pairs sink + index/feature/size appends), which
@@ -70,11 +82,62 @@ def try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _pointer_path(sizes_path: str) -> str:
+    return sizes_path + "/_CURRENT"
+
+
+def committed_epoch(index_path: str) -> int | None:
+    """Highest epoch whose state writes all completed (None = no commits).
+    Local-FS read of the single pointer file; on an object store this is
+    one GET of one small key."""
+    import os
+
+    try:
+        with open(_pointer_path(index_path + "_sizes")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_pointer(index_path: str, epoch: int) -> None:
+    """Swap the commit pointer — the LAST write of an epoch. Locally a
+    write-then-rename (atomic on POSIX); on an object store the rename
+    degrades to a single-key PUT, which is equally atomic per S3/GCS
+    semantics."""
+    import os
+
+    p = _pointer_path(index_path + "_sizes")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(epoch))
+    os.replace(tmp, p)
+
+
+def _read_state(
+    spark: SparkSession, parent: str, upto_epoch: int | None
+) -> DataFrame | None:
+    """Read a per-epoch state table, keeping only COMMITTED epochs (a
+    crashed attempt's epoch dir is present but not pointed to)."""
+    if upto_epoch is None:
+        return None
+    df = try_read_parquet(spark, parent)
+    if df is None:
+        return None
+    return df.filter(F.col("epoch") <= upto_epoch).drop("epoch")
+
+
+def read_pairs(spark: SparkSession, pairs_path: str, index_path: str) -> DataFrame | None:
+    """The consumer-facing read of the pairs sink: committed epochs only."""
+    return _read_state(spark, pairs_path, committed_epoch(index_path))
+
+
 def incremental_dedup_batch(
     batch: DataFrame,
     index_path: str,
     pairs_path: str,
     cfg: DedupConfig = DedupConfig(),
+    epoch_id: int | None = None,
 ) -> None:
     """foreachBatch body: verify `batch` against itself + the accumulated
     index, append verified pairs, then extend the index.
@@ -97,11 +160,15 @@ def incremental_dedup_batch(
     spark = batch.sparkSession
     feat_path = index_path + "_features"
     sizes_path = index_path + "_sizes"
+    committed = committed_epoch(index_path)
+    if epoch_id is None:
+        # direct (non-foreachBatch) callers: next epoch after the commit
+        epoch_id = 0 if committed is None else committed + 1
 
     batch = materialize(batch, "stream_batch", keep_last=2)
-    prep = prepare_pages(batch, cfg.id_col, cfg.text_col)
+    prep = prepare_pages(batch, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
 
-    feat_hist = try_read_parquet(spark, feat_path)
+    feat_hist = _read_state(spark, feat_path, committed)
     if feat_hist is not None:
         # idempotency guard: drop ids the index already carries
         prep = materialize(
@@ -140,7 +207,11 @@ def incremental_dedup_batch(
     new_sizes = new_bands.groupBy("band_id", "band_hash", "cap").agg(
         F.count(F.lit(1)).alias("n")
     )
-    old_sizes = try_read_parquet(spark, sizes_path)
+    old_sizes = (
+        try_read_parquet(spark, f"{sizes_path}/epoch={committed}")
+        if committed is not None
+        else None
+    )
     if old_sizes is not None:
         new_sizes = (
             new_sizes.unionByName(old_sizes)
@@ -156,7 +227,7 @@ def incremental_dedup_batch(
 
     # star edges for the key bands: rep = historical min id for the band
     # if present, else the batch-local min
-    index = try_read_parquet(spark, index_path)
+    index = _read_state(spark, index_path, committed)
     from pyspark.sql.window import Window
 
     wb = Window.partitionBy("band_id", "band_hash")
@@ -234,18 +305,19 @@ def incremental_dedup_batch(
         star_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
     )
     verified = verify_pairs(cands, feats)
-    verified.unionByName(star_pairs).write.mode("append").parquet(pairs_path)
-
-    # state appends last, after the pairs are durable; band rows partition
-    # by band_id so future cross joins prune to colliding strategies/bands
+    # every write below is per-epoch + overwrite (idempotent under replay
+    # of the same epoch); the pointer swap LAST makes the epoch atomic —
+    # a kill between any two writes leaves the pointer at the previous
+    # epoch, and the replay overwrites the partial dirs
+    verified.unionByName(star_pairs).write.mode("overwrite").parquet(
+        f"{pairs_path}/epoch={epoch_id}"
+    )
     new_bands.select("id", "band_id", "band_hash").write.partitionBy(
         "band_id"
-    ).mode("append").parquet(index_path)
-    prep.write.mode("append").parquet(feat_path)
-    # sizes is cumulative (not append); its source is the ephemeral
-    # materialization above, so overwriting the live path never reads the
-    # files it is deleting
-    sizes.write.mode("overwrite").parquet(sizes_path)
+    ).mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
+    prep.write.mode("overwrite").parquet(f"{feat_path}/epoch={epoch_id}")
+    sizes.write.mode("overwrite").parquet(f"{sizes_path}/epoch={epoch_id}")
+    _commit_pointer(index_path, epoch_id)
 
 
 def run_incremental_dedup(
@@ -259,7 +331,9 @@ def run_incremental_dedup(
     Returns the StreamingQuery (caller awaits/stops it)."""
     return (
         stream.writeStream.foreachBatch(
-            lambda df, _epoch: incremental_dedup_batch(df, index_path, pairs_path, cfg)
+            lambda df, epoch: incremental_dedup_batch(
+                df, index_path, pairs_path, cfg, epoch_id=epoch
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

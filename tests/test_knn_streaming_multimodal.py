@@ -198,3 +198,69 @@ def test_incremental_equals_batch_dedup(spark):
         .collect()
     }
     assert inc_pairs == batch_pairs
+
+
+def test_streaming_state_survives_mid_write_kill(spark, monkeypatch, tmp_path):
+    """Kill an epoch AFTER its pairs/index/feature/sizes dirs are written
+    but BEFORE the commit pointer swaps: reads must still see only the
+    previous epoch, and a replay of the same epoch must converge to
+    exactly the clean two-epoch state (no duplicated pairs/index rows, no
+    lost cumulative hot-band sizes)."""
+    import fuzzycat_spark.streaming.dedup_stream as ds
+
+    fam = "the quick brown fox jumps over the lazy dog again and again today fine"
+    rows1 = [("u1", fam), ("u2", "completely unrelated document text here today")]
+    rows2 = [("u3", fam), ("u4", fam + " and one more trailing token")]
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    schema = "url string, text string"
+
+    def run(base, crash_second_epoch):
+        index, pairs = f"{base}/index", f"{base}/pairs"
+        ds.incremental_dedup_batch(
+            spark.createDataFrame(rows1, schema), index, pairs, cfg, epoch_id=0
+        )
+        if crash_second_epoch:
+            real = ds._commit_pointer
+
+            def boom(index_path, epoch):
+                raise RuntimeError("simulated kill before pointer swap")
+
+            monkeypatch.setattr(ds, "_commit_pointer", boom)
+            with pytest.raises(RuntimeError, match="simulated kill"):
+                ds.incremental_dedup_batch(
+                    spark.createDataFrame(rows2, schema), index, pairs, cfg, epoch_id=1
+                )
+            monkeypatch.setattr(ds, "_commit_pointer", real)
+            # mid-crash: pointer still at epoch 0, so committed reads see
+            # NO epoch-1 rows even though the dirs exist on disk
+            assert ds.committed_epoch(index) == 0
+            crashed_pairs = ds.read_pairs(spark, pairs, index)
+            assert {r.id_a for r in crashed_pairs.collect()} <= {"u1", "u2"}
+            # replay of the SAME epoch (what foreachBatch does on restart)
+            ds.incremental_dedup_batch(
+                spark.createDataFrame(rows2, schema), index, pairs, cfg, epoch_id=1
+            )
+        else:
+            ds.incremental_dedup_batch(
+                spark.createDataFrame(rows2, schema), index, pairs, cfg, epoch_id=1
+            )
+        assert ds.committed_epoch(index) == 1
+        pair_rows = sorted(
+            (r.id_a, r.id_b, r.status, r.reason)
+            for r in ds.read_pairs(spark, pairs, index).collect()
+        )
+        index_rows = sorted(
+            (r.id, r.band_id, r.band_hash)
+            for r in ds._read_state(spark, index, 1).collect()
+        )
+        sizes_rows = sorted(
+            (r.band_id, r.band_hash, r.n)
+            for r in spark.read.parquet(f"{index}_sizes/epoch=1").collect()
+        )
+        return pair_rows, index_rows, sizes_rows
+
+    clean = run(str(tmp_path / "clean"), crash_second_epoch=False)
+    crashed = run(str(tmp_path / "crashed"), crash_second_epoch=True)
+    assert crashed == clean
+    # no duplicated state rows after the replay
+    assert len(clean[1]) == len(set(clean[1]))
