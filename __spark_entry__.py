@@ -555,7 +555,9 @@ def q_token_count_bpe(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_pred"))
+    from fuzzycat_spark.functions.text import lang_id_table
+
+    return lang_id_table(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def q_quality(spark, sf_dir):

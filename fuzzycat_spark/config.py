@@ -86,6 +86,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's default 1m partition floor coalesces the mid-size
+        # candidate/verify shuffles to ~22-30 partitions — not a multiple
+        # of the slot count, so the last wave runs ragged (measured 71%
+        # occupancy on candidates at 8 cores, SCALING.md). A lower floor
+        # keeps the configured shuffle_partitions (sized as a slot
+        # multiple) for mid-size stages while still merging the truly
+        # tiny ones; on a cluster, size this to slots-per-stage.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # hot LSH bands are the skew risk; split aggressively
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")

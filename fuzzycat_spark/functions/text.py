@@ -15,39 +15,165 @@ from fuzzycat_spark.functions.normalize import slug_text, tokens_col
 
 # Stopword inventories for the language-ID heuristic — the classifier's
 # parameters (the Spark expression and the DuckDB oracle both derive from
-# this constant, so they can never disagree). 30 high-frequency function
-# words per language; shared forms (e.g. "la" fr/es, "in" en/de) are fine:
-# the vote is argmax over per-language hit counts, ties -> "und".
+# this constant, so they can never disagree). High-frequency function
+# words per language, written in their POST-ASCII-FOLD form (the slug
+# replaces every non-[a-z0-9] with a space, so diacritic words fragment —
+# only diacritic-free forms are useful as features, which also means
+# non-Latin-script languages are out of this classifier's scope by
+# construction). Shared forms across languages (e.g. "la" fr/es, "in"
+# en/de) are fine: the vote is argmax over per-language hit counts,
+# ties -> "und". Accuracy on a natural-sentence eval fixture is asserted
+# in tests/test_functions.py and reported in COVERAGE.md.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": (
         "the", "and", "of", "to", "in", "is", "that", "for", "with", "a",
         "as", "was", "on", "are", "by", "this", "be", "from", "at", "or",
         "an", "it", "not", "which", "but", "his", "her", "they", "have", "has",
+        "had", "were", "will", "would", "there", "their", "we", "you", "all",
+        "can", "if", "more", "so", "what", "when", "who", "out", "up",
+        "about", "into", "than", "them", "then", "now", "only", "over",
+        "also", "after", "most", "other", "some", "such", "our", "its",
+        "two", "first", "new", "time", "may", "these", "years", "been",
+        "could", "did", "do", "does", "because", "very", "just", "where",
+        "how", "any", "each", "between", "both", "under", "while", "before",
+        "during", "through", "without", "against", "never", "always",
     ),
     "de": (
         "der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu",
         "den", "dem", "des", "eine", "einen", "auf", "im", "als", "auch", "sich",
         "nach", "bei", "aus", "wird", "werden", "sind", "oder", "wie", "dass", "fur",
+        "einem", "einer", "war", "waren", "hat", "haben", "kann", "noch",
+        "nur", "schon", "mehr", "wenn", "aber", "man", "es", "ich", "du",
+        "wir", "ihr", "sie", "ihm", "ihn", "sein", "seine", "seiner",
+        "unter", "gegen", "durch", "ohne", "um", "zum", "zur", "beim",
+        "vom", "damit", "dabei", "wurde", "wurden", "zwischen", "immer",
+        "alle", "allem", "jedoch", "doch", "sehr", "hier", "dort", "heute",
+        "dann", "denn", "weil", "bis", "diese", "dieser", "dieses", "mich",
+        "mir", "uns", "euch", "kein", "keine", "viel", "viele", "wieder",
     ),
     "fr": (
         "le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans",
         "des", "du", "en", "un", "au", "aux", "ce", "cette", "qui", "sur",
         "plus", "par", "avec", "sont", "ont", "mais", "ou", "nous", "se", "ne",
+        "vous", "ils", "elle", "elles", "je", "tu", "il", "on", "son", "sa",
+        "ses", "leur", "leurs", "notre", "votre", "nos", "vos", "comme",
+        "tout", "tous", "toute", "toutes", "bien", "sans", "sous", "entre",
+        "vers", "chez", "donc", "alors", "ainsi", "encore", "aussi",
+        "quand", "si", "y", "lui", "cela", "cet", "fait", "faire", "peut",
+        "avoir", "avait", "avaient", "sera", "fut", "celui", "celle",
+        "ceux", "dont", "autre", "autres", "beaucoup", "peu", "moins",
+        "toujours", "jamais", "ici", "maintenant", "pendant", "depuis",
     ),
     "es": (
         "el", "la", "los", "que", "y", "es", "en", "un", "por", "con",
         "las", "del", "se", "una", "su", "para", "no", "al", "lo", "como",
         "mas", "pero", "sus", "le", "ya", "o", "este", "ha", "son", "entre",
+        "cuando", "muy", "sin", "sobre", "me", "hasta", "hay", "donde",
+        "quien", "desde", "todo", "todos", "toda", "todas", "esta", "estas",
+        "estos", "otros", "otro", "otra", "otras", "ella", "ellos", "ellas",
+        "nosotros", "les", "ni", "contra", "ese", "esa", "esos", "esas",
+        "mi", "mis", "tus", "nos", "fue", "era", "eran", "ser", "tiene",
+        "tienen", "hace", "hacer", "puede", "pueden", "debe", "deben",
+        "porque", "aunque", "durante", "antes", "ahora", "siempre", "nunca",
+        "aqui", "alli", "mismo", "misma", "cada", "tanto", "tan", "bien",
     ),
     "it": (
         "il", "di", "che", "e", "la", "per", "un", "in", "non", "una",
         "sono", "con", "si", "del", "le", "della", "i", "al", "dei", "come",
         "anche", "piu", "nel", "ma", "ha", "gli", "alla", "lo", "questo", "essere",
+        "era", "stato", "stata", "stati", "state", "questa", "questi",
+        "queste", "quello", "quella", "quelli", "quelle", "ed", "dal",
+        "dalla", "delle", "nelle", "nella", "loro", "suo", "sua", "suoi",
+        "sue", "hanno", "fare", "molto", "molti", "molte", "quando",
+        "prima", "dopo", "senza", "sotto", "sopra", "tra", "fra", "tutti",
+        "tutto", "tutte", "anni", "anno", "parte", "dove", "perche", "se",
+        "ci", "ne", "io", "tu", "lui", "lei", "noi", "voi", "mio", "mia",
+        "sempre", "mai", "ancora", "ora", "qui", "cosa", "cose", "ogni",
     ),
     "pt": (
         "o", "de", "a", "e", "que", "do", "da", "em", "um", "para",
         "com", "nao", "uma", "os", "no", "se", "na", "por", "mais", "as",
         "dos", "como", "mas", "ao", "ele", "das", "seu", "sua", "ou", "foi",
+        "pelo", "pela", "isso", "ela", "entre", "era", "depois", "sem",
+        "mesmo", "mesma", "aos", "seus", "suas", "quem", "nas", "me",
+        "esse", "essa", "esses", "essas", "eles", "elas", "voce", "num",
+        "numa", "nem", "qual", "quais", "lhe", "deve", "devem", "pode",
+        "podem", "ter", "tem", "tinha", "ser", "sendo", "sido", "muito",
+        "muitos", "muitas", "quando", "onde", "porque", "ainda", "sempre",
+        "nunca", "agora", "antes", "durante", "todo", "todos", "toda",
+        "todas", "outro", "outra", "outros", "outras", "cada", "bem",
+    ),
+    "nl": (
+        "de", "het", "een", "van", "en", "dat", "is", "in", "te", "zijn",
+        "op", "voor", "met", "als", "aan", "er", "maar", "om", "dan",
+        "zou", "zouden", "kunnen", "naar", "bij", "ook", "uit", "tot",
+        "over", "dit", "deze", "die", "nog", "worden", "door", "onder",
+        "tussen", "tegen", "zonder", "omdat", "toen", "nu", "al", "wel",
+        "geen", "meer", "veel", "werd", "wordt", "heeft", "hebben", "kan",
+        "moet", "moeten", "mijn", "hun", "onze", "jullie", "ik", "jij",
+        "hij", "zij", "wij", "ze", "we", "niet", "was", "waren", "alle",
+        "andere", "heel", "alleen", "altijd", "nooit", "hier", "daar",
+    ),
+    "sv": (
+        "och", "att", "det", "som", "en", "den", "till", "med", "har",
+        "de", "inte", "om", "ett", "men", "var", "sig", "vi", "kan",
+        "man", "hade", "detta", "dessa", "alla", "andra", "mycket",
+        "bara", "efter", "under", "skulle", "vara", "blev", "bli",
+        "hans", "hennes", "deras", "vid", "genom", "mellan", "utan",
+        "sedan", "redan", "igen", "alltid", "aldrig", "nu", "dag",
+        "jag", "du", "han", "hon", "vad", "vem", "finns", "fanns",
+        "mot", "eller", "ner", "upp", "ut", "in", "av", "ska", "sin",
+        "sitt", "sina", "denna", "dock", "samt", "hur",
+    ),
+    "da": (
+        "og", "i", "det", "at", "en", "den", "til", "er", "som", "de",
+        "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
+        "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun",
+        "nu", "skal", "kan", "eller", "hvad", "jeg", "du", "hans",
+        "hende", "hendes", "deres", "dette", "disse", "alle", "andre",
+        "meget", "kun", "efter", "under", "uden", "mellem", "blev",
+        "blive", "ved", "da", "hvor", "hvem", "hvordan", "ogsaa", "op",
+        "ned", "ud", "ind", "over", "mod", "sin", "sit", "sine", "aldrig",
+    ),
+    "pl": (
+        "i", "w", "nie", "na", "to", "jest", "sie", "z", "do", "ze",
+        "tak", "jak", "po", "co", "ale", "o", "mnie", "juz", "tylko",
+        "przez", "dla", "przy", "bez", "od", "pod", "nad", "ma", "byl",
+        "byla", "bylo", "byly", "moze", "bardzo", "gdzie", "kiedy",
+        "wszystko", "wszystkie", "jego", "jej", "ich", "nasz", "ten",
+        "ta", "te", "tego", "tej", "tym", "tych", "ktory", "ktora",
+        "ktore", "aby", "czy", "gdy", "oraz", "lub", "tez", "ja", "ty",
+        "my", "wy", "oni", "one", "im", "nas", "was", "sa",
+        "jestem", "jestes", "byc", "mam", "masz", "mamy", "macie",
+    ),
+    "ro": (
+        "si", "de", "la", "in", "sa", "pe", "un", "o", "cu", "nu",
+        "este", "care", "mai", "ce", "al", "lui", "din", "dar", "pentru",
+        "ca", "sunt", "fost", "era", "erau", "acest", "aceasta", "unde",
+        "cum", "atunci", "toate", "tot", "toti", "acestea", "acestor",
+        "prin", "despre", "sub", "peste", "ei", "ele", "noi", "voi",
+        "eu", "tu", "el", "ea", "meu", "mea", "tau", "ta", "sau", "se",
+        "ne", "va", "le", "li", "fi", "fie", "avea", "are", "au", "am",
+        "ati", "avem", "aceste", "acel", "acea", "foarte", "doar",
+    ),
+    "id": (
+        "yang", "dan", "di", "dengan", "untuk", "dari", "pada", "ini",
+        "itu", "adalah", "tidak", "ke", "dalam", "akan", "oleh", "juga",
+        "karena", "ada", "mereka", "kita", "kami", "saya", "anda", "dia",
+        "bisa", "sudah", "telah", "harus", "hanya", "lebih", "sangat",
+        "atau", "jika", "tetapi", "namun", "seperti", "antara", "tanpa",
+        "setelah", "sebelum", "ketika", "bahwa", "para", "dapat", "masih",
+        "secara", "tersebut", "banyak", "semua", "setiap", "saat", "lalu",
+        "kemudian", "sehingga", "yaitu", "bagi", "serta", "maka", "pun",
+    ),
+    "tr": (
+        "ve", "bir", "bu", "da", "de", "ile", "daha", "en", "gibi",
+        "ama", "ancak", "veya", "sonra", "kadar", "her", "ne", "o",
+        "ben", "sen", "biz", "siz", "var", "yok", "olan", "olarak",
+        "ise", "bunun", "bana", "sana", "bile", "hem", "hep", "sadece",
+        "zaman", "burada", "orada", "nasil", "neden", "hangi", "kendi",
+        "onun", "benim", "senin", "bizim", "sizin", "onlar", "onlara",
+        "eger", "yani", "hatta", "belki", "tabii", "evet", "hayir",
     ),
 }
 
@@ -125,17 +251,18 @@ def quality_score_cols(col: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_id_col(col: Column | str) -> Column:
-    """Stopword-vote language ID over the slug tokens.
+def _lang_masks() -> tuple[list[str], dict[str, int]]:
+    """Sorted language list + token → language-membership bitmask."""
+    langs = sorted(LANG_STOPWORDS)
+    mask: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for w in LANG_STOPWORDS[lang]:
+            mask[w] = mask.get(w, 0) | (1 << i)
+    return langs, mask
 
-    argmax over languages of per-token stopword hits; ties and zero hits →
-    'und' (undetermined). Pure Catalyst (filter/size over arrays).
-    """
-    toks = tokens_col(col)
-    votes = [
-        (lang, F.size(F.filter(toks, lambda t: t.isin(*stops))))
-        for lang, stops in sorted(LANG_STOPWORDS.items())
-    ]
+
+def _argmax_lang(votes: list[tuple[str, Column]]) -> Column:
+    """argmax over per-language vote columns; ties and zero hits → 'und'."""
     best = F.greatest(*[v for _, v in votes])
     n_best = sum(F.when(v == best, 1).otherwise(0) for _, v in votes)
     out = F.lit("und")
@@ -143,6 +270,68 @@ def lang_id_col(col: Column | str) -> Column:
     for lang, v in reversed(votes):
         out = F.when((best > 0) & (n_best == 1) & (v == best), lang).otherwise(out)
     return out
+
+
+def lang_id_col(col: Column | str) -> Column:
+    """Stopword-vote language ID over the slug tokens, as a pure Column
+    expression (argmax over per-language stopword hits; ties and zero
+    hits → 'und').
+
+    The per-language `isin` scans cost n_langs × inventory-size string
+    comparisons per token, which is fine for ad-hoc projections but
+    measurably slow on the full 13 × ~100-word inventory — batch scans of
+    a whole corpus should use `lang_id_table` (broadcast-join + one
+    partial-aggregated shuffle), which computes identical votes.
+    """
+    toks = tokens_col(col)
+    votes = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*stops))))
+        for lang, stops in sorted(LANG_STOPWORDS.items())
+    ]
+    return _argmax_lang(votes)
+
+
+def lang_id_table(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id_col, lang_pred) for a whole corpus — the batch/100 TB form of
+    `lang_id_col`, vote-identical by construction.
+
+    Plan: explode slug tokens → broadcast hash join against the ~1.2k-row
+    stopword dictionary (token, per-language membership bitmask) → ONE
+    shuffle of (id, 13 partial counts) with map-side combine → argmax.
+    Per token this is one O(1) hash probe instead of n_langs ×
+    inventory-size string comparisons; the shuffle carries one row per
+    document regardless of corpus size. Docs with zero stopword tokens
+    (or zero tokens) fall out of the join and coalesce to 'und'.
+    """
+    spark = df.sparkSession
+    langs, mask = _lang_masks()
+    dict_df = spark.createDataFrame(
+        sorted(mask.items()), "tok string, mask long"
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    hits = toks.join(F.broadcast(dict_df), on="tok")
+    agg = hits.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+            ).alias(f"_v{i}")
+            for i in range(len(langs))
+        ]
+    )
+    votes = [(lang, F.col(f"_v{i}")) for i, lang in enumerate(langs)]
+    pred = agg.select("_id", _argmax_lang(votes).alias("lang_pred"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(pred, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
+        )
+    )
 
 
 def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
@@ -164,6 +353,7 @@ __all__ = [
     "token_count",
     "quality_score_cols",
     "lang_id_col",
+    "lang_id_table",
     "doc_fingerprint",
     "slug_text",
 ]
