@@ -78,6 +78,35 @@ def tokens_col(col: Column | str) -> Column:
     )
 
 
+# Han + Hiragana/Katakana + Hangul — the no-space scripts whose "words"
+# never split on whitespace; a run of them is one giant token after any
+# whitespace tokenizer
+CJK_CLASS = r"[぀-ヿ㐀-䶿一-鿿가-힯]"
+
+
+def expand_cjk_bigrams(toks: Column) -> Column:
+    """Split tokens containing no-space-script characters into character
+    BIGRAMS (the standard CJK indexing unit); other tokens pass through.
+
+    '東京は日本の首都' → [東京, 京は, は日, 日本, 本の, の首, 首都], so a
+    CJK document gets a real token stream for the length screens, MinHash
+    shingles, and jaccard rules instead of one unsplittable mega-token
+    that trips SHORT_TEXT. Single-char CJK tokens pass through whole.
+    Pure Catalyst (sequence + substring per flagged token)."""
+    bigrams = lambda t: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+        lambda i: F.substring(t, i, 2),
+    )
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike(CJK_CLASS) & (F.length(t) >= 2), bigrams(t)
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
 def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Overlapping word n-gram shingles (distinct) from a token ARRAY.
 

@@ -128,6 +128,20 @@ def prepare_pages(
         ["id", "_text", "lang", "slug"],
         F.struct(toks_expr.alias("toks")),
     )
+    if slug_mode in ("unicode", "auto"):
+        # barrier 2b: unicode-aware modes additionally split
+        # no-space-script (CJK) runs into character bigrams — without
+        # this a CJK document is ONE unsplittable token that trips the
+        # SHORT_TEXT screen and yields no shingles at all. Own barrier so
+        # the expansion reads the materialized token attribute (the HOF
+        # lambda would otherwise re-evaluate the split per element).
+        from fuzzycat_spark.functions.normalize import expand_cjk_bigrams
+
+        s2 = _gen_barrier(
+            s2.withColumnRenamed("toks", "_rawtoks"),
+            ["id", "_text", "lang", "slug"],
+            F.struct(expand_cjk_bigrams(F.col("_rawtoks")).alias("toks")),
+        )
     # barrier 3: shingles/tokset from the token attribute
     s3 = _gen_barrier(
         s2,

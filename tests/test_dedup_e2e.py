@@ -181,3 +181,42 @@ def test_auto_slug_mode_routes_rows_by_script(spark):
     assert got["g0"] == got["g1"]
     assert got["a0"] == got["a1"]
     assert got["g0"] != got["a0"]
+
+
+def test_cjk_bigram_tokens_enable_cjk_near_dedup(spark):
+    """No-space scripts: under unicode mode, CJK runs tokenize into
+    character bigrams, so the length screens pass and MinHash/jaccard see
+    a real token stream — a Japanese near-dup family (punctuation variant
+    + small edit) must cluster, and an unrelated CJK doc must not."""
+    fam = "東京は日本の首都です。人口はとても多く、経済の中心でもあります。毎年多くの観光客が訪れます。"
+    rows = [
+        ("j0", fam),
+        ("j1", fam.replace("。", " ")),               # punctuation variant
+        ("j2", fam.replace("観光客", "旅行者")),        # small edit
+        ("j3", "大阪は関西地方の大きな都市で、食文化がとても有名です。たこ焼きやお好み焼きが人気です。"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig(
+        strategies=("exact", "slug", "minhash"), slug_mode="unicode"
+    )
+    _, assign = dedup_pages(df, cfg)
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    assert got["j0"] == got["j1"] == got["j2"]
+    assert got["j3"] != got["j0"]
+
+
+def test_expand_cjk_bigrams_unit(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzycat_spark.functions.normalize import expand_cjk_bigrams
+
+    df = spark.createDataFrame(
+        [(["東京は日本", "hello", "犬", "ab東京"],)], "toks array<string>"
+    )
+    got = df.select(expand_cjk_bigrams(F.col("toks")).alias("t")).first().t
+    assert got == [
+        "東京", "京は", "は日", "日本",  # 5-char CJK run -> 4 bigrams
+        "hello",                          # latin passes through
+        "犬",                             # single CJK char passes whole
+        "ab", "b東", "東京",              # mixed token bigrams whole-token
+    ]

@@ -71,3 +71,27 @@ def test_verify_tier1_join_is_narrow(spark):
     for side in ("a", "b"):
         assert f"{side}_shingles_h" not in plan
         assert f"{side}_tokset_h" not in plan
+
+
+def test_components_all_candidates_have_no_cartesian(spark):
+    """The ALL-strategy candidate union (minhash + simhash bands +
+    substring index) must stay join-shaped — no strategy may introduce a
+    cartesian product."""
+    from fuzzycat_spark.operators.dedup import candidate_pairs
+
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cands = candidate_pairs(docs, E.ALL_CFG)
+    assert "CartesianProduct" not in _plan(cands)
+
+
+def test_lang_id_table_uses_broadcast_join(spark):
+    """The stopword dictionary must broadcast (BroadcastHashJoin), never
+    shuffle the exploded token stream against it."""
+    from fuzzycat_spark.functions.text import lang_id_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lang_id_table(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
