@@ -77,7 +77,7 @@ DOC_CFG = DedupConfig(
 )
 
 
-ALL_STRATEGIES = ("exact", "slug", "minhash", "simhash", "substring")
+ALL_STRATEGIES = ("exact", "slug", "minhash", "simhash", "substring", "winnow")
 
 # the ONE-pipeline config: every blocking strategy composed, matching the
 # reference's single cluster|verify dataflow (notes/old_pipeline.md:13-27)
@@ -288,6 +288,7 @@ def _components_all_sql() -> str:
     """
     k = _SUBSTR_K
     return f"""WITH RECURSIVE {_BAND_CTES},
+{_winnow_sel_cte().lstrip()},
 -- SimHash fingerprints (same kernel as _SIMHASH_SQL) -> Charikar chunks
 sh_fp AS (
   SELECT doc_id,
@@ -308,6 +309,9 @@ all_bands AS (
          CAST((fp >> (j * 8)) & 255 AS VARCHAR) AS band_hash
   FROM sh_fp CROSS JOIN (SELECT unnest(range(4)) AS j) jj
   WHERE fp >= 0
+  UNION ALL
+  SELECT doc_id, 'winnow' AS band_id, CAST(fp AS VARCHAR) AS band_hash
+  FROM (SELECT DISTINCT doc_id, fp FROM wsel)
 ),
 bkt_ok AS (
   SELECT band_id, band_hash FROM all_bands

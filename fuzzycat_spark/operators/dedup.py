@@ -62,6 +62,12 @@ class DedupConfig:
     # notes/matching_metrics.md:13-14) — homophone families bucket
     # together, then the cascade verifies like any approximate strategy
     name_col: str | None = None
+    # "winnow" strategy: winnowing fingerprints (SIGMOD'04) as band keys —
+    # two docs sharing a token run of >= winnow_w + winnow_k - 1 are
+    # GUARANTEED a common bucket, catching shared-paragraph partial
+    # overlap whose whole-doc jaccard is below every LSH band's reach
+    winnow_k: int = 3
+    winnow_w: int = 4
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -115,6 +121,22 @@ def strategy_band_table(
                 F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
                 "band_hash",
             )
+        )
+    if "winnow" in cfg.strategies:
+        if pages is None:
+            raise ValueError("winnow strategy needs the raw pages frame")
+        from fuzzycat_spark.operators.winnow import winnow_fingerprints
+
+        tables.append(
+            winnow_fingerprints(
+                pages, cfg.id_col, cfg.text_col, k=cfg.winnow_k, w=cfg.winnow_w
+            )
+            .select(
+                "id",
+                F.lit("winnow").alias("band_id"),
+                F.col("fp").cast("string").alias("band_hash"),
+            )
+            .distinct()
         )
     if "nysiis" in cfg.strategies:
         if pages is None or cfg.name_col is None:

@@ -72,7 +72,7 @@ def test_all_strategy_pipeline_composes(spark):
     corpus = synth_pages(spark, n_families=40, n_spam=20, with_labels=True).cache()
     pages = corpus.select("url", "warc_ts", "html", "text", "lang")
     cfg = DedupConfig(
-        strategies=("exact", "slug", "minhash", "simhash", "substring")
+        strategies=("exact", "slug", "minhash", "simhash", "substring", "winnow")
     )
     _, assign = dedup_pages(pages, cfg)
     labeled = assign.join(

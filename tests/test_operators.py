@@ -232,3 +232,38 @@ def test_nysiis_strategy_requires_name_col(spark):
     df = spark.createDataFrame([("a", "t")], "url string, text string")
     with pytest.raises(ValueError, match="name_col"):
         candidate_pairs(df, DedupConfig(strategies=("nysiis",)))
+
+
+def test_winnow_strategy_surfaces_partial_overlap(spark):
+    """Two large documents sharing only a paragraph (~40 of 300+ tokens):
+    whole-doc MinHash jaccard is far below every band's reach, but the
+    winnowing strategy guarantees a shared fingerprint bucket — the pair
+    must surface as a candidate, and the cascade must still NOT merge
+    them (partial overlap is weak evidence, not a dup verdict)."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dedup_pages
+
+    para = " ".join(f"shared{i}" for i in range(40))
+    rows = [
+        ("x", " ".join(f"ax{i}" for i in range(150)) + " " + para + " "
+              + " ".join(f"bx{i}" for i in range(150))),
+        ("y", " ".join(f"cy{i}" for i in range(150)) + " " + para + " "
+              + " ".join(f"dy{i}" for i in range(150))),
+        ("z", " ".join(f"ez{i}" for i in range(300))),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    # winnow ALONE guarantees the shared-run pair (>= w+k-1 common
+    # tokens => shared fingerprint bucket) — no reliance on a lucky
+    # MinHash unit-band collision
+    wonly = DedupConfig(strategies=("winnow",))
+    got = {(r.id_a, r.id_b) for r in candidate_pairs(df, wonly).collect()}
+    assert ("x", "y") in got
+    assert not any("z" in p for p in got)
+
+    ww = DedupConfig(strategies=("minhash", "winnow"))
+
+    verified, assign = dedup_pages(df, ww)
+    vmap = {(r.id_a, r.id_b): r.status for r in verified.collect()}
+    assert vmap[("x", "y")] in ("weak", "ambiguous", "different")
+    clusters = {r.id: r.cluster_id for r in assign.collect()}
+    assert len(set(clusters.values())) == 3
