@@ -810,6 +810,64 @@ SELECT probe_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3"""
 
 
+_EMB_STRONG = 0.9
+
+
+def q_components_embedding(spark, sf_dir):
+    """Semantic dedup end-to-end over the embeddings table: hyperplane
+    buckets → capped candidates → cosine >= threshold becomes a strong
+    EMBEDDING_COSINE edge → connected components. The DedupConfig
+    'embedding' strategy exercised through the same dedup_pages pipeline
+    as every text strategy (paraphrase dups have dissimilar text, so
+    only the embedding tier can link them)."""
+    e = _emb(spark, sf_dir)
+    pages = e.select(
+        F.col("vec_id").alias("url"),
+        F.col("vec_id").cast("string").alias("text"),
+        "embedding",
+    )
+    cfg = DedupConfig(
+        strategies=("embedding",),
+        embedding_col="embedding",
+        embedding_dim=_ANN_DIM,
+        embedding_planes=_ANN_PLANES_N,
+        embedding_strong=_EMB_STRONG,
+        max_bucket_size=MAX_BUCKET,
+    )
+    _, assign = dedup_pages(pages, cfg)
+    return assign
+
+
+def _components_embedding_sql() -> str:
+    return f"""WITH RECURSIVE bk AS ({_ann_bucket_sql()}),
+bkok AS (
+  SELECT bucket FROM bk GROUP BY bucket HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bk ba JOIN bkok USING (bucket) JOIN bk bb ON ba.bucket = bb.bucket
+  WHERE ba.vec_id < bb.vec_id
+),
+epairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN embeddings a ON cand.id_a = a.vec_id
+  JOIN embeddings b ON cand.id_b = b.vec_id
+  WHERE round({_COS_D}, 9) >= {_EMB_STRONG}
+),
+eedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM epairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM epairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM eedges
+  UNION
+  SELECT g.src, reach.r FROM eedges g JOIN reach ON g.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
+FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
+
+
 def q_ann_similar_pairs(spark, sf_dir):
     """Bounded-at-scale threshold pairs: exact cosine only WITHIN
     hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
@@ -1208,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_pairs": q_verified_pairs,
         "components": q_components,
         "components_all": q_components_all,
+        "components_embedding": q_components_embedding,
         "dup_stats": q_dup_stats,
         "closest_match": q_closest_match,
         "knn": q_knn,
@@ -1292,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, status, reason FROM verified""",
         "components": _CC_SQL,
         "components_all": _components_all_sql(),
+        "components_embedding": _components_embedding_sql(),
         "closest_match": f"""
             WITH {_VERIFIED_CTES}
             SELECT probe, match, status, rank FROM (

@@ -68,6 +68,16 @@ class DedupConfig:
     # overlap whose whole-doc jaccard is below every LSH band's reach
     winnow_k: int = 3
     winnow_w: int = 4
+    # "embedding" strategy: semantic near-dup via an embedding column —
+    # hyperplane-LSH buckets generate candidates, and pairs whose cosine
+    # >= embedding_strong get ('strong', 'EMBEDDING_COSINE') BEFORE the
+    # text cascade (paraphrase dups have dissimilar text by definition,
+    # so the text rules alone would refuse them). embedding_dim is
+    # required with the strategy (schema carries no array length).
+    embedding_col: str | None = None
+    embedding_dim: int | None = None
+    embedding_planes: int = 8
+    embedding_strong: float = 0.9
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -121,6 +131,27 @@ def strategy_band_table(
                 F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
                 "band_hash",
             )
+        )
+    if "embedding" in cfg.strategies:
+        if pages is None or cfg.embedding_col is None or cfg.embedding_dim is None:
+            raise ValueError(
+                "embedding strategy needs the raw pages frame plus "
+                "cfg.embedding_col and cfg.embedding_dim"
+            )
+        from fuzzycat_spark.operators.knn import (
+            hyperplane_bucket_col,
+            hyperplane_planes,
+        )
+
+        planes = hyperplane_planes(cfg.embedding_dim, cfg.embedding_planes)
+        tables.append(
+            pages.select(
+                F.col(cfg.id_col).alias("id"),
+                F.lit("emb").alias("band_id"),
+                hyperplane_bucket_col(F.col(cfg.embedding_col), planes).alias(
+                    "band_hash"
+                ),
+            ).filter(F.col("band_hash").isNotNull())
         )
     if "winnow" in cfg.strategies:
         if pages is None:
@@ -311,7 +342,46 @@ def dedup_pages(
         # window+join+distinct plan inline, the verify joins get planned
         # without row statistics and run ~5x slower
         cands = materialize(candidate_pairs(pages, near_cfg, prep=prep), "candidates")
-        verified_near = verify_pairs(cands, prep)
+        if "embedding" in cfg.strategies and cfg.embedding_col is not None:
+            # embedding tier BEFORE the text cascade: paraphrase dups have
+            # dissimilar text by definition, so the text rules would
+            # refuse them — cosine >= embedding_strong is the verdict,
+            # and only the unresolved remainder pays the text joins
+            from fuzzycat_spark.operators.knn import cosine_col
+
+            emb = pages.select(
+                F.col(cfg.id_col).alias("id"), F.col(cfg.embedding_col).alias("e")
+            )
+            scored = (
+                cands.join(
+                    emb.select(F.col("id").alias("id_a"), F.col("e").alias("_ea")),
+                    on="id_a",
+                )
+                .join(
+                    emb.select(F.col("id").alias("id_b"), F.col("e").alias("_eb")),
+                    on="id_b",
+                )
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(cosine_col(F.col("_ea"), F.col("_eb")), 9).alias("_cos"),
+                )
+            )
+            emb_pairs = materialize(
+                scored.filter(F.col("_cos") >= cfg.embedding_strong).select(
+                    "id_a",
+                    "id_b",
+                    F.lit("strong").alias("status"),
+                    F.lit("EMBEDDING_COSINE").alias("reason"),
+                ),
+                "emb_pairs",
+            )
+            rest = cands.join(
+                emb_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+            )
+            verified_near = verify_pairs(rest, prep).unionByName(emb_pairs)
+        else:
+            verified_near = verify_pairs(cands, prep)
     else:
         verified_near = None
     # union star + verified pairs, one row per pair with the cascade's

@@ -267,3 +267,47 @@ def test_winnow_strategy_surfaces_partial_overlap(spark):
     assert vmap[("x", "y")] in ("weak", "ambiguous", "different")
     clusters = {r.id: r.cluster_id for r in assign.collect()}
     assert len(set(clusters.values())) == 3
+
+
+def test_embedding_strategy_clusters_paraphrases(spark):
+    """Semantic near-dups: two documents with completely different text
+    but near-identical embeddings must cluster via the embedding strategy
+    (hyperplane buckets -> cosine tier -> EMBEDDING_COSINE strong edge);
+    text-only strategies must NOT find them, and an orthogonal-embedding
+    doc must stay apart."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+
+    va = [1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.6, -0.9]
+    vb = [x * 0.97 for x in va]          # same direction -> cosine ~1.0
+    vc = [-0.8, 0.9, 0.3, -0.1, 0.7, 0.5, -0.4, 0.2]
+    rows = [
+        ("p1", "the quick brown fox jumps over the lazy dog tonight", va),
+        ("p2", "a speedy auburn vulpine leaps above an idle canine now", vb),
+        ("p3", "completely unrelated text about databases and storage", vc),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, embedding array<double>")
+
+    text_only = DedupConfig(strategies=("exact", "slug", "minhash"))
+    _, a0 = dedup_pages(df, text_only)
+    got0 = {r.id: r.cluster_id for r in a0.collect()}
+    assert got0["p1"] != got0["p2"]
+
+    cfg = DedupConfig(
+        strategies=("exact", "slug", "minhash", "embedding"),
+        embedding_col="embedding",
+        embedding_dim=8,
+    )
+    verified, assign = dedup_pages(df, cfg)
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    vmap = {(r.id_a, r.id_b): (r.status, r.reason) for r in verified.collect()}
+    assert got["p1"] == got["p2"]
+    assert got["p3"] != got["p1"]
+    assert vmap[("p1", "p2")] == ("strong", "EMBEDDING_COSINE")
+
+
+def test_embedding_strategy_requires_config(spark):
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
+
+    df = spark.createDataFrame([("a", "t")], "url string, text string")
+    with pytest.raises(ValueError, match="embedding"):
+        candidate_pairs(df, DedupConfig(strategies=("embedding",)))
