@@ -264,3 +264,39 @@ def test_streaming_state_survives_mid_write_kill(spark, monkeypatch, tmp_path):
     assert crashed == clean
     # no duplicated state rows after the replay
     assert len(clean[1]) == len(set(clean[1]))
+
+
+def test_run_incremental_dedup_via_writestream(spark, tmp_path):
+    """The real streaming entry point: a parquet file source drained with
+    availableNow through run_incremental_dedup must commit its epochs via
+    foreachBatch's epoch ids and surface the cross-batch dup pair through
+    the committed read."""
+    import shutil
+
+    from fuzzycat_spark.streaming.dedup_stream import (
+        committed_epoch,
+        read_pairs,
+        run_incremental_dedup,
+    )
+
+    base = str(tmp_path)
+    src = f"{base}/src"
+    fam = "the quick brown fox jumps over the lazy dog again and again today fine"
+    rows = [("u1", fam), ("u2", "completely unrelated document text here today"), ("u3", fam)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    df.coalesce(1).write.parquet(f"{base}/staged")
+    import glob
+    import os
+
+    os.makedirs(src)
+    shutil.copy(glob.glob(f"{base}/staged/part-*.parquet")[0], f"{src}/b0.parquet")
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    index, pairs = f"{base}/index", f"{base}/pairs"
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    q = run_incremental_dedup(stream, index, pairs, f"{base}/ckpt", cfg)
+    q.awaitTermination(180)
+
+    assert committed_epoch(index) == 0
+    got = {(r.id_a, r.id_b): r.status for r in read_pairs(spark, pairs, index).collect()}
+    assert got.get(("u1", "u3")) == "exact"
