@@ -95,3 +95,22 @@ def test_lang_id_table_uses_broadcast_join(spark):
     plan = _plan(lang_id_table(docs, "doc_id", "text"))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_all_strategy_bands_share_one_shuffle(spark):
+    """Adding band strategies must cost band ROWS, not stages: the
+    minhash + simhash + winnow band tables union before the single
+    bucket-cap window + pair expansion, so the whole six-strategy
+    candidate plan contains exactly ONE (band_id, band_hash) exchange."""
+    from fuzzycat_spark.operators.dedup import candidate_pairs
+
+    import __spark_entry__ as E
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(candidate_pairs(docs, E.ALL_CFG))
+    band_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "band_hash" in l
+    ]
+    assert len(band_exchanges) == 1, plan[:3000]
