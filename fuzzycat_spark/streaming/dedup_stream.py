@@ -164,6 +164,19 @@ def incremental_dedup_batch(
     if epoch_id is None:
         # direct (non-foreachBatch) callers: next epoch after the commit
         epoch_id = 0 if committed is None else committed + 1
+    elif committed is not None and epoch_id <= committed:
+        # foreachBatch is at-least-once: a crash AFTER _commit_pointer(N)
+        # but BEFORE Spark records batch N in the streaming checkpoint
+        # replays epoch N with committed == N. Re-running it would be
+        # catastrophic, not merely wasteful: the idempotency guard below
+        # drops every id (their features are already in epoch <= committed),
+        # so the per-epoch overwrite writes would REPLACE pairs/index/
+        # features epoch=N with empty tables. The pointer swap is the LAST
+        # write of an epoch, so committed == N proves epoch N is fully
+        # durable — skip the replay outright. This also protects committed
+        # history when a fresh checkpoint_dir restarts foreachBatch epoch
+        # ids at 0.
+        return
 
     batch = materialize(batch, "stream_batch", keep_last=2)
     prep = prepare_pages(batch, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)

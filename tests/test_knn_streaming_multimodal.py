@@ -266,6 +266,55 @@ def test_streaming_state_survives_mid_write_kill(spark, monkeypatch, tmp_path):
     assert len(clean[1]) == len(set(clean[1]))
 
 
+def test_replay_of_committed_epoch_is_a_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash AFTER the pointer swap but
+    BEFORE Spark records the batch in its streaming checkpoint replays
+    epoch N with committed == N. The replay must be a no-op — re-running
+    it would overwrite the epoch's pairs/index/features with EMPTY tables
+    (every id is dropped by the idempotency guard), permanently losing
+    committed state."""
+    import fuzzycat_spark.streaming.dedup_stream as ds
+
+    fam = "the quick brown fox jumps over the lazy dog again and again today fine"
+    rows = [("u1", fam), ("u2", fam), ("u3", "completely unrelated text here today")]
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    base = str(tmp_path)
+    index, pairs = f"{base}/index", f"{base}/pairs"
+    batch = spark.createDataFrame(rows, "url string, text string")
+
+    ds.incremental_dedup_batch(batch, index, pairs, cfg, epoch_id=0)
+    assert ds.committed_epoch(index) == 0
+    before_pairs = sorted(
+        (r.id_a, r.id_b, r.status) for r in ds.read_pairs(spark, pairs, index).collect()
+    )
+    before_index = sorted(
+        (r.id, r.band_id, r.band_hash)
+        for r in ds._read_state(spark, index, 0).collect()
+    )
+    assert before_pairs  # the committed epoch has real state to lose
+
+    # replay the SAME epoch (restart after a post-commit crash)
+    ds.incremental_dedup_batch(batch, index, pairs, cfg, epoch_id=0)
+
+    assert ds.committed_epoch(index) == 0
+    after_pairs = sorted(
+        (r.id_a, r.id_b, r.status) for r in ds.read_pairs(spark, pairs, index).collect()
+    )
+    after_index = sorted(
+        (r.id, r.band_id, r.band_hash)
+        for r in ds._read_state(spark, index, 0).collect()
+    )
+    assert after_pairs == before_pairs
+    assert after_index == before_index
+
+    # a fresh checkpoint_dir restarting epoch ids at 0 must not regress
+    # the pointer over committed history either
+    ds.incremental_dedup_batch(batch, index, pairs, cfg, epoch_id=1)
+    assert ds.committed_epoch(index) == 1
+    ds.incremental_dedup_batch(batch, index, pairs, cfg, epoch_id=0)
+    assert ds.committed_epoch(index) == 1
+
+
 def test_run_incremental_dedup_via_writestream(spark, tmp_path):
     """The real streaming entry point: a parquet file source drained with
     availableNow through run_incremental_dedup must commit its epochs via
