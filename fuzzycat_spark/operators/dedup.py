@@ -78,6 +78,13 @@ class DedupConfig:
     embedding_dim: int | None = None
     embedding_planes: int = 8
     embedding_strong: float = 0.9
+    # mega-cluster softener: when > 0, buckets over their cap are re-keyed
+    # into this many salted shards BEFORE the cap filter, so a hot bucket
+    # keeps ~1/salt_hot of its pairs (sharded) instead of yielding zero —
+    # the shards reconnect through connected components when any member
+    # links them. 0 (default) = capped buckets drop entirely, the
+    # reference's max-cluster-size behavior (verify.py:130-131).
+    salt_hot: int = 0
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -294,6 +301,10 @@ def candidate_pairs(
         bands = strategy_band_table(
             prep, replace(cfg, strategies=band_strategies), pages=pages
         )
+        if cfg.salt_hot:
+            from fuzzycat_spark.operators.lsh import salt_hot_buckets
+
+            bands = salt_hot_buckets(bands, "cap", cfg.salt_hot)
         pairs = lsh_candidate_pairs(bands, max_bucket_size="cap")
     if "substring" in cfg.strategies:
         from fuzzycat_spark.operators.substring import exact_substring_pairs

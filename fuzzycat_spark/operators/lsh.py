@@ -165,28 +165,41 @@ def lsh_candidate_pairs(
 
 def salt_hot_buckets(
     band_table: DataFrame,
-    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    max_bucket_size: int | str = DEFAULT_MAX_BUCKET,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Re-key oversized buckets into `salt_buckets` salted shards.
+    """Re-key oversized buckets into `salt_buckets` salted shards — the
+    documented softener for the bucket cap: a capped mega-bucket yields
+    ZERO pairs, a salted one keeps ~1/salt_buckets of them.
 
     Members of a hot bucket land in shards of ~size/salt_buckets; pairs
     within a shard still surface, cross-shard pairs are sacrificed (they
     reconnect through connected components when any member links them).
+
+    ONE shuffle: bucket sizes come from a window count over
+    (band_id, band_hash) — the same partitioning `lsh_candidate_pairs`'
+    cap filter uses — instead of the round-3 groupBy + join-back, which
+    paid a second exchange of the whole band table for the same number.
+    `max_bucket_size` is an int, or a column name (str) for the per-row
+    cap carried in the band table (DedupConfig's per-strategy caps).
+    Extra columns (e.g. `cap`) pass through untouched.
     """
-    sizes = band_table.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size")
+    cap = (
+        F.col(max_bucket_size)
+        if isinstance(max_bucket_size, str)
+        else F.lit(max_bucket_size)
     )
-    t = band_table.join(sizes, on=["band_id", "band_hash"])
+    w = Window.partitionBy("band_id", "band_hash")
+    t = band_table.withColumn("_bsz", F.count(F.lit(1)).over(w))
     salted = F.when(
-        F.col("bucket_size") > max_bucket_size,
+        F.col("_bsz") > cap,
         F.concat(
             F.col("band_hash"),
             F.lit("#"),
             F.pmod(F.xxhash64(F.col("id")), F.lit(salt_buckets)).cast("string"),
         ),
     ).otherwise(F.col("band_hash"))
-    return t.select("id", "band_id", salted.alias("band_hash"))
+    return t.withColumn("band_hash", salted).drop("_bsz")
 
 
 def simhash_bucket_table(

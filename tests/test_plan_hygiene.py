@@ -169,6 +169,47 @@ def test_ann_bucket_shuffle_is_narrow(spark):
                 )
 
 
+def test_salt_hot_buckets_single_exchange_and_partial_survival(spark):
+    """salt_hot_buckets must size buckets with a window count (ONE
+    exchange over the band table — the round-3 groupBy+join paid two),
+    and salting must let a capped mega-bucket keep SOME pairs: with
+    salt_hot on, shards of the hot bucket surface ~1/salt of the pairs a
+    cap alone would drop to zero."""
+    from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
+    from fuzzycat_spark.operators.lsh import salt_hot_buckets
+
+    rows = [(f"u{i}", "exact same spam text repeated forever and ever again") for i in range(40)]
+    rows += [("v1", "one normal document with plenty of distinct words in it today"),
+             ("v2", "one normal document with plenty of distinct words in it today maybe")]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    bands = spark.createDataFrame(
+        [(f"u{i}", "b0", "h", 10) for i in range(40)],
+        "id string, band_id string, band_hash string, cap int",
+    )
+    salted = salt_hot_buckets(bands, "cap", salt_buckets=8)
+    plan = _plan(salted)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "cap" in salted.columns  # extra columns pass through
+
+    base = DedupConfig(strategies=("minhash",), max_bucket_size=10)
+    capped = candidate_pairs(df, base)
+    softened = candidate_pairs(
+        df, DedupConfig(strategies=("minhash",), max_bucket_size=10, salt_hot=8)
+    )
+    spam_capped = capped.filter(
+        F.col("id_a").startswith("u") & F.col("id_b").startswith("u")
+    ).count()
+    spam_salted = softened.filter(
+        F.col("id_a").startswith("u") & F.col("id_b").startswith("u")
+    ).count()
+    assert spam_capped == 0  # cap alone drops the 40-copy bucket entirely
+    assert 0 < spam_salted < 40 * 39 / 2  # shards keep a partial pair set
+    # the normal pair is untouched either way
+    for c in (capped, softened):
+        assert c.filter((F.col("id_a") == "v1") & (F.col("id_b") == "v2")).count() == 1
+
+
 def test_all_strategy_bands_share_one_shuffle(spark):
     """Adding band strategies must cost band ROWS, not stages: the
     minhash + simhash + winnow band tables union before the single
