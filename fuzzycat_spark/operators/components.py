@@ -64,60 +64,74 @@ def connected_components(
 
     # size the loop's shuffles to the edge list, not the (much larger)
     # corpus: a per-iteration join over a few thousand edges at corpus-width
-    # partitioning is pure scheduling overhead. ~100k edges per partition;
-    # restored after the loop (try/finally — an exception mid-loop must not
-    # leave a shared session at the reduced partition count). The edge
-    # count rides on the cc_edges write (Observation), not a second job.
+    # partitioning is pure scheduling overhead. ~100k edges per partition.
+    # The reduced partition count lives in a CHILD session (newSession():
+    # isolated SQL conf, shared SparkContext and block/cache state) — the
+    # round-3 version set spark.sql.shuffle.partitions on the CALLER's
+    # session with a try/finally restore, which races any concurrent query
+    # on that session (streaming foreachBatch + an ad-hoc batch query is a
+    # realistic pair). The edge count rides on the cc_edges write
+    # (Observation), not a second job.
     n_edges = int(eobs.get["n"])
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    lck = StageCheckpointer(loop, base_dir=ck.base_dir)
+    # re-read the checkpointed frames in the loop session (frames from
+    # different sessions must not mix in one plan)
+    sym = lck.load("cc_edges")
+    labels = lck.load("cc_labels")
 
-    try:
-        for i in range(max_iterations):
-            nbr_min = (
-                sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-                .withColumnRenamed("src", "id")
+    last_name = "cc_labels"
+    for i in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        # one pointer jump per round — label(label(v)) — doubles pointer
+        # depth per materialized round (log2 convergence on chains); a
+        # second hop costs a full extra shuffle per iteration for a
+        # marginal depth win and was the #1 line in the round-1 bench
+        lut1 = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("hop1")
+        )
+        hop = labels.join(lut1, on="label").select("id", "label", "hop1")
+        # the convergence counter rides on the checkpoint write itself
+        # (Observation fills during the write job) — iterations cost
+        # exactly ONE Spark job, no separate count action
+        obs = Observation(f"cc_changed_{i}")
+        new_labels = lck.write(
+            hop.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.col("hop1"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("new_label"),
+                "label",
             )
-            # one pointer jump per round — label(label(v)) — doubles pointer
-            # depth per materialized round (log2 convergence on chains); a
-            # second hop costs a full extra shuffle per iteration for a
-            # marginal depth win and was the #1 line in the round-1 bench
-            lut1 = labels.select(
-                F.col("id").alias("label"), F.col("label").alias("hop1")
-            )
-            hop = labels.join(lut1, on="label").select("id", "label", "hop1")
-            # the convergence counter rides on the checkpoint write itself
-            # (Observation fills during the write job) — iterations cost
-            # exactly ONE Spark job, no separate count action
-            obs = Observation(f"cc_changed_{i}")
-            new_labels = ck.write(
-                hop.join(nbr_min, on="id", how="left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"),
-                        F.col("hop1"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
-                    ).alias("new_label"),
-                    "label",
-                )
-                .observe(
-                    obs,
-                    F.count(
-                        F.when(F.col("new_label") != F.col("label"), F.lit(1))
-                    ).alias("changed"),
-                ),
-                # alternate two slots so the loop doesn't accumulate files
-                f"cc_labels_{i % 2}",
-            )
-            changed = int(obs.get["changed"])
-            labels = new_labels.select("id", F.col("new_label").alias("label"))
-            ck.record_counters(f"cc_iter_{i}", {"changed": changed})
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return labels.select("id", F.col("label").alias("cluster_id"))
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("new_label") != F.col("label"), F.lit(1))
+                ).alias("changed"),
+            ),
+            # alternate two slots so the loop doesn't accumulate files
+            f"cc_labels_{i % 2}",
+        )
+        changed = int(obs.get["changed"])
+        last_name = f"cc_labels_{i % 2}"
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        lck.record_counters(f"cc_iter_{i}", {"changed": changed})
+        if changed == 0:
+            break
+    # hand the result back on the CALLER's session (and at its
+    # partitioning) so downstream joins never mix sessions
+    final = spark.read.parquet(lck.path(last_name))
+    if last_name == "cc_labels":
+        return final.select("id", F.col("label").alias("cluster_id"))
+    return final.select("id", F.col("new_label").alias("cluster_id"))

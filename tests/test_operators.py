@@ -120,6 +120,36 @@ def test_connected_components_long_chain(spark):
     assert len(labels) == 33
 
 
+def test_connected_components_leaves_caller_session_conf_alone(spark):
+    """The CC loop sizes its shuffles in a CHILD session: a concurrent
+    query on the caller's session must never observe the reduced
+    shuffle-partition count (the round-3 set/restore raced concurrent
+    queries — streaming foreachBatch plus an ad-hoc batch query)."""
+    import threading
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            seen.add(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        edges = spark.createDataFrame(
+            [(f"c{i}", f"c{i+1}") for i in range(12)], "id_a string, id_b string"
+        )
+        got = connected_components(edges).collect()
+    finally:
+        stop.set()
+        t.join()
+    assert {r.cluster_id for r in got} == {"c0"}
+    assert seen == {prev}, f"caller conf leaked loop partitioning: {seen}"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
 def test_exact_substring_pairs_short_contained_doc(spark):
     """The tier shingle-containment misses: a 30-token doc inside a
     600-token doc (shingle jaccard ~0.05) MUST surface via the
