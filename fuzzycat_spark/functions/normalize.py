@@ -78,33 +78,110 @@ def tokens_col(col: Column | str) -> Column:
     )
 
 
-# Han + Hiragana/Katakana + Hangul — the no-space scripts whose "words"
-# never split on whitespace; a run of them is one giant token after any
-# whitespace tokenizer
-CJK_CLASS = r"[぀-ヿ㐀-䶿一-鿿가-힯]"
+# Han (incl. Ext A and the supplementary-plane Ext B+ blocks) +
+# Hiragana/Katakana + Hangul — the no-space scripts whose "words" never
+# split on whitespace; a run of them is one giant token after any
+# whitespace tokenizer. \x{...} escapes are Java-regex syntax (Spark's
+# rlike/regexp_replace), valid inside character classes.
+_CJK_RANGES = r"぀-ヿ㐀-䶿一-鿿가-힯\x{F900}-\x{FAFF}\x{20000}-\x{3FFFF}"
+CJK_CLASS = f"[{_CJK_RANGES}]"
+_NON_CJK_CLASS = f"[^{_CJK_RANGES}]"
+# script-boundary splitter: consume the char BEFORE the boundary and put it
+# back with `$1<sep>`. Lookahead only — Java lookbehind steps back by UTF-16
+# code UNITS, so `(?<=[^cjk])` falsely matches after a supplementary-plane
+# han char (the position after its low surrogate), shredding Ext-B runs.
+_SCRIPT_BOUNDARY = (
+    f"({CJK_CLASS}(?={_NON_CJK_CLASS})|{_NON_CJK_CLASS}(?={CJK_CLASS}))"
+)
+# run separator: U+001F is category Cc, which both slug tiers delete/space
+# out, so it can never occur inside a token
+_RUN_SEP = "\x1f"
 
 
 def expand_cjk_bigrams(toks: Column) -> Column:
-    """Split tokens containing no-space-script characters into character
-    BIGRAMS (the standard CJK indexing unit); other tokens pass through.
+    """Split the no-space-script (CJK) RUNS of each token into character
+    BIGRAMS (the standard CJK indexing unit); everything else passes
+    through untouched.
 
     '東京は日本の首都' → [東京, 京は, は日, 日本, 本の, の首, 首都], so a
     CJK document gets a real token stream for the length screens, MinHash
     shingles, and jaccard rules instead of one unsplittable mega-token
-    that trips SHORT_TEXT. Single-char CJK tokens pass through whole.
-    Pure Catalyst (sequence + substring per flagged token)."""
+    that trips SHORT_TEXT. Mixed-script tokens are first split into
+    script runs ('abc東京' → abc + 東京 → ['abc', '東京']) so one embedded
+    CJK char cannot shred a Latin token into garbage bigrams — and
+    conversely Latin fragments never leak into CJK bigrams. Single-char
+    CJK runs pass through whole. Pure Catalyst (regexp run split +
+    sequence/substring per CJK run)."""
     bigrams = lambda t: F.transform(  # noqa: E731
         F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
         lambda i: F.substring(t, i, 2),
+    )
+    runs = lambda t: F.split(  # noqa: E731
+        F.regexp_replace(t, _SCRIPT_BOUNDARY, "$1" + _RUN_SEP), _RUN_SEP
     )
     return F.flatten(
         F.transform(
             toks,
             lambda t: F.when(
-                t.rlike(CJK_CLASS) & (F.length(t) >= 2), bigrams(t)
+                t.rlike(CJK_CLASS),
+                F.flatten(
+                    F.transform(
+                        runs(t),
+                        lambda r: F.when(
+                            r.rlike(f"^{CJK_CLASS}") & (F.length(r) >= 2),
+                            bigrams(r),
+                        ).otherwise(F.array(r)),
+                    )
+                ),
             ).otherwise(F.array(t)),
         )
     )
+
+
+def slug_for_mode(col: Column | str, slug_mode: str = "ascii") -> Column:
+    """The slug expression for a DedupConfig.slug_mode — the ONE dispatch
+    point every strategy shares, so simhash/substring/minhash/cascade all
+    agree on normalization under any mode:
+
+    - "ascii": pure-Catalyst diacritic fold (Latin corpora, codegen path)
+    - "unicode": NFKD/category-strip pandas UDF (space-preserving), the
+      reference sandcrawler normalizer's scope (sandcrawler.py:5-64)
+    - "auto": per-row — the unicode slugifier only where the ASCII fold
+      would key on lossy residue (any non-ASCII codepoint present)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if slug_mode == "ascii":
+        return slug_text(c)
+    if slug_mode == "unicode":
+        return F.coalesce(unicode_slugify_udf(c), F.lit(""))
+    if slug_mode == "auto":
+        return F.when(
+            c.rlike("[^\\u0000-\\u007F]"),
+            F.coalesce(unicode_slugify_udf(c), F.lit("")),
+        ).otherwise(slug_text(c))
+    raise ValueError(f"unknown slug_mode: {slug_mode!r}")
+
+
+def tokens_from_slug(slug: Column, slug_mode: str = "ascii") -> Column:
+    """Token array from a slug ATTRIBUTE (materialized column), honoring
+    the mode: unicode/auto additionally split no-space-script (CJK) runs
+    into character bigrams so CJK documents get a real token stream."""
+    toks = F.when(slug == "", F.array().cast("array<string>")).otherwise(
+        F.split(slug, " ")
+    )
+    if slug_mode in ("unicode", "auto"):
+        return expand_cjk_bigrams(toks)
+    return toks
+
+
+def tokens_for_mode(col: Column | str, slug_mode: str = "ascii") -> Column:
+    """Convenience composition slug→tokens for operators that consume raw
+    text directly (simhash/substring). The split's collection argument is
+    evaluated once per row (it is not captured inside an HOF lambda body),
+    so inline composition is safe here — pipelines that derive MULTIPLE
+    columns from the tokens should still stage through prepare_pages'
+    Generate barriers."""
+    return tokens_from_slug(slug_for_mode(col, slug_mode), slug_mode)
 
 
 def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:

@@ -132,7 +132,8 @@ def strategy_band_table(
             raise ValueError("simhash strategy needs the raw pages frame")
         tables.append(
             simhash_bucket_table(
-                pages, cfg.id_col, cfg.text_col, cfg.simhash_band_bits
+                pages, cfg.id_col, cfg.text_col, cfg.simhash_band_bits,
+                slug_mode=cfg.slug_mode,
             ).select(
                 "id",
                 F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
@@ -167,7 +168,8 @@ def strategy_band_table(
 
         tables.append(
             winnow_fingerprints(
-                pages, cfg.id_col, cfg.text_col, k=cfg.winnow_k, w=cfg.winnow_w
+                pages, cfg.id_col, cfg.text_col, k=cfg.winnow_k, w=cfg.winnow_w,
+                slug_mode=cfg.slug_mode,
             )
             .select(
                 "id",
@@ -315,6 +317,7 @@ def candidate_pairs(
             cfg.text_col,
             k=cfg.substring_k,
             max_bucket_size=cfg.max_bucket_size,
+            slug_mode=cfg.slug_mode,
         ).select(
             F.least(F.col("id_in"), F.col("id_of")).alias("id_a"),
             F.greatest(F.col("id_in"), F.col("id_of")).alias("id_b"),

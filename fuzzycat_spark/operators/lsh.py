@@ -31,7 +31,11 @@ from fuzzycat_spark.functions.hashing import (
     simhash32_from_hashes,
     token_hashes32,
 )
-from fuzzycat_spark.functions.normalize import tokens_col, word_shingles
+from fuzzycat_spark.functions.normalize import (
+    tokens_col,
+    tokens_for_mode,
+    word_shingles,
+)
 from fuzzycat_spark.plans.checkpoint import materialize
 
 DEFAULT_NUM_PERM = 32
@@ -207,20 +211,29 @@ def simhash_bucket_table(
     id_col: str = "url",
     text_col: str = "text",
     band_bits: int = 8,
+    slug_mode: str = "ascii",
 ) -> DataFrame:
     """(id, band_id, band_hash) from SimHash fingerprints.
 
     The 32-bit fingerprint splits into 32/band_bits chunks; docs within
     Hamming distance < number-of-chunks collide on at least one chunk
-    (pigeonhole) — the standard Charikar bucketing.
+    (pigeonhole) — the standard Charikar bucketing. `slug_mode` selects
+    the shared tokenizer (tokens_for_mode), so under "unicode"/"auto" the
+    fingerprint hashes the same CJK-bigram token stream as every other
+    strategy instead of the ASCII fold's residue.
     """
     n_bands = 32 // band_bits
+    toks = (
+        tokens_col(text_col)
+        if slug_mode == "ascii"
+        else tokens_for_mode(text_col, slug_mode)
+    )
     # two-stage: materialize per-token hashes so the 32 per-bit aggregate
     # passes read an attribute instead of re-hashing every token 32x
     staged = materialize(
         df.select(
             F.col(id_col).alias("id"),
-            token_hashes32(tokens_col(text_col)).alias("hashes"),
+            token_hashes32(toks).alias("hashes"),
         ),
         None,
     )

@@ -37,22 +37,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fuzzycat_spark.functions.normalize import slug_text
+from fuzzycat_spark.functions.normalize import slug_for_mode, tokens_from_slug
 
 DEFAULT_MIN_TOKENS = 25
 DEFAULT_MAX_BUCKET = 200
 
 
-def _tokens_and_slug(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens_and_slug(
+    docs: DataFrame, id_col: str, text_col: str, slug_mode: str = "ascii"
+) -> DataFrame:
     """(id, slug, toks) with the slug evaluated once behind a Generate
-    barrier (see verify._gen_barrier for why)."""
+    barrier (see verify._gen_barrier for why). `slug_mode` selects the
+    shared normalizer, so under "unicode"/"auto" the k-gram windows run
+    over the same CJK-bigram token stream as every other strategy — and
+    containment still holds: if doc A occurs verbatim inside doc B, A's
+    bigram run appears contiguously in B's bigram stream, so A's first
+    k-window is guaranteed among B's windows."""
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     g = base.select(
-        "id", F.explode(F.array(F.struct(slug_text(F.col("_t")).alias("slug")))).alias("_g")
+        "id",
+        F.explode(
+            F.array(F.struct(slug_for_mode(F.col("_t"), slug_mode).alias("slug")))
+        ).alias("_g"),
     ).select("id", F.col("_g.slug").alias("slug"))
-    toks = F.when(F.col("slug") == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.col("slug"), " ")
-    )
+    toks = tokens_from_slug(F.col("slug"), slug_mode)
     g2 = g.select(
         "id", "slug", F.explode(F.array(F.struct(toks.alias("toks")))).alias("_g")
     )
@@ -65,6 +73,7 @@ def exact_substring_pairs(
     text_col: str = "text",
     k: int = DEFAULT_MIN_TOKENS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    slug_mode: str = "ascii",
 ) -> DataFrame:
     """(id_in, id_of): documents whose ENTIRE normalized text appears
     verbatim inside another document's normalized text (id_in ⊂ id_of),
@@ -73,7 +82,7 @@ def exact_substring_pairs(
     Guaranteed-recall containment: probe = first k-gram, index = all
     k-grams, exact `contains` confirmation on the slugs.
     """
-    t = _tokens_and_slug(docs, id_col, text_col)
+    t = _tokens_and_slug(docs, id_col, text_col, slug_mode)
     t = t.filter(F.size("toks") >= k)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - k),

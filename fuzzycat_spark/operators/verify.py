@@ -88,32 +88,14 @@ def prepare_pages(
         lang.alias("lang"),
     )
     # barrier 1: slug evaluated once. slug_mode="ascii" (default) stays
-    # pure-Catalyst; "unicode" opts into the full NFKD/category slugifier
-    # (space-preserving pandas UDF) so non-Latin corpora key on real
-    # content instead of the ASCII fold's lossy residue.
-    if slug_mode == "unicode":
-        from fuzzycat_spark.functions.normalize import unicode_slugify_udf
+    # pure-Catalyst; "unicode"/"auto" opt into the full NFKD/category
+    # slugifier (space-preserving pandas UDF) so non-Latin corpora key on
+    # real content instead of the ASCII fold's lossy residue. The dispatch
+    # lives in slug_for_mode — the SAME expression simhash/substring use,
+    # so every strategy agrees on normalization per mode.
+    from fuzzycat_spark.functions.normalize import slug_for_mode
 
-        slug_expr = F.coalesce(
-            unicode_slugify_udf(F.col("_text")), F.lit("")
-        )
-    elif slug_mode == "ascii":
-        slug_expr = slug_text(F.col("_text"))
-    elif slug_mode == "auto":
-        # per-row dispatch: the unicode slugifier only where the ASCII fold
-        # would key on lossy residue (any non-ASCII codepoint present);
-        # pure-ASCII rows stay on the codegen fold. Keys are only ever
-        # compared within a family, and a family is homogeneous under this
-        # predicate unless its members differ exactly in the characters
-        # that made them non-equal anyway.
-        from fuzzycat_spark.functions.normalize import unicode_slugify_udf
-
-        slug_expr = F.when(
-            F.col("_text").rlike("[^\\u0000-\\u007F]"),
-            F.coalesce(unicode_slugify_udf(F.col("_text")), F.lit("")),
-        ).otherwise(slug_text(F.col("_text")))
-    else:
-        raise ValueError(f"unknown slug_mode: {slug_mode!r}")
+    slug_expr = slug_for_mode(F.col("_text"), slug_mode)
     s1 = _gen_barrier(
         base,
         ["id", "_text", "lang"],

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fuzzycat_spark.functions.hashing import md5_h64
-from fuzzycat_spark.functions.normalize import tokens_col, word_shingles_ordered
+from fuzzycat_spark.functions.normalize import (
+    tokens_col,
+    tokens_for_mode,
+    word_shingles_ordered,
+)
 from fuzzycat_spark.operators.verify import _gen_barrier
 
 # 40-bit fingerprint hash + 20-bit inverted position packed into one int64:
@@ -49,6 +53,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 3,
     w: int = 4,
+    slug_mode: str = "ascii",
 ) -> DataFrame:
     """(id, fp, pos) — selected winnowing fingerprints per document.
 
@@ -56,13 +61,19 @@ def winnow_fingerprints(
     Documents with fewer than w shingles contribute the minimum of what
     they have (one window); documents with no shingles contribute nothing.
     Guarantee: two documents sharing a run of >= w+k-1 tokens (inside the
-    position cap) share at least one (fp, ...) row.
+    position cap) share at least one (fp, ...) row. `slug_mode` selects
+    the shared tokenizer (CJK-bigram stream under "unicode"/"auto").
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
     # Generate barriers so toks (then the shingle array) are evaluated once
     # per row — composing them lets CollapseProject inline the token regex
     # into the shingle lambda, O(L^2) per document (see prepare_pages)
-    toks = _gen_barrier(base, ["id"], F.struct(tokens_col("_text").alias("toks")))
+    toks_expr = (
+        tokens_col("_text")
+        if slug_mode == "ascii"
+        else tokens_for_mode("_text", slug_mode)
+    )
+    toks = _gen_barrier(base, ["id"], F.struct(toks_expr.alias("toks")))
     sarr = _gen_barrier(
         toks, ["id"], F.struct(word_shingles_ordered(F.col("toks"), k).alias("sarr"))
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs, dedup_pages
 from fuzzycat_spark.sources import synth_pages
 
 
@@ -205,18 +205,70 @@ def test_cjk_bigram_tokens_enable_cjk_near_dedup(spark):
     assert got["j3"] != got["j0"]
 
 
+def test_unicode_mode_reaches_every_strategy(spark):
+    """Under slug_mode="unicode" the simhash, substring, and winnow
+    strategies must tokenize the same CJK-bigram stream as slug/minhash —
+    a CJK near-dup family must surface with EACH strategy alone (the
+    round-3 ASCII-fold internals yielded zero tokens for pure-CJK text,
+    silently disabling 3 of 6 strategies on non-Latin corpora)."""
+    fam = (
+        "東京は日本の首都であり、世界有数の大都市圏を形成している。"
+        "人口は千四百万人を超え、政治と経済と文化の中心地として発展を続けている。"
+        "観光客には浅草や渋谷や新宿が人気で、四季折々の祭りも多く開催される。"
+    )
+    rows = [
+        ("c0", fam),
+        ("c1", fam.replace("観光客", "旅行者")),   # small edit -> near dup
+        ("c2", fam[: len(fam) // 2]),               # prefix -> containment dup
+        ("c3", "大阪は関西地方の大きな都市で、食文化がとても有名です。たこ焼きやお好み焼きが人気で、商人の町として栄えた歴史を持つ。"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    for strategy in ("simhash", "winnow"):
+        cfg = DedupConfig(strategies=(strategy,), slug_mode="unicode")
+        cands = candidate_pairs(df, cfg)
+        got = {(r.id_a, r.id_b) for r in cands.collect()}
+        assert ("c0", "c1") in got, f"{strategy} missed the CJK near-dup: {got}"
+
+    from fuzzycat_spark.operators.substring import exact_substring_pairs
+
+    ss = exact_substring_pairs(df, "url", "text", k=10, slug_mode="unicode")
+    got = {(r.id_in, r.id_of) for r in ss.collect()}
+    assert ("c2", "c0") in got, f"substring missed the CJK containment: {got}"
+    # ascii mode on the same corpus: pure-CJK text folds to nothing
+    assert (
+        exact_substring_pairs(df, "url", "text", k=10, slug_mode="ascii").count() == 0
+    )
+
+
 def test_expand_cjk_bigrams_unit(spark):
     from pyspark.sql import functions as F
 
     from fuzzycat_spark.functions.normalize import expand_cjk_bigrams
 
     df = spark.createDataFrame(
-        [(["東京は日本", "hello", "犬", "ab東京"],)], "toks array<string>"
+        [(["東京は日本", "hello", "犬", "ab東京", "abc東", "東x京"],)],
+        "toks array<string>",
     )
     got = df.select(expand_cjk_bigrams(F.col("toks")).alias("t")).first().t
     assert got == [
         "東京", "京は", "は日", "日本",  # 5-char CJK run -> 4 bigrams
         "hello",                          # latin passes through
         "犬",                             # single CJK char passes whole
-        "ab", "b東", "東京",              # mixed token bigrams whole-token
+        "ab", "東京",                     # script runs split: latin run whole, CJK run bigrammed
+        "abc", "東",                      # one embedded CJK char no longer shreds the latin run
+        "東", "x", "京",                  # alternating runs each pass whole
     ]
+
+
+def test_expand_cjk_bigrams_supplementary_han(spark):
+    """Supplementary-plane Han (CJK Ext B+, e.g. U+20000) counts as CJK:
+    a rare-character run must bigram instead of staying one mega-token."""
+    from pyspark.sql import functions as F
+
+    from fuzzycat_spark.functions.normalize import expand_cjk_bigrams
+
+    run = "\U00020000\U00020001\U00020002"
+    df = spark.createDataFrame([([run],)], "toks array<string>")
+    got = df.select(expand_cjk_bigrams(F.col("toks")).alias("t")).first().t
+    assert got == ["\U00020000\U00020001", "\U00020001\U00020002"]
