@@ -1222,6 +1222,148 @@ def q_unicode_slug(spark, sf_dir):
     )
 
 
+def q_components_unicode(spark, sf_dir):
+    """End-to-end NON-LATIN dedup through the full pipeline: dedup_pages
+    with slug_mode="unicode" (NFKD slug UDF + CJK-bigram tokens) over the
+    committed Greek/Cyrillic/CJK/accented-Latin fixture — exact/slug star
+    edges plus the unicode-aware SimHash strategy, verify cascade,
+    connected components. The oracle rebuilds the same clusters from the
+    fixture's precomputed scalar `uslug` column (the `unicode_slug` gate
+    proves UDF == scalar row-for-row; this gate proves the CLUSTERS land
+    end-to-end, not just the keys)."""
+    df = spark.read.parquet(_UNICODE_FIXTURE).select("doc_id", "text")
+    cfg = DedupConfig(
+        id_col="doc_id",
+        text_col="text",
+        strategies=("exact", "slug", "simhash"),
+        slug_mode="unicode",
+        max_block_size=MAX_BLOCK,
+        max_bucket_size=MAX_BUCKET,
+    )
+    _, assign = dedup_pages(df, cfg)
+    return assign
+
+
+# DuckDB/RE2 class mirroring normalize.CJK_CLASS (no-space scripts)
+_CJK_SQL = r"[぀-ヿ㐀-䶿一-鿿가-힯\x{F900}-\x{FAFF}\x{20000}-\x{3FFFF}]"
+
+
+def _components_unicode_sql() -> str:
+    """Oracle for q_components_unicode: unicode tokens come from the
+    fixture's precomputed `uslug` (scalar slugifier output), CJK tokens
+    are bigram-expanded exactly like expand_cjk_bigrams (fixture tokens
+    are single-script runs, so plain per-token bigrams == run-split
+    bigrams), then the same simhash-chunk candidates + verify cascade +
+    star edges + recursive-CC as the ALL-strategy oracle."""
+    return f"""WITH RECURSIVE f AS (
+  SELECT doc_id, text, uslug FROM '{_UNICODE_FIXTURE}'
+),
+tok0 AS (
+  SELECT doc_id, text, uslug,
+         CASE WHEN uslug IS NULL OR uslug = '' THEN []::VARCHAR[]
+              ELSE string_split(uslug, ' ') END AS rawtoks
+  FROM f
+),
+tok AS (
+  SELECT doc_id, text, uslug,
+         flatten(list_transform(rawtoks, t ->
+           CASE WHEN regexp_matches(t, '{_CJK_SQL}') AND length(t) >= 2
+                THEN list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))
+                ELSE [t] END)) AS toks
+  FROM tok0
+),
+sh AS (
+  SELECT *, CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+    ELSE list_distinct([array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+                        for i in range(1, greatest(len(toks) - {SHINGLE_N - 1}, 1) + 1)])
+    END AS shingles
+  FROM tok
+),
+sh_fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id, j,
+           sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM (SELECT doc_id, ('0x' || substr(md5(tkn), 1, 8))::BIGINT AS hv
+          FROM (SELECT doc_id, unnest(toks) AS tkn FROM tok))
+    CROSS JOIN (SELECT unnest(range(32)) AS j) bb
+    GROUP BY doc_id, j
+  ) GROUP BY doc_id
+),
+all_bands AS (
+  SELECT doc_id, 'sh' || CAST(j AS VARCHAR) AS band_id,
+         CAST((fp >> (j * 8)) & 255 AS VARCHAR) AS band_hash
+  FROM sh_fp CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+  WHERE fp >= 0
+),
+bkt_ok AS (
+  SELECT band_id, band_hash FROM all_bands
+  GROUP BY band_id, band_hash HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+abr AS (SELECT all_bands.* FROM all_bands JOIN bkt_ok USING (band_id, band_hash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM abr a JOIN abr b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+feats AS (
+  SELECT doc_id, md5(text) AS ch, uslug AS slug,
+         regexp_replace(uslug, '[0-9]+', '<NUM>', 'g') AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(NULL AS VARCHAR) AS lang
+  FROM sh
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM cand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+),
+star_exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, md5(text) AS kk FROM f WHERE text IS NOT NULL) a
+  JOIN (SELECT doc_id, md5(text) AS kk FROM f WHERE text IS NOT NULL) b USING (kk)
+  WHERE a.doc_id < b.doc_id
+),
+star_slug AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}) a
+  JOIN (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}) b
+    ON a.slug = b.slug
+  WHERE a.doc_id < b.doc_id
+),
+edges0 AS (
+  SELECT id_a, id_b FROM verified WHERE status IN ('exact', 'strong')
+  UNION SELECT * FROM star_exact
+  UNION SELECT * FROM star_slug
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT f.doc_id AS id, coalesce(cc.cluster_id, f.doc_id) AS cluster_id
+FROM f LEFT JOIN cc ON f.doc_id = cc.id"""
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1287,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "media_features": q_media_features,
         "unicode_slug": q_unicode_slug,
+        "components_unicode": q_components_unicode,
     }
 
 
@@ -1380,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": _corpus_filter_sql(),
         "unicode_slug": f"""
             SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
+        "components_unicode": _components_unicode_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
