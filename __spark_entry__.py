@@ -1364,6 +1364,115 @@ SELECT f.doc_id AS id, coalesce(cc.cluster_id, f.doc_id) AS cluster_id
 FROM f LEFT JOIN cc ON f.doc_id = cc.id"""
 
 
+def q_streaming_pairs(spark, sf_dir):
+    """The streaming surface through the batch gate: drain the documents
+    table as a real file-source stream (readStream → foreachBatch →
+    availableNow) through run_incremental_dedup's crash-atomic epoch
+    state, then return the COMMITTED pairs exactly as a downstream
+    consumer would read them (read_pairs honors the commit pointer).
+    One epoch == one batch here, so the oracle is the batch semantics:
+    min-id star edges for the key strategies plus the cascade over the
+    capped MinHash candidates, which `test_incremental_equals_batch_dedup`
+    extends to the multi-batch case."""
+    import os
+    import shutil
+    import tempfile
+
+    from fuzzycat_spark.streaming.dedup_stream import (
+        read_pairs,
+        run_incremental_dedup,
+    )
+
+    base = tempfile.mkdtemp(prefix="fuzzycat_stream_gate_")
+    docs = _docs(spark, sf_dir)
+    # the file source requires a DIRECTORY; sf dirs ship single-file
+    # tables, so stage the file(s) into one (all files -> ONE availableNow
+    # epoch, matching the oracle's single-batch semantics)
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    table = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(table):
+        for name in os.listdir(table):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(table, name), src_dir)
+    else:
+        shutil.copy(table, src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    index, pairs = f"{base}/index", f"{base}/pairs"
+    q = run_incremental_dedup(stream, index, pairs, f"{base}/ckpt", DOC_CFG)
+    q.awaitTermination(600)
+    out = read_pairs(spark, pairs, index)
+    assert out is not None, "streaming drain committed no epoch"
+    return out
+
+
+def _streaming_pairs_sql() -> str:
+    """Oracle for q_streaming_pairs: one availableNow epoch over the whole
+    table == the batch semantics — min-id star edges for exact/slug key
+    bands (slug honoring the SHORT_TOKENS screen), CONTENT_HASH winning
+    the per-pair priority, and the verify cascade over the capped MinHash
+    candidates that are not already star-linked."""
+    return f"""WITH {_BAND_CTES},
+bucket_ok AS (
+  SELECT band_id, band_hash FROM band_rows
+  GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+),
+br AS (SELECT band_rows.* FROM band_rows JOIN bucket_ok USING (band_id, band_hash)),
+lsh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM br a JOIN br b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+star_raw AS (
+  SELECT least(rep, doc_id) AS id_a, greatest(rep, doc_id) AS id_b,
+         'CONTENT_HASH' AS reason, 0 AS prio
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM t WHERE text IS NOT NULL)
+  WHERE doc_id != rep
+  UNION ALL
+  SELECT least(rep, doc_id) AS id_a, greatest(rep, doc_id) AS id_b,
+         'SLUG_MATCH' AS reason, 1 AS prio
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(slug)) AS rep
+        FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS})
+  WHERE doc_id != rep
+),
+star_all AS (
+  SELECT id_a, id_b, 'exact' AS status, reason FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a, id_b ORDER BY prio) AS rn
+    FROM star_raw
+  ) WHERE rn = 1
+),
+near AS (
+  SELECT l.id_a, l.id_b FROM lsh_cand l
+  ANTI JOIN star_all s ON l.id_a = s.id_a AND l.id_b = s.id_b
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM near c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+)
+SELECT id_a, id_b, status, reason FROM verified
+UNION ALL
+SELECT id_a, id_b, status, reason FROM star_all"""
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1430,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
+        "streaming_pairs": q_streaming_pairs,
     }
 
 
@@ -1524,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_slug": f"""
             SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
         "components_unicode": _components_unicode_sql(),
+        "streaming_pairs": _streaming_pairs_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
