@@ -1156,13 +1156,21 @@ _FILTER_LANGS = ("en", "de", "fr", "es", "it", "pt")
 
 def q_corpus_filter(spark, sf_dir):
     """The training-data keep decision: compose token count, quality
-    score, and language-ID into a single filter — the downstream consumer
-    of the text-analysis operators. Returns the KEPT docs with the
-    signals that admitted them."""
+    score, language-ID, and the default web-boilerplate denylist into a
+    single filter — the downstream consumer of the text-analysis
+    operators. Returns the KEPT docs with the signals that admitted
+    them. Denylisted slugs (error pages, auth walls, placeholder chrome
+    — functions/denylist.py) are dropped regardless of their scores."""
+    from fuzzycat_spark.functions.denylist import WEB_BOILERPLATE_DENYLIST
+
     q = q_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality")
     l = q_lang_id(spark, sf_dir)
+    keep = _docs(spark, sf_dir).select(
+        "doc_id", slug_text("text").alias("_slug")
+    ).filter(~F.col("_slug").isin(*WEB_BOILERPLATE_DENYLIST))
     return (
         q.join(l, on="doc_id")
+        .join(keep.select("doc_id"), on="doc_id", how="left_semi")
         .filter(
             (F.col("n_tokens") >= _FILTER_MIN_TOK)
             & (F.col("quality") >= _FILTER_MIN_QUALITY)
@@ -1173,11 +1181,17 @@ def q_corpus_filter(spark, sf_dir):
 
 
 def _corpus_filter_sql() -> str:
+    from fuzzycat_spark.functions.denylist import WEB_BOILERPLATE_DENYLIST
+
     langs = ", ".join(repr(x) for x in _FILTER_LANGS)
+    deny = ", ".join(repr(x) for x in WEB_BOILERPLATE_DENYLIST)
     return f"""
-WITH q AS ({_QUALITY_SQL}), l AS ({_lang_vote_sql()})
+WITH q AS ({_QUALITY_SQL}), l AS ({_lang_vote_sql()}),
+keep AS (SELECT doc_id FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)
+         WHERE slug NOT IN ({deny}))
 SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality
 FROM q JOIN l ON q.doc_id = l.doc_id
+JOIN keep ON q.doc_id = keep.doc_id
 WHERE q.n_tokens >= {_FILTER_MIN_TOK}
   AND q.quality >= {_FILTER_MIN_QUALITY}
   AND l.lang_pred IN ({langs})"""

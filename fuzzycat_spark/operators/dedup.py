@@ -78,6 +78,13 @@ class DedupConfig:
     embedding_dim: int | None = None
     embedding_planes: int = 8
     embedding_strong: float = 0.9
+    # boilerplate denylist (the graft of the reference's blacklist data,
+    # data.py:12-34): md5 slug keys whose SLUG equality is meaningless —
+    # they never form slug star edges or slug band rows, and the cascade
+    # marks their pairs ambiguous/"BLACKLISTED" (byte-identical junk still
+    # dedupes via CONTENT_HASH). Defaults to the committed web-boilerplate
+    # list; pass () to disable, or your own denylist_slug_keys(...) tuple.
+    denylist_keys: tuple[str, ...] | None = None
     # mega-cluster softener: when > 0, buckets over their cap are re-keyed
     # into this many salted shards BEFORE the cap filter, so a hot bucket
     # keeps ~1/salt_hot of its pairs (sharded) instead of yielding zero —
@@ -86,6 +93,15 @@ class DedupConfig:
     # reference's max-cluster-size behavior (verify.py:130-131).
     salt_hot: int = 0
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
+
+
+def _deny(cfg: "DedupConfig") -> tuple[str, ...]:
+    """Resolve cfg.denylist_keys (None -> the default web denylist)."""
+    if cfg.denylist_keys is None:
+        from fuzzycat_spark.functions.denylist import DEFAULT_DENYLIST_KEYS
+
+        return DEFAULT_DENYLIST_KEYS
+    return cfg.denylist_keys
 
 
 def strategy_band_table(
@@ -111,13 +127,15 @@ def strategy_band_table(
             ).filter(F.col("band_hash").isNotNull())
         )
     if "slug" in cfg.strategies:
-        tables.append(
-            prep.select(
-                "id",
-                F.lit("slug").alias("band_id"),
-                F.col("slug_key").alias("band_hash"),
-            ).filter(F.col("band_hash").isNotNull())
-        )
+        deny = _deny(cfg)
+        slug_rows = prep.select(
+            "id",
+            F.lit("slug").alias("band_id"),
+            F.col("slug_key").alias("band_hash"),
+        ).filter(F.col("band_hash").isNotNull())
+        if deny:
+            slug_rows = slug_rows.filter(~F.col("band_hash").isin(*deny))
+        tables.append(slug_rows)
     if "minhash" in cfg.strategies:
         tables.append(
             minhash_band_table(
@@ -263,14 +281,16 @@ def star_edges(prep: DataFrame, cfg: DedupConfig = DedupConfig()) -> DataFrame |
     if "slug" in cfg.strategies:
         from fuzzycat_spark.operators.verify import SHORT_TOKENS
 
+        members = prep.filter(
+            F.col("slug_key").isNotNull() & (F.col("n_tok") >= SHORT_TOKENS)
+        )
+        deny = _deny(cfg)
+        if deny:
+            # denylisted slugs never star: a corpus full of "404 not
+            # found" pages must not collapse into one SLUG_MATCH cluster
+            members = members.filter(~F.col("slug_key").isin(*deny))
         outs.append(
-            _star_edges_for_key(
-                prep.filter(
-                    F.col("slug_key").isNotNull() & (F.col("n_tok") >= SHORT_TOKENS)
-                ).select("id", "slug_key"),
-                "slug_key",
-                "SLUG_MATCH",
-            )
+            _star_edges_for_key(members.select("id", "slug_key"), "slug_key", "SLUG_MATCH")
         )
     if not outs:
         return None
@@ -393,9 +413,11 @@ def dedup_pages(
             rest = cands.join(
                 emb_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
             )
-            verified_near = verify_pairs(rest, prep).unionByName(emb_pairs)
+            verified_near = verify_pairs(
+                rest, prep, denylist_keys=_deny(cfg)
+            ).unionByName(emb_pairs)
         else:
-            verified_near = verify_pairs(cands, prep)
+            verified_near = verify_pairs(cands, prep, denylist_keys=_deny(cfg))
     else:
         verified_near = None
     # union star + verified pairs, one row per pair with the cascade's

@@ -151,9 +151,15 @@ def prepare_pages(
     return materialize(stage, "prep_features")
 
 
-def _tier1_rules() -> list[tuple[Column, str, str]]:
-    """Cascade rules 1-5: scalar comparisons over the NARROW feature
-    columns (content hash, token count, slug/nproj keys) — no arrays."""
+def _tier1_rules(
+    denylist_keys: tuple[str, ...] = (),
+) -> list[tuple[Column, str, str]]:
+    """Cascade rules 1-6: scalar comparisons over the NARROW feature
+    columns (content hash, token count, slug/nproj keys) — no arrays.
+    The denylist screen sits before SLUG_MATCH, mirroring the reference's
+    title-blacklist rule preceding its slug verdicts (verify.py:188-189 →
+    ambiguous/"blacklisted"): boilerplate slug equality ("404 not found")
+    is meaningless, but byte-identical junk still dedupes via rule 1."""
     a_ch, b_ch = F.col("a_ch"), F.col("b_ch")
     empty = (
         F.col("a_n_tok").isNull()
@@ -162,13 +168,25 @@ def _tier1_rules() -> list[tuple[Column, str, str]]:
         | (F.col("b_n_tok") == 0)
     )
     short = (F.col("a_n_tok") < SHORT_TOKENS) | (F.col("b_n_tok") < SHORT_TOKENS)
-    return [
+    rules = [
         (a_ch.isNotNull() & (a_ch == b_ch), "exact", "CONTENT_HASH"),
         (empty, "ambiguous", "EMPTY_TEXT"),
         (short, "ambiguous", "SHORT_TEXT"),
+    ]
+    if denylist_keys:
+        rules.append(
+            (
+                F.col("a_slug_key").isin(*denylist_keys)
+                | F.col("b_slug_key").isin(*denylist_keys),
+                "ambiguous",
+                "BLACKLISTED",
+            )
+        )
+    rules += [
         (F.col("a_slug_key") == F.col("b_slug_key"), "exact", "SLUG_MATCH"),
         (F.col("a_nproj_key") == F.col("b_nproj_key"), "different", "NUM_DIFF"),
     ]
+    return rules
 
 
 def _jaccard_from_counts(i: Column, na: Column, nb: Column) -> Column:
@@ -260,7 +278,11 @@ def _array_tier(
     return j.select("id_a", "id_b", F.explode(F.array(F.struct(*fields))).alias("m"))
 
 
-def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
+def verify_pairs(
+    pairs: DataFrame,
+    features: DataFrame,
+    denylist_keys: tuple[str, ...] | None = None,
+) -> DataFrame:
     """(id_a, id_b, status, reason) for every candidate pair — the cascade
     as a THREE-TIER distributed plan with rule-for-rule identical
     semantics to the reference's early-exit ordering:
@@ -279,9 +301,13 @@ def verify_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
     feature rows through one fat join; tiering bounds the wide shuffles
     by the per-tier unresolved fraction and one array family at a time.
     """
+    if denylist_keys is None:
+        from fuzzycat_spark.functions.denylist import DEFAULT_DENYLIST_KEYS
+
+        denylist_keys = DEFAULT_DENYLIST_KEYS
     tier1_cols = ["id", "ch", "slug_key", "nproj_key", "n_tok", "lang"]
     j1 = _pair_join(pairs, features.select(*tier1_cols), tier1_cols)
-    status1, reason1 = _when_chain(_tier1_rules(), None)
+    status1, reason1 = _when_chain(_tier1_rules(denylist_keys), None)
     t1 = materialize(
         j1.select(
             "id_a",

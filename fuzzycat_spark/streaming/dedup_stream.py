@@ -317,7 +317,9 @@ def incremental_dedup_batch(
     cands = cands.join(
         star_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
     )
-    verified = verify_pairs(cands, feats)
+    from fuzzycat_spark.operators.dedup import _deny
+
+    verified = verify_pairs(cands, feats, denylist_keys=_deny(cfg))
     # every write below is per-epoch + overwrite (idempotent under replay
     # of the same epoch); the pointer swap LAST makes the epoch atomic —
     # a kill between any two writes leaves the pointer at the previous

@@ -205,6 +205,53 @@ def test_cjk_bigram_tokens_enable_cjk_near_dedup(spark):
     assert got["j3"] != got["j0"]
 
 
+def test_denylisted_families_stay_unclustered(spark):
+    """The default web-boilerplate denylist (functions/denylist.py — the
+    graft of the reference's blacklist data, data.py:12-34): pages whose
+    SLUG is denylisted must not cluster by slug equality (no star edges,
+    no slug bands, cascade says ambiguous/BLACKLISTED), while
+    byte-identical junk still dedupes via CONTENT_HASH and real content
+    is untouched. denylist_keys=() restores the round-3 behavior."""
+    deny_variants = [
+        "Your browser is out of date!",
+        "your browser is out of date...",
+        "Your Browser -- Is Out Of Date",
+    ]
+    real = "the migration of arctic terns spans many thousand kilometers yearly"
+    rows = [
+        ("d0", deny_variants[0]),
+        ("d1", deny_variants[1]),
+        ("d2", deny_variants[2]),
+        ("x0", deny_variants[0]),          # byte-identical to d0
+        ("r0", real),
+        ("r1", real + "!"),                # slug-equal real family
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+
+    verified, assign = dedup_pages(df, cfg)
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    assert got["d0"] == got["x0"]          # exact content hash still links
+    assert got["d1"] not in (got["d0"], got["d2"])  # no slug clustering
+    assert got["d2"] != got["d0"]
+    assert got["r0"] == got["r1"]          # real slug family untouched
+    reasons = {
+        (r.id_a, r.id_b): (r.status, r.reason) for r in verified.collect()
+    }
+    d_pairs = [
+        v for (a, b), v in reasons.items()
+        if a.startswith(("d", "x")) and b.startswith(("d", "x")) and v[1] != "CONTENT_HASH"
+    ]
+    assert d_pairs and all(v == ("ambiguous", "BLACKLISTED") for v in d_pairs), reasons
+
+    # kill switch: an empty denylist restores slug clustering
+    _, assign_off = dedup_pages(df, DedupConfig(
+        strategies=("exact", "slug", "minhash"), denylist_keys=()
+    ))
+    off = {r.id: r.cluster_id for r in assign_off.collect()}
+    assert off["d0"] == off["d1"] == off["d2"] == off["x0"]
+
+
 def test_unicode_mode_reaches_every_strategy(spark):
     """Under slug_mode="unicode" the simhash, substring, and winnow
     strategies must tokenize the same CJK-bigram stream as slug/minhash —
