@@ -1,0 +1,131 @@
+"""Deterministic html → text extraction.
+
+The production seam behind the north star's "byte-identical extracted
+text per url" invariant — the web analog of the reference's fulltext
+extractor (`/root/reference/fuzzycat/grobid_unstructured.py:108-127`:
+structured document → plain text fields). Rounds 1-3 stubbed this as an
+anchored `<main>…</main>` slice; this is a real extractor:
+
+1. decode utf-8 (errors replaced, never raised — a truncated WARC record
+   must not kill a 100 TB job),
+2. drop comments and CDATA,
+3. drop NON-CONTENT elements with their subtrees — script/style/head/
+   template/noscript (never text) and nav/footer/aside (boilerplate
+   chrome), iterated to a fixpoint so nested same-tag occurrences are
+   fully removed,
+4. block-level tags become line breaks (block segmentation), inline tags
+   vanish,
+5. character references decode (named + decimal + hex),
+6. whitespace normalizes: horizontal runs to one space, blank lines
+   collapse, result stripped — so output is "one line per block".
+
+Everything is deterministic string rewriting (same bytes in → same bytes
+out, no network, no parser version drift) and runs as pandas `.str` ops
+over Arrow batches — the only per-match Python is the numeric-entity
+decoder, which fires only where `&#` actually occurs.
+
+On the synthetic corpus (sources/synth.py wraps the body in
+head/nav/main/footer chrome) extraction returns exactly the `text`
+column, which is what the byte-identical invariant test pins.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# elements whose entire subtree is dropped
+_DROP_TAGS = "script|style|head|template|noscript|nav|footer|aside|svg|iframe"
+_DROP_RE = re.compile(
+    rf"<(?:{_DROP_TAGS})\b[^>]*>.*?</(?:{_DROP_TAGS})\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>", re.DOTALL)
+# tags that delimit text blocks (their boundaries become line breaks)
+_BLOCK_TAGS = (
+    "p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|tfoot|"
+    "section|article|main|header|blockquote|pre|form|fieldset|figure|"
+    "figcaption|address|details|summary|body|html|title|option|select|"
+    "textarea|caption"
+)
+_BLOCK_RE = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*/?>", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]*>")
+_NUM_ENT_RE = re.compile(r"&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
+_NAMED_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST, so "&amp;lt;" decodes to "&lt;" not "<"
+]
+_WS_RE = re.compile(r"\s+")              # source-whitespace flatten
+_HWS_RE = re.compile(r"[^\S\n]+")       # horizontal whitespace runs
+_NL_RE = re.compile(r" ?\n[\s]*")        # blank-line / indent collapse
+
+
+def _decode_numeric(m: re.Match) -> str:
+    body = m.group(1)
+    cp = int(body[1:], 16) if body[0] in "xX" else int(body)
+    if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+        return chr(cp)
+    return m.group(0)
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """Scalar reference implementation (tests + documentation of record).
+    The UDF below applies the same passes batch-wise."""
+    if html is None:
+        return None
+    s = (
+        html.decode("utf-8", errors="replace")
+        if isinstance(html, (bytes, bytearray))
+        else html
+    )
+    s = _COMMENT_RE.sub("", s)
+    for _ in range(5):  # fixpoint: nested same-tag drop elements
+        s2 = _DROP_RE.sub("", s)
+        if s2 == s:
+            break
+        s = s2
+    # source whitespace (indentation, soft-wrapped lines) is NOT block
+    # structure — flatten it before block tags introduce the real breaks
+    s = _WS_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _NUM_ENT_RE.sub(_decode_numeric, s)
+    for ent, ch in _NAMED_ENTITIES:
+        s = s.replace(ent, ch)
+    s = _HWS_RE.sub(" ", s)
+    s = _NL_RE.sub("\n", s)
+    return s.strip()
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extractor: identical passes to `extract_text`, as
+    vectorized pandas .str operations over the whole batch."""
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray))
+        else b
+    )
+    s = s.str.replace(_COMMENT_RE, "", regex=True)
+    for _ in range(5):
+        s2 = s.str.replace(_DROP_RE, "", regex=True)
+        if s2.equals(s):
+            break
+        s = s2
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    s = s.str.replace(_BLOCK_RE, "\n", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    s = s.str.replace(_NUM_ENT_RE, _decode_numeric, regex=True)
+    for ent, ch in _NAMED_ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_HWS_RE, " ", regex=True)
+    s = s.str.replace(_NL_RE, "\n", regex=True)
+    return s.str.strip()

@@ -32,11 +32,8 @@ clusters > max size (`/root/reference/fuzzycat/__main__.py:220-223`).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
 SEED = 42
 PER_FAMILY = 4
@@ -205,14 +202,9 @@ def synth_pages(
     return out
 
 
-@pandas_udf(StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Deterministic html→text extractor (the per-row invariant surface).
-
-    For the synthetic corpus the body is the <main> element verbatim, so
-    extraction is an anchored slice — byte-identical to the `text` column by
-    construction (north-star invariant: "byte-identical extracted text per
-    url"). Vectorized pandas .str ops over Arrow batches.
-    """
-    s = html.map(lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
-    return s.str.extract(r"<main>(.*?)</main>", expand=False)
+# The real extractor lives in sources/html_extract.py (generic
+# tag-strip + boilerplate-element drop + entity decode + block
+# segmentation). On this synthetic corpus it returns exactly the `text`
+# column — the north-star "byte-identical extracted text per url"
+# invariant, pinned by test_extract_text_byte_identical.
+from fuzzycat_spark.sources.html_extract import extract_text_udf  # noqa: E402,F401

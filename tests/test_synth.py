@@ -44,6 +44,50 @@ def test_extract_text_byte_identical(corpus):
     assert mismatches == 0
 
 
+_EXPECTED_FIXTURE_TEXT = "\n".join(
+    [
+        'The "Ultra" Widget & Friends',
+        "First paragraph with bold and italic and an entity: 3 < 5 > 2, "
+        "plus café and snowman ☃.",
+        "Nested blocks still segment correctly.",
+        "cell one",
+        "cell two",
+        "Last paragraph after the inline script.",
+    ]
+)
+
+
+def test_extract_text_real_html_fixture(spark):
+    """The extractor on a committed real-shaped page: nested drop
+    elements (nav inside nav), inline + head scripts, style, comments
+    containing markup, named/decimal/hex entities, nested block tags,
+    table cells — head/nav/aside/footer chrome gone, one line per
+    block, entities decoded."""
+    from fuzzycat_spark.sources.html_extract import extract_text
+
+    with open("/root/repo/fixtures/sample_page.html", "rb") as f:
+        raw = f.read()
+    got = extract_text(raw)
+    assert got == _EXPECTED_FIXTURE_TEXT
+    # the distributed UDF path produces the same bytes
+    df = spark.createDataFrame([(raw,)], "html binary")
+    assert df.select(extract_text_udf("html")).first()[0] == _EXPECTED_FIXTURE_TEXT
+
+
+def test_extract_text_edge_cases():
+    from fuzzycat_spark.sources.html_extract import extract_text
+
+    assert extract_text(None) is None
+    assert extract_text(b"") == ""
+    assert extract_text("no markup at all") == "no markup at all"
+    # unterminated script: drop regex can't match, tag strip still fires
+    assert extract_text("<p>before</p><script>var x=1;") == "before\nvar x=1;"
+    # invalid utf-8 is replaced, never raised
+    assert "caf" in extract_text(b"<p>caf\xff</p>")
+    # numeric refs out of range stay literal; surrogates stay literal
+    assert extract_text("<p>&#1114112; &#xD800;</p>") == "&#1114112; &#xD800;"
+
+
 def test_deterministic(spark, corpus):
     again = synth_pages(spark, n_families=N_FAMILIES, n_spam=N_SPAM, with_labels=True)
     assert corpus.exceptAll(again).count() == 0
