@@ -1154,47 +1154,83 @@ _FILTER_MIN_QUALITY = 0.5
 _FILTER_LANGS = ("en", "de", "fr", "es", "it", "pt")
 
 
+_FILTER_MIN_CHARS = 20  # non-Latin admission: the ascii-slug token count
+# is meaningless for CJK text, so the length screen is codepoints
+
+
 def q_corpus_filter(spark, sf_dir):
     """The training-data keep decision: compose token count, quality
-    score, language-ID, and the default web-boilerplate denylist into a
-    single filter — the downstream consumer of the text-analysis
-    operators. Returns the KEPT docs with the signals that admitted
-    them. Denylisted slugs (error pages, auth walls, placeholder chrome
-    — functions/denylist.py) are dropped regardless of their scores."""
+    score, language-ID, script detection, and the default web-boilerplate
+    denylist into a single filter — the downstream consumer of the
+    text-analysis operators. Returns the KEPT docs with the signals that
+    admitted them. Denylisted slugs (error pages, auth walls, placeholder
+    chrome — functions/denylist.py) are dropped regardless of scores.
+    Non-Latin docs are admitted by SCRIPT (the lang-ID dictionary and the
+    stopword-based quality score are Latin-trained, so only a
+    codepoint-length screen applies to them)."""
     from fuzzycat_spark.functions.denylist import WEB_BOILERPLATE_DENYLIST
+    from fuzzycat_spark.functions.text import NON_LATIN_SCRIPTS, script_of
 
     q = q_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality")
     l = q_lang_id(spark, sf_dir)
-    keep = _docs(spark, sf_dir).select(
-        "doc_id", slug_text("text").alias("_slug")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        slug_text("text").alias("_slug"),
+        script_of(F.col("text")).alias("script"),
+        F.length("text").alias("_nchars"),
     ).filter(~F.col("_slug").isin(*WEB_BOILERPLATE_DENYLIST))
+    latin_ok = (
+        (F.col("n_tokens") >= _FILTER_MIN_TOK)
+        & (F.col("quality") >= _FILTER_MIN_QUALITY)
+        & F.col("lang_pred").isin(*_FILTER_LANGS)
+    )
+    non_latin_ok = F.col("script").isin(*NON_LATIN_SCRIPTS) & (
+        F.col("_nchars") >= _FILTER_MIN_CHARS
+    )
     return (
         q.join(l, on="doc_id")
-        .join(keep.select("doc_id"), on="doc_id", how="left_semi")
-        .filter(
-            (F.col("n_tokens") >= _FILTER_MIN_TOK)
-            & (F.col("quality") >= _FILTER_MIN_QUALITY)
-            & F.col("lang_pred").isin(*_FILTER_LANGS)
-        )
-        .select("doc_id", "lang_pred", "n_tokens", "quality")
+        .join(d, on="doc_id")
+        .filter(latin_ok | non_latin_ok)
+        .select("doc_id", "lang_pred", "script", "n_tokens", "quality")
     )
+
+
+def _script_case_sql(text_expr: str = "text") -> str:
+    """DuckDB mirror of functions.text.script_of: per-class
+    regexp_extract_all counts, argmax with the same tie precedence."""
+    from fuzzycat_spark.functions.text import SCRIPT_CLASSES
+
+    counts = {
+        name: f"len(regexp_extract_all({text_expr}, '{cls}'))"
+        for name, cls in SCRIPT_CLASSES
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    arms = " ".join(
+        f"WHEN {counts[name]} = best THEN '{name}'" for name, _ in SCRIPT_CLASSES
+    )
+    return f"""(SELECT CASE WHEN best > 0 THEN (CASE {arms} END) ELSE 'und' END
+  FROM (SELECT {best} AS best))"""
 
 
 def _corpus_filter_sql() -> str:
     from fuzzycat_spark.functions.denylist import WEB_BOILERPLATE_DENYLIST
+    from fuzzycat_spark.functions.text import NON_LATIN_SCRIPTS
 
     langs = ", ".join(repr(x) for x in _FILTER_LANGS)
     deny = ", ".join(repr(x) for x in WEB_BOILERPLATE_DENYLIST)
+    nls = ", ".join(repr(x) for x in NON_LATIN_SCRIPTS)
     return f"""
 WITH q AS ({_QUALITY_SQL}), l AS ({_lang_vote_sql()}),
-keep AS (SELECT doc_id FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)
-         WHERE slug NOT IN ({deny}))
-SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality
+d AS (SELECT doc_id, slug, {_script_case_sql()} AS script, length(text) AS nchars
+      FROM (SELECT doc_id, text, {_SLUG} AS slug FROM documents)
+      WHERE slug NOT IN ({deny}))
+SELECT q.doc_id, l.lang_pred, d.script, q.n_tokens, q.quality
 FROM q JOIN l ON q.doc_id = l.doc_id
-JOIN keep ON q.doc_id = keep.doc_id
-WHERE q.n_tokens >= {_FILTER_MIN_TOK}
-  AND q.quality >= {_FILTER_MIN_QUALITY}
-  AND l.lang_pred IN ({langs})"""
+JOIN d ON q.doc_id = d.doc_id
+WHERE (q.n_tokens >= {_FILTER_MIN_TOK}
+       AND q.quality >= {_FILTER_MIN_QUALITY}
+       AND l.lang_pred IN ({langs}))
+   OR (d.script IN ({nls}) AND d.nchars >= {_FILTER_MIN_CHARS})"""
 
 
 def q_media_features(spark, sf_dir):
@@ -1378,6 +1414,19 @@ SELECT f.doc_id AS id, coalesce(cc.cluster_id, f.doc_id) AS cluster_id
 FROM f LEFT JOIN cc ON f.doc_id = cc.id"""
 
 
+def q_script_id(spark, sf_dir):
+    """Script detection over the committed mixed-script fixture
+    (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
+    class per doc — the router that sends non-Latin corpora to
+    slug_mode='auto''s unicode path and feeds corpus_filter's
+    script-aware admission."""
+    from fuzzycat_spark.functions.text import script_of
+
+    return spark.read.parquet(_UNICODE_FIXTURE).select(
+        "doc_id", script_of(F.col("text")).alias("script")
+    )
+
+
 def q_streaming_pairs(spark, sf_dir):
     """The streaming surface through the batch gate: drain the documents
     table as a real file-source stream (readStream → foreachBatch →
@@ -1554,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
+        "script_id": q_script_id,
     }
 
 
@@ -1649,6 +1699,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
         "components_unicode": _components_unicode_sql(),
         "streaming_pairs": _streaming_pairs_sql(),
+        "script_id": f"""
+            SELECT doc_id, {_script_case_sql()} AS script
+            FROM '{_UNICODE_FIXTURE}'""",
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)

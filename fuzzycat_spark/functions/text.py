@@ -334,6 +334,56 @@ def lang_id_table(
     )
 
 
+# ---------------------------------------------------------------------------
+# script detection (codepoint-range majority vote, pure Catalyst)
+# ---------------------------------------------------------------------------
+
+# (script, regex char class) in PRECEDENCE order for ties — a doc mixing
+# kana with han is Japanese-shaped, so kana outranks han; everything
+# outranks latin because web chrome/URLs leak ascii into every page.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("kana", r"[぀-ゟ゠-ヿ]"),
+    ("hangul", r"[가-힯ᄀ-ᇿ]"),
+    ("han", r"[㐀-䶿一-鿿]"),
+    ("cyrillic", r"[Ѐ-ӿԀ-ԯ]"),
+    ("greek", r"[Ͱ-Ͽἀ-῿]"),
+    ("arabic", r"[؀-ۿݐ-ݿ]"),
+    ("hebrew", r"[֐-׿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("thai", r"[฀-๿]"),
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+)
+
+NON_LATIN_SCRIPTS: tuple[str, ...] = tuple(
+    s for s, _ in SCRIPT_CLASSES if s != "latin"
+)
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script codepoint counts — one native regexp_count per class,
+    all inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(cls)) for name, cls in SCRIPT_CLASSES}
+
+
+def script_of(col: Column | str) -> Column:
+    """Majority script of a text column ('und' when no class matches) —
+    the router for slug_mode='auto' corpora: non-Latin scripts need the
+    NFKD slugifier + CJK bigram tokenization, and a cheap plan-time
+    label beats per-operator configuration. Ties resolve by
+    SCRIPT_CLASSES precedence (kana > han: mixed kana/han is
+    Japanese-shaped; latin last: ascii chrome leaks into every page).
+    Pure Catalyst — a when-chain over regexp_count, mirroring the
+    lang-ID argmax, and DuckDB-expressible for the oracle."""
+    counts = script_counts(col)
+    best = F.greatest(*counts.values())
+    pick = None
+    for name, _ in SCRIPT_CLASSES:
+        cond = counts[name] == best
+        pick = F.when(cond, name) if pick is None else pick.when(cond, name)
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+
 def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
     """Deterministic document fingerprint: min md5 over word n-gram shingles
     (a 1-permutation MinHash — robust to local edits, cheap to compare).

@@ -430,3 +430,64 @@ def test_lang_id_table_matches_column_form(spark):
     }
     assert table_form == col_form
     assert table_form["empty"] == "und" and table_form["nums"] == "und"
+
+
+def test_script_of_labels(spark):
+    """Codepoint-range script detection: majority script wins, kana
+    outranks han on ties (Japanese-shaped), everything outranks the
+    ascii chrome that leaks into every web page, no-letter docs -> und."""
+    from fuzzycat_spark.functions.text import script_of
+
+    rows = [
+        ("latin", "plain english sentence with words"),
+        ("accented", "café résumé naïve façade über"),
+        ("greek", "η ελλαδα ειναι μια ομορφη χωρα"),
+        ("cyrillic", "москва является столицей россии"),
+        ("han", "東京は日本の首都であり大都市圏を形成"),
+        ("kana_tie", "すし さしみ abc"),          # pure kana beats the ascii leak? no: 6 kana vs 3 latin
+        ("hangul", "서울은 대한민국의 수도입니다"),
+        ("arabic", "القاهرة هي عاصمة مصر"),
+        ("hebrew", "ירושלים היא עיר עתיקה"),
+        ("thai", "กรุงเทพมหานครเป็นเมืองหลวง"),
+        ("devanagari", "दिल्ली भारत की राजधानी है"),
+        ("mixed_chrome", "ホームページ home about contact news menu"),  # chrome leak: latin 26 vs kana 6 -> latin majority
+        ("und", "12345 !!! ???"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.s for r in df.select("doc_id", script_of("text").alias("s")).collect()}
+    assert got["latin"] == "latin"
+    assert got["accented"] == "latin"
+    assert got["greek"] == "greek"
+    assert got["cyrillic"] == "cyrillic"
+    assert got["han"] == "han"
+    assert got["kana_tie"] == "kana"
+    assert got["hangul"] == "hangul"
+    assert got["arabic"] == "arabic"
+    assert got["hebrew"] == "hebrew"
+    assert got["thai"] == "thai"
+    assert got["devanagari"] == "devanagari"
+    assert got["mixed_chrome"] == "latin"  # honest majority, not wishful routing
+    assert got["und"] == "und"
+    assert got["empty"] == "und"
+
+
+def test_corpus_filter_admits_non_latin_by_script(spark, tmp_path):
+    """corpus_filter's script-aware admission: a CJK doc (lang-ID 'und',
+    quality metrics Latin-trained) is KEPT by script + codepoint length,
+    short non-Latin fragments and denylisted slugs still drop."""
+    import __spark_entry__ as E
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today it seems", "en"),
+        (1, "東京は日本の首都であり、世界有数の大都市圏を形成している。人口は千四百万人を超える。", None),
+        (2, "短い", None),                        # non-Latin but under the char screen
+        (3, "404 not found", "en"),               # denylisted slug
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    kept = {r.doc_id: r.script for r in E.q_corpus_filter(spark, sf).collect()}
+    assert 0 in kept and kept[0] == "latin"
+    assert 1 in kept and kept[1] == "han"
+    assert 2 not in kept and 3 not in kept
