@@ -22,20 +22,39 @@ def _lineage(stage_path: str) -> dict:
     groupBy(spark_partition_id).count() after its write, doubling the
     action count of the whole pipeline). The part files ARE the stage's
     partitions (one per write task), so footer row counts are exactly the
-    per-partition lineage record; on an object store the same footer reads
-    are ranged GETs."""
+    per-partition lineage record.
+
+    Paths resolve through pyarrow.fs.FileSystem.from_uri, so both local
+    directories and object-store URIs work (s3a:///s3n:// are mapped to
+    pyarrow's s3://; footer reads there are ranged GETs). A filesystem
+    pyarrow cannot reach degrades to an {"error": ...} record instead of
+    failing the pipeline — lineage is telemetry, not a correctness
+    dependency."""
     import os
 
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
-    parts = sorted(
-        f for f in os.listdir(stage_path)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    per_part = {
-        i: pq.ParquetFile(os.path.join(stage_path, f)).metadata.num_rows
-        for i, f in enumerate(parts)
-    }
+    uri = stage_path
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if uri.startswith(hadoop_scheme):
+            uri = "s3://" + uri[len(hadoop_scheme):]
+            break
+    try:
+        filesystem, path = pafs.FileSystem.from_uri(uri)
+        infos = filesystem.get_file_info(pafs.FileSelector(path))
+        parts = sorted(
+            i.path
+            for i in infos
+            if os.path.basename(i.path).startswith("part-")
+            and i.path.endswith(".parquet")
+        )
+        per_part = {
+            i: pq.ParquetFile(filesystem.open_input_file(p)).metadata.num_rows
+            for i, p in enumerate(parts)
+        }
+    except Exception as exc:  # unreachable fs -> telemetry gap, not a crash
+        return {"error": f"lineage unavailable for {stage_path}: {exc}"}
     return {
         "n_rows": int(sum(per_part.values())),
         "n_partitions": len(per_part),

@@ -86,32 +86,51 @@ def _pointer_path(sizes_path: str) -> str:
     return sizes_path + "/_CURRENT"
 
 
+def _resolve_fs(path: str):
+    """(filesystem, fs_path) via pyarrow.fs — local paths AND object-store
+    URIs (hadoop s3a:///s3n:// map to pyarrow's s3://)."""
+    from pyarrow import fs as pafs
+
+    uri = path
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if uri.startswith(hadoop_scheme):
+            uri = "s3://" + uri[len(hadoop_scheme):]
+            break
+    return pafs.FileSystem.from_uri(uri)
+
+
 def committed_epoch(index_path: str) -> int | None:
     """Highest epoch whose state writes all completed (None = no commits).
-    Local-FS read of the single pointer file; on an object store this is
-    one GET of one small key."""
-    import os
-
+    One read of one small key, resolved through pyarrow.fs so s3a://-style
+    index paths work, not just local directories."""
     try:
-        with open(_pointer_path(index_path + "_sizes")) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        fs, p = _resolve_fs(_pointer_path(index_path + "_sizes"))
+        with fs.open_input_stream(p) as f:
+            return int(f.read().decode("utf-8").strip())
+    except (OSError, ValueError, FileNotFoundError):
         return None
 
 
 def _commit_pointer(index_path: str, epoch: int) -> None:
-    """Swap the commit pointer — the LAST write of an epoch. Locally a
-    write-then-rename (atomic on POSIX); on an object store the rename
-    degrades to a single-key PUT, which is equally atomic per S3/GCS
-    semantics."""
+    """Swap the commit pointer — the LAST write of an epoch. On a local
+    filesystem: write-then-rename (atomic on POSIX, and readers never see
+    a partial file). On an object store: one single-key PUT, which is
+    atomic-visibility per S3/GCS semantics (a rename there would be
+    copy+delete, i.e. WORSE than the direct PUT)."""
     import os
 
-    p = _pointer_path(index_path + "_sizes")
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(epoch))
-    os.replace(tmp, p)
+    from pyarrow import fs as pafs
+
+    fs, p = _resolve_fs(_pointer_path(index_path + "_sizes"))
+    if isinstance(fs, pafs.LocalFileSystem):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, p)
+        return
+    with fs.open_output_stream(p) as f:
+        f.write(str(epoch).encode("utf-8"))
 
 
 def _read_state(
