@@ -1414,6 +1414,24 @@ SELECT f.doc_id AS id, coalesce(cc.cluster_id, f.doc_id) AS cluster_id
 FROM f LEFT JOIN cc ON f.doc_id = cc.id"""
 
 
+_HTML_FIXTURE = "/root/repo/fixtures/html_docs.parquet"
+
+
+def q_extract_text(spark, sf_dir):
+    """The html→text extractor through the driver gate: the distributed
+    Arrow-batched UDF (sources/html_extract.py — comment strip, fixpoint
+    boilerplate-subtree drop, block segmentation, entity decode) over the
+    committed messy-page fixture. The oracle reads the fixture's `etext`
+    column, precomputed by the SCALAR extractor at generation time
+    (tools/make_html_fixture.py) — UDF == scalar row-for-row, the same
+    golden pattern as unicode_slug."""
+    from fuzzycat_spark.sources.html_extract import extract_text_udf
+
+    return spark.read.parquet(_HTML_FIXTURE).select(
+        "doc_id", extract_text_udf(F.col("html")).alias("etext")
+    )
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -1604,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
         "script_id": q_script_id,
+        "extract_text": q_extract_text,
     }
 
 
@@ -1702,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "script_id": f"""
             SELECT doc_id, {_script_case_sql()} AS script
             FROM '{_UNICODE_FIXTURE}'""",
+        "extract_text": f"""
+            SELECT doc_id, etext FROM '{_HTML_FIXTURE}'""",
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)

@@ -288,8 +288,9 @@ def verify_pairs(
     semantics to the reference's early-exit ordering:
 
     - Tier 1 joins only scalar feature columns (content hash, slug/nproj
-      keys, token count — ~60 B/side) and resolves cascade rules 1-5; in a
-      dedup-heavy corpus that settles every exact/slug family.
+      keys, token count — ~60 B/side) and resolves cascade rules 1-6
+      (including the denylist screen); in a dedup-heavy corpus that
+      settles every exact/slug family.
     - Tier 2 joins ONLY the shingle-hash arrays for pairs tier 1 left
       unresolved and settles containment + strong shingle jaccard.
     - Tier 3 joins ONLY the tokset-hash arrays for the remainder (token

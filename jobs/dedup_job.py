@@ -33,6 +33,27 @@ def main() -> None:
     p.add_argument("--max-bucket-size", type=int, default=200)
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--strategies",
+        default="exact,slug,minhash",
+        help="comma list: exact,slug,minhash,simhash,substring,winnow",
+    )
+    p.add_argument(
+        "--slug-mode",
+        default="ascii",
+        choices=("ascii", "unicode", "auto"),
+        help="normalizer: ascii fold, full NFKD+CJK-bigram, or per-row auto",
+    )
+    p.add_argument("--substring-k", type=int, default=25)
+    p.add_argument("--simhash-band-bits", type=int, default=8)
+    p.add_argument(
+        "--salt-hot", type=int, default=0,
+        help="shard over-cap buckets into N salted sub-buckets (0 = drop them)",
+    )
+    p.add_argument(
+        "--no-denylist", action="store_true",
+        help="disable the default web-boilerplate slug denylist",
+    )
     args = p.parse_args()
 
     # --py-files ships the package; imports resolve on the executors too
@@ -44,10 +65,16 @@ def main() -> None:
     cfg = DedupConfig(
         id_col=args.id_col,
         text_col=args.text_col,
+        strategies=tuple(s for s in args.strategies.split(",") if s),
+        slug_mode=args.slug_mode,
         num_perm=args.num_perm,
         bands=args.bands,
         rows=args.rows,
         shingle_n=args.shingle_n,
+        substring_k=args.substring_k,
+        simhash_band_bits=args.simhash_band_bits,
+        salt_hot=args.salt_hot,
+        denylist_keys=() if args.no_denylist else None,
         max_block_size=args.max_block_size,
         max_bucket_size=args.max_bucket_size,
     )

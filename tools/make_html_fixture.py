@@ -1,0 +1,71 @@
+"""Generate fixtures/html_docs.parquet: (doc_id, html binary, etext) —
+realistic messy web pages plus the text the SCALAR extractor produces for
+each, computed at generation time. The driver gate (`extract_text` query)
+then runs the distributed Arrow-batched UDF over `html` and the DuckDB
+oracle reads the precomputed `etext` column — the same scalar-golden
+pattern as the unicode_slug fixture, proving UDF == scalar row-for-row
+through a real distributed plan. Pure pyarrow, no Spark needed."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fuzzycat_spark.sources.html_extract import extract_text
+
+PAGES: list[str] = [
+    # plain article
+    "<html><head><title>t</title></head><body><main><h1>Simple Article</h1>"
+    "<p>One paragraph of text.</p></main></body></html>",
+    # nested drop elements + chrome
+    '<html><head><script>var x="<p>fake</p>";</script></head><body>'
+    '<nav><ul><li>Home</li></ul><nav>deep</nav></nav>'
+    "<article><p>Real content survives.</p>"
+    "<aside>related junk</aside><p>Second block.</p></article>"
+    "<footer>footer junk</footer></body></html>",
+    # entities of every kind
+    "<p>caf&#233; &amp; bar &lt;tag&gt; snow&#x2603; &quot;q&quot; &apos;a&apos; a&nbsp;b</p>",
+    # comments with markup, CDATA, style
+    "<!-- <p>ghost</p> --><style>p{}</style><p>after comment</p>"
+    "<![CDATA[ <div>cdata ghost</div> ]]><p>after cdata</p>",
+    # tables and lists segment into blocks
+    "<table><tr><td>a1</td><td>a2</td></tr><tr><td>b1</td></tr></table>"
+    "<ul><li>first</li><li>second</li></ul>",
+    # soft-wrapped source: newlines inside a paragraph are NOT block breaks
+    "<p>line one\n   continues here\n   and here</p><p>next block</p>",
+    # unterminated script (malformed page)
+    "<p>before</p><script>var broken = 1;",
+    # non-ascii content + attributes with angle-ish junk
+    '<div data-x="1"><p>東京は日本の首都です。</p><p>Ünïcödé tëxt.</p></div>',
+    # empty and whitespace-only
+    "",
+    "   \n\t  ",
+    # no markup at all
+    "just plain text with no tags whatsoever",
+    # inline tags vanish without spacing damage
+    "<p>mid<b>dle</b> and <i>ital</i>ic</p>",
+]
+
+
+def main() -> None:
+    doc_ids = list(range(len(PAGES)))
+    htmls = [p.encode("utf-8") for p in PAGES]
+    etexts = [extract_text(p) for p in PAGES]
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+            "etext": pa.array(etexts, pa.string()),
+        }
+    )
+    pq.write_table(table, "/root/repo/fixtures/html_docs.parquet")
+    for i, t in zip(doc_ids, etexts):
+        print(f"--- {i} ---\n{t!r}")
+
+
+if __name__ == "__main__":
+    main()
