@@ -351,7 +351,55 @@ def incremental_dedup_batch(
     ).mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
     prep.write.mode("overwrite").parquet(f"{feat_path}/epoch={epoch_id}")
     sizes.write.mode("overwrite").parquet(f"{sizes_path}/epoch={epoch_id}")
+    _write_epoch_manifest(index_path, pairs_path, epoch_id)
     _commit_pointer(index_path, epoch_id)
+
+
+def _write_epoch_manifest(index_path: str, pairs_path: str, epoch_id: int) -> None:
+    """Per-epoch lineage record (north rule: "per-partition lineage +
+    metrics" for EVERY stage, streaming included): parquet-footer row
+    counts per partition for each state table of the epoch — metadata
+    reads only, zero Spark jobs, same mechanism as the batch pipeline's
+    stage lineage (plans/pipeline._lineage). Written BEFORE the pointer
+    swap so a committed epoch always has its manifest; failures degrade
+    to an error record, never block the commit."""
+    import json
+
+    from fuzzycat_spark.plans.pipeline import _lineage
+
+    manifest = {
+        "epoch": epoch_id,
+        "tables": {
+            name: _lineage(f"{parent}/epoch={epoch_id}")
+            for name, parent in (
+                ("pairs", pairs_path),
+                ("features", index_path + "_features"),
+                ("sizes", index_path + "_sizes"),
+            )
+        },
+    }
+    try:
+        fs, p = _resolve_fs(
+            f"{index_path}_sizes/_manifest_epoch_{epoch_id}.json"
+        )
+        with fs.open_output_stream(p) as f:
+            f.write(json.dumps(manifest, indent=1).encode("utf-8"))
+    except Exception:
+        pass  # lineage is telemetry — never fail the epoch over it
+
+
+def read_epoch_manifest(index_path: str, epoch_id: int) -> dict | None:
+    """Load one epoch's lineage manifest (None if absent/unreadable)."""
+    import json
+
+    try:
+        fs, p = _resolve_fs(
+            f"{index_path}_sizes/_manifest_epoch_{epoch_id}.json"
+        )
+        with fs.open_input_stream(p) as f:
+            return json.loads(f.read().decode("utf-8"))
+    except Exception:
+        return None
 
 
 def run_incremental_dedup(

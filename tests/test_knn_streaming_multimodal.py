@@ -314,6 +314,14 @@ def test_replay_of_committed_epoch_is_a_noop(spark, tmp_path):
     ds.incremental_dedup_batch(batch, index, pairs, cfg, epoch_id=0)
     assert ds.committed_epoch(index) == 1
 
+    # every committed epoch carries a per-partition lineage manifest
+    # (footer row counts, the streaming twin of the batch stage lineage)
+    m = ds.read_epoch_manifest(index, 0)
+    assert m is not None and m["epoch"] == 0
+    assert m["tables"]["pairs"]["n_rows"] == len(before_pairs)
+    assert m["tables"]["features"]["n_rows"] == 3
+    assert all("rows_per_partition" in t for t in m["tables"].values())
+
 
 def test_run_incremental_dedup_via_writestream(spark, tmp_path):
     """The real streaming entry point: a parquet file source drained with
