@@ -868,6 +868,70 @@ SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
 FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
 
 
+# the driver embeddings are near-orthogonal (max pairwise cosine ~0.51),
+# so the IVF gate runs at a threshold that actually forms clusters —
+# a gate where zero edges survive would pass vacuously
+_EMB_STRONG_IVF = 0.45
+
+
+def q_components_embedding_ivf(spark, sf_dir):
+    """The embedding strategy's IVF scale path end-to-end: the same
+    dedup_pages pipeline as components_embedding but candidates come from
+    k-means inverted lists (cell count set by k, independent of plane
+    geometry — the 10^9-vector index layout) instead of hyperplane
+    buckets, still through the capped band machinery and the cosine
+    tier. Threshold 0.45 (vs 0.9) so REAL edges and multi-doc clusters
+    form on the driver's near-orthogonal embeddings — this gate proves
+    cluster formation, not just empty-edge agreement."""
+    e = _emb(spark, sf_dir)
+    pages = e.select(
+        F.col("vec_id").alias("url"),
+        F.col("vec_id").cast("string").alias("text"),
+        "embedding",
+    )
+    cfg = DedupConfig(
+        strategies=("embedding",),
+        embedding_col="embedding",
+        embedding_dim=_ANN_DIM,
+        embedding_index="ivf",
+        embedding_ivf_k=_IVF_K,
+        embedding_strong=_EMB_STRONG_IVF,
+        max_bucket_size=MAX_BUCKET,
+    )
+    _, assign = dedup_pages(pages, cfg)
+    return assign
+
+
+def _components_embedding_ivf_sql() -> str:
+    return f"""WITH RECURSIVE {_ivf_cents_cte()},
+bkok AS (
+  SELECT cid FROM asg GROUP BY cid HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN bkok USING (cid) JOIN asg b ON a.cid = b.cid
+  WHERE a.vec_id < b.vec_id
+),
+epairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN embeddings a ON cand.id_a = a.vec_id
+  JOIN embeddings b ON cand.id_b = b.vec_id
+  WHERE round({_COS_D}, 9) >= {_EMB_STRONG_IVF}
+),
+eedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM epairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM epairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM eedges
+  UNION
+  SELECT g.src, reach.r FROM eedges g JOIN reach ON g.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
+FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
+
+
 def q_ann_similar_pairs(spark, sf_dir):
     """Bounded-at-scale threshold pairs: exact cosine only WITHIN
     hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
@@ -1623,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pairs": q_streaming_pairs,
         "script_id": q_script_id,
         "extract_text": q_extract_text,
+        "components_embedding_ivf": q_components_embedding_ivf,
     }
 
 
@@ -1723,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_UNICODE_FIXTURE}'""",
         "extract_text": f"""
             SELECT doc_id, etext FROM '{_HTML_FIXTURE}'""",
+        "components_embedding_ivf": _components_embedding_ivf_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)

@@ -78,6 +78,15 @@ class DedupConfig:
     embedding_dim: int | None = None
     embedding_planes: int = 8
     embedding_strong: float = 0.9
+    # candidate index for the embedding strategy: "hyperplane" buckets
+    # (2^planes buckets — size n_planes to the corpus) or "ivf" inverted
+    # lists (k-means coarse cells — bucket count set directly by
+    # embedding_ivf_k and INDEPENDENT of dimension/plane geometry, the
+    # standard 10^9-vector layout; cluster-boundary pairs are the recall
+    # tradeoff either way, and both routes share the capped band machinery
+    # and the cosine tier)
+    embedding_index: str = "hyperplane"
+    embedding_ivf_k: int = 8
     # boilerplate denylist (the graft of the reference's blacklist data,
     # data.py:12-34): md5 slug keys whose SLUG equality is meaningless —
     # they never form slug star edges or slug band rows, and the cascade
@@ -164,21 +173,42 @@ def strategy_band_table(
                 "embedding strategy needs the raw pages frame plus "
                 "cfg.embedding_col and cfg.embedding_dim"
             )
-        from fuzzycat_spark.operators.knn import (
-            hyperplane_bucket_col,
-            hyperplane_planes,
-        )
+        if cfg.embedding_index == "ivf":
+            from fuzzycat_spark.operators.knn import ivf_assign, ivf_centroids
 
-        planes = hyperplane_planes(cfg.embedding_dim, cfg.embedding_planes)
-        tables.append(
-            pages.select(
+            emb = pages.select(
                 F.col(cfg.id_col).alias("id"),
-                F.lit("emb").alias("band_id"),
-                hyperplane_bucket_col(F.col(cfg.embedding_col), planes).alias(
-                    "band_hash"
-                ),
-            ).filter(F.col("band_hash").isNotNull())
-        )
+                F.col(cfg.embedding_col).alias("embedding"),
+            )
+            cents = ivf_centroids(
+                emb, k=cfg.embedding_ivf_k, n_iter=1, id_col="id",
+                vec_col="embedding",
+            )
+            tables.append(
+                ivf_assign(emb, cents, id_col="id", vec_col="embedding").select(
+                    F.col("vec_id_").alias("id"),
+                    F.lit("emb").alias("band_id"),
+                    F.col("cid").cast("string").alias("band_hash"),
+                )
+            )
+        elif cfg.embedding_index == "hyperplane":
+            from fuzzycat_spark.operators.knn import (
+                hyperplane_bucket_col,
+                hyperplane_planes,
+            )
+
+            planes = hyperplane_planes(cfg.embedding_dim, cfg.embedding_planes)
+            tables.append(
+                pages.select(
+                    F.col(cfg.id_col).alias("id"),
+                    F.lit("emb").alias("band_id"),
+                    hyperplane_bucket_col(F.col(cfg.embedding_col), planes).alias(
+                        "band_hash"
+                    ),
+                ).filter(F.col("band_hash").isNotNull())
+            )
+        else:
+            raise ValueError(f"unknown embedding_index: {cfg.embedding_index!r}")
     if "winnow" in cfg.strategies:
         if pages is None:
             raise ValueError("winnow strategy needs the raw pages frame")

@@ -112,6 +112,42 @@ def test_ivf_knn_recall_and_exactness_at_full_probe(vectors):
     assert hits >= len(planted) * 0.8
 
 
+def test_embedding_strategy_ivf_clusters_planted_family(spark):
+    """DedupConfig(embedding_index='ivf'): a planted near-identical
+    vector family lands in one inverted list and clusters through the
+    cosine tier, while well-separated vectors stay singletons — the same
+    pipeline semantics as the hyperplane index, different candidate
+    geometry."""
+    import numpy as np
+
+    from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    fam = [base + rng.standard_normal(16) * 0.01 for _ in range(3)]
+    others = [rng.standard_normal(16) * (i + 1) for i in range(12)]
+    rows = [(i, v.tolist()) for i, v in enumerate(fam + others)]
+    pages = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(
+        F.col("vec_id").alias("url"),
+        F.col("vec_id").cast("string").alias("text"),
+        "embedding",
+    )
+    cfg = DedupConfig(
+        strategies=("embedding",),
+        embedding_col="embedding",
+        embedding_dim=16,
+        embedding_index="ivf",
+        embedding_ivf_k=4,
+        embedding_strong=0.95,
+    )
+    _, assign = dedup_pages(pages, cfg)
+    got = {r.id: r.cluster_id for r in assign.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert len({v for k, v in got.items() if k >= 3}) == 12  # others singletons
+
+
 def test_incremental_dedup_across_batches(spark):
     tmp = tempfile.mkdtemp()
     index, pairs = f"{tmp}/index", f"{tmp}/pairs"
