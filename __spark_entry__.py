@@ -810,7 +810,11 @@ SELECT probe_id, neighbor_id, rank FROM (
 ) WHERE rank <= 3"""
 
 
-_EMB_STRONG = 0.9
+# gate threshold below the driver embeddings' max pairwise cosine (~0.51)
+# so the edge tier and multi-doc clusters are actually exercised — at the
+# production default (0.9, DedupConfig.embedding_strong) this corpus has
+# zero qualifying pairs and the gate would pass on empty-set agreement
+_EMB_STRONG = 0.45
 
 
 def q_components_embedding(spark, sf_dir):
