@@ -129,6 +129,12 @@ def connected_components(
         lck.record_counters(f"cc_iter_{i}", {"changed": changed})
         if changed == 0:
             break
+    # the loop recorded its checkpoints/counters in the CHILD
+    # checkpointer's manifest copy; fold them back so the caller's next
+    # flush (e.g. the pipeline's verdict counters) doesn't clobber the
+    # cc_iter_* convergence records out of the shared manifest file
+    ck._manifest.update(lck._manifest)
+    ck._flush()
     # hand the result back on the CALLER's session (and at its
     # partitioning) so downstream joins never mix sessions
     final = spark.read.parquet(lck.path(last_name))

@@ -150,6 +150,27 @@ def test_connected_components_leaves_caller_session_conf_alone(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_connected_components_counters_survive_in_caller_manifest(spark, tmp_path):
+    """The child-session loop's cc_iter convergence counters must land in
+    the CALLER's manifest (and survive a later caller-side flush) — the
+    per-iteration metrics are part of the resumability/lineage story."""
+    import json
+
+    from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+
+    ck = StageCheckpointer(spark, str(tmp_path))
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    connected_components(edges, checkpointer=ck)
+    ck.record_counters("after", {"x": 1})  # a later flush must not clobber
+    m = json.load(open(f"{tmp_path}/_manifest.json"))
+    iters = [k for k in m if k.startswith("cc_iter_")]
+    assert iters, list(m)
+    assert all("counters" in m[k] for k in iters)
+    assert m[iters[-1]]["counters"]["changed"] == 0  # converged
+
+
 def test_exact_substring_pairs_short_contained_doc(spark):
     """The tier shingle-containment misses: a 30-token doc inside a
     600-token doc (shingle jaccard ~0.05) MUST surface via the
