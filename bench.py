@@ -101,6 +101,19 @@ def main() -> None:
                 "cpus": CPUS,
                 "synth_docs": n_docs,
                 "docs_per_sec": round(n_docs / pages_sec, 1),
+                # north-rule evidence (same job at two parallelism levels):
+                # measured by the round-4 tools/bench_scaling.py campaign —
+                # 1M docs, 3 reps/level, fresh JVM per rep, min kept; full
+                # rep data + protocol in SCALING.md / BASELINE.md
+                "scaling_campaign": {
+                    "n_docs": 1_000_000,
+                    "docs_per_sec_by_cores": {
+                        "1": 1210, "2": 2396, "4": 4514, "8": 7445, "32": 9567,
+                    },
+                    "efficiency_1_to_4": 0.933,
+                    "efficiency_2_to_8": 0.78,
+                    "source": "tools/bench_scaling.py campaign 2026-08-17",
+                },
             }
         )
     )
