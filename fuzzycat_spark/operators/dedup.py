@@ -155,13 +155,23 @@ def strategy_band_table(
             ).select("id", F.col("band_id").cast("string").alias("band_id"), "band_hash")
         )
     if "simhash" in cfg.strategies:
-        if pages is None:
-            raise ValueError("simhash strategy needs the raw pages frame")
-        tables.append(
-            simhash_bucket_table(
+        if "tok_h32" in prep.columns:
+            # fingerprint off the prep checkpoint's per-token hashes —
+            # no second text scan / tokenization (see prepare_pages)
+            from fuzzycat_spark.operators.lsh import simhash_bucket_table_from_hashes
+
+            sh = simhash_bucket_table_from_hashes(prep, cfg.simhash_band_bits)
+        elif pages is None:
+            raise ValueError(
+                "simhash strategy needs prep with tok_h32 or the raw pages frame"
+            )
+        else:
+            sh = simhash_bucket_table(
                 pages, cfg.id_col, cfg.text_col, cfg.simhash_band_bits,
                 slug_mode=cfg.slug_mode,
-            ).select(
+            )
+        tables.append(
+            sh.select(
                 "id",
                 F.concat(F.lit("sh"), F.col("band_id").cast("string")).alias("band_id"),
                 "band_hash",
@@ -346,7 +356,10 @@ def candidate_pairs(
     the caller also verifies, so normalization runs once for both phases.
     """
     if prep is None:
-        prep = prepare_pages(pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
+        prep = prepare_pages(
+            pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
+            with_token_hashes="simhash" in cfg.strategies,
+        )
     band_strategies = tuple(s for s in cfg.strategies if s != "substring")
     pairs = None
     if band_strategies:
@@ -390,8 +403,12 @@ def dedup_pages(
     """
     # one materialized preparation feeds blocking AND verification (narrow
     # projection: no html/text payload, SURVEY §4's "shuffle only verify
-    # columns")
-    prep = prepare_pages(pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
+    # columns"; the simhash strategy additionally fingerprints off the
+    # prep token hashes, so the raw text is scanned exactly once)
+    prep = prepare_pages(
+        pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
+        with_token_hashes="simhash" in cfg.strategies,
+    )
     # deterministic key-equality strategies (exact hash, slug) link via
     # O(n) star edges — no pair enumeration, no cap, full recall on
     # boilerplate mega-clusters (see star_edges); only the APPROXIMATE

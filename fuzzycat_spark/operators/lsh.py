@@ -222,7 +222,6 @@ def simhash_bucket_table(
     fingerprint hashes the same CJK-bigram token stream as every other
     strategy instead of the ASCII fold's residue.
     """
-    n_bands = 32 // band_bits
     toks = (
         tokens_col(text_col)
         if slug_mode == "ascii"
@@ -237,8 +236,17 @@ def simhash_bucket_table(
         ),
         None,
     )
-    fp = simhash32_from_hashes(F.col("hashes"))
-    keyed = staged.select("id", fp.alias("fp")).filter(
+    return _simhash_chunk_rows(staged, "hashes", band_bits)
+
+
+def _simhash_chunk_rows(
+    hashed: DataFrame, hashes_col: str, band_bits: int
+) -> DataFrame:
+    """(id, band_id, band_hash) Charikar chunks from a materialized
+    per-token-hash array attribute."""
+    n_bands = 32 // band_bits
+    fp = simhash32_from_hashes(F.col(hashes_col))
+    keyed = hashed.select("id", fp.alias("fp")).filter(
         F.col("fp").isNotNull() & (F.col("fp") >= 0)
     )
     mask = (1 << band_bits) - 1
@@ -249,3 +257,14 @@ def simhash_bucket_table(
         ]
     )
     return keyed.select("id", F.posexplode(bands).alias("band_id", "band_hash"))
+
+
+def simhash_bucket_table_from_hashes(
+    prep: DataFrame, band_bits: int = 8, hashes_col: str = "tok_h32"
+) -> DataFrame:
+    """SimHash chunk rows straight off a prepared-features checkpoint
+    carrying per-token 32-bit hashes (prepare_pages with_token_hashes=True)
+    — identical output to `simhash_bucket_table`, minus its second scan
+    and re-tokenization of the raw text (and minus a second pandas-UDF
+    pass under unicode slug modes)."""
+    return _simhash_chunk_rows(prep, hashes_col, band_bits)

@@ -62,6 +62,7 @@ def prepare_pages(
     id_col: str = "url",
     text_col: str = "text",
     slug_mode: str = "ascii",
+    with_token_hashes: bool = False,
 ) -> DataFrame:
     """Single-stage materialized document preparation shared by blocking
     and verification: scan → slug/tokens → shingles/tokset → hashed forms,
@@ -134,10 +135,10 @@ def prepare_pages(
         ),
     )
     shingles, tokset = F.col("shingles"), F.col("tokset")
-    stage = s3.select(
-        "id",
+    cols = [
+        F.col("id"),
         content_hash(F.col("_text")).alias("ch"),
-        "lang",
+        F.col("lang"),
         F.size(F.col("toks")).alias("n_tok"),
         F.md5(F.col("slug").cast("binary")).alias("slug_key"),
         F.md5(num_project(F.col("slug")).cast("binary")).alias("nproj_key"),
@@ -147,8 +148,17 @@ def prepare_pages(
         # per-element hash) — no second xxhash64 array is stored
         F.transform(shingles, md5_h64).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
-    )
-    return materialize(stage, "prep_features")
+    ]
+    if with_token_hashes:
+        # per-token 32-bit hashes WITH duplicates (term-frequency weight)
+        # — lets the simhash strategy fingerprint off this checkpoint
+        # instead of re-scanning and re-tokenizing the raw text (a second
+        # pandas-UDF pass under unicode modes). Still a fixed-width int64
+        # array, so the no-string-arrays checkpoint property holds.
+        from fuzzycat_spark.functions.hashing import token_hashes32
+
+        cols.append(token_hashes32(F.col("toks")).alias("tok_h32"))
+    return materialize(s3.select(*cols), "prep_features")
 
 
 def _tier1_rules(

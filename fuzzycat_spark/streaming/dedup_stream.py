@@ -198,7 +198,10 @@ def incremental_dedup_batch(
         return
 
     batch = materialize(batch, "stream_batch", keep_last=2)
-    prep = prepare_pages(batch, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode)
+    prep = prepare_pages(
+        batch, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
+        with_token_hashes="simhash" in cfg.strategies,
+    )
 
     feat_hist = _read_state(spark, feat_path, committed)
     if feat_hist is not None:
