@@ -391,38 +391,54 @@ def candidate_pairs(
     return pairs
 
 
-def dedup_pages(
-    pages: DataFrame, cfg: DedupConfig = DedupConfig()
-) -> tuple[DataFrame, DataFrame]:
-    """Run the full pipeline.
+def dedup_stages(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    stage,
+    cc_checkpointer=None,
+) -> dict[str, DataFrame]:
+    """THE flagship dedup plan, parameterized over stage materialization —
+    the single source of truth shared by `dedup_pages` (ephemeral
+    checkpoints) and `plans.pipeline.run_dedup_pipeline` (named resumable
+    checkpoints). `stage(name, build)` must materialize `build()` and
+    return the re-read frame; `cc_checkpointer` optionally threads a
+    StageCheckpointer into the CC loop so its per-iteration tables land in
+    the resumable dir.
 
-    Returns (verified_pairs, assignments):
-      verified_pairs — (id_a, id_b, status, reason), id_a < id_b
-      assignments    — (id, cluster_id); singletons get their own id,
-                       cluster_id = min id in the component (FIXTURES.md §5).
+    Plan shape (see the stage comments below): one materialized narrow
+    preparation feeds blocking AND verification; deterministic key-equality
+    strategies (exact hash, slug) link via O(n) star edges — no pair
+    enumeration, no cap, full recall on boilerplate mega-clusters
+    (`star_edges`; the reference's max-cluster-size drop, verify.py:130-131,
+    is exactly what the stars replace); only the APPROXIMATE strategies go
+    through capped pair expansion + the verify cascade, with the embedding
+    cosine tier ahead of the text rules when enabled.
+
+    Returns {"prepared", "candidates" (None when only key-equality
+    strategies are enabled), "verified", "assignments"}.
     """
-    # one materialized preparation feeds blocking AND verification (narrow
-    # projection: no html/text payload, SURVEY §4's "shuffle only verify
-    # columns"; the simhash strategy additionally fingerprints off the
-    # prep token hashes, so the raw text is scanned exactly once)
-    prep = prepare_pages(
-        pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
-        with_token_hashes="simhash" in cfg.strategies,
+    # narrow projection: no html/text payload past here (SURVEY §4's
+    # "shuffle only verify columns"); the simhash strategy additionally
+    # fingerprints off the prep token hashes, so raw text is scanned once
+    prep = stage(
+        "prepared",
+        lambda: prepare_pages(
+            pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
+            with_token_hashes="simhash" in cfg.strategies,
+        ),
     )
-    # deterministic key-equality strategies (exact hash, slug) link via
-    # O(n) star edges — no pair enumeration, no cap, full recall on
-    # boilerplate mega-clusters (see star_edges); only the APPROXIMATE
-    # strategies go through capped pair expansion + the verify cascade
     stars = star_edges(prep, cfg)
     near_cfg = replace(
         cfg,
         strategies=tuple(s for s in cfg.strategies if s not in ("exact", "slug")),
     )
+    cands = None
+    verified_near = None
     if near_cfg.strategies:
         # materialize candidates before the feature joins: with the lazy
         # window+join+distinct plan inline, the verify joins get planned
         # without row statistics and run ~5x slower
-        cands = materialize(candidate_pairs(pages, near_cfg, prep=prep), "candidates")
+        cands = stage("candidates", lambda: candidate_pairs(pages, near_cfg, prep=prep))
         if "embedding" in cfg.strategies and cfg.embedding_col is not None:
             # embedding tier BEFORE the text cascade: paraphrase dups have
             # dissimilar text by definition, so the text rules would
@@ -433,30 +449,31 @@ def dedup_pages(
             emb = pages.select(
                 F.col(cfg.id_col).alias("id"), F.col(cfg.embedding_col).alias("e")
             )
-            scored = (
-                cands.join(
-                    emb.select(F.col("id").alias("id_a"), F.col("e").alias("_ea")),
-                    on="id_a",
+
+            def build_emb_pairs() -> DataFrame:
+                scored = (
+                    cands.join(
+                        emb.select(F.col("id").alias("id_a"), F.col("e").alias("_ea")),
+                        on="id_a",
+                    )
+                    .join(
+                        emb.select(F.col("id").alias("id_b"), F.col("e").alias("_eb")),
+                        on="id_b",
+                    )
+                    .select(
+                        "id_a",
+                        "id_b",
+                        F.round(cosine_col(F.col("_ea"), F.col("_eb")), 9).alias("_cos"),
+                    )
                 )
-                .join(
-                    emb.select(F.col("id").alias("id_b"), F.col("e").alias("_eb")),
-                    on="id_b",
-                )
-                .select(
-                    "id_a",
-                    "id_b",
-                    F.round(cosine_col(F.col("_ea"), F.col("_eb")), 9).alias("_cos"),
-                )
-            )
-            emb_pairs = materialize(
-                scored.filter(F.col("_cos") >= cfg.embedding_strong).select(
+                return scored.filter(F.col("_cos") >= cfg.embedding_strong).select(
                     "id_a",
                     "id_b",
                     F.lit("strong").alias("status"),
                     F.lit("EMBEDDING_COSINE").alias("reason"),
-                ),
-                "emb_pairs",
-            )
+                )
+
+            emb_pairs = stage("emb_pairs", build_emb_pairs)
             rest = cands.join(
                 emb_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
             )
@@ -465,8 +482,6 @@ def dedup_pages(
             ).unionByName(emb_pairs)
         else:
             verified_near = verify_pairs(cands, prep, denylist_keys=_deny(cfg))
-    else:
-        verified_near = None
     # union star + verified pairs, one row per pair with the cascade's
     # precedence (CONTENT_HASH < SLUG_MATCH < pairwise verdict); then
     # materialize: connected components iterates over the edge list, and
@@ -475,31 +490,74 @@ def dedup_pages(
     parts = [p for p in (stars, verified_near) if p is not None]
     if not parts:
         raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
-    from pyspark.sql.window import Window
 
-    prio = (
-        F.when(F.col("reason") == "CONTENT_HASH", 0)
-        .when(F.col("reason") == "SLUG_MATCH", 1)
-        .otherwise(2)
-    )
-    wp = Window.partitionBy("id_a", "id_b").orderBy(prio.asc(), F.col("reason"))
-    deduped = (
-        unioned.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    verified = materialize(deduped, "verified")
-    edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
-    cc = connected_components(edges)
-    assignments = (
-        pages.select(F.col(cfg.id_col).alias("id"))
-        .join(cc, on="id", how="left")
-        .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
-    )
-    return verified, assignments
+    def build_verified() -> DataFrame:
+        from pyspark.sql.window import Window
+
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        prio = (
+            F.when(F.col("reason") == "CONTENT_HASH", 0)
+            .when(F.col("reason") == "SLUG_MATCH", 1)
+            .otherwise(2)
+        )
+        wp = Window.partitionBy("id_a", "id_b").orderBy(prio.asc(), F.col("reason"))
+        return (
+            unioned.withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    verified = stage("verified", build_verified)
+
+    def build_assignments() -> DataFrame:
+        edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
+        cc = connected_components(edges, checkpointer=cc_checkpointer)
+        return (
+            pages.select(F.col(cfg.id_col).alias("id"))
+            .join(cc, on="id", how="left")
+            .select(
+                "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
+            )
+        )
+
+    assignments = stage("assignments", build_assignments)
+    return {
+        "prepared": prep,
+        "candidates": cands,
+        "verified": verified,
+        "assignments": assignments,
+    }
+
+
+# stages every caller must hard-materialize (plan-statistics / lineage-cut
+# boundaries); "prepared" checkpoints inside prepare_pages itself and
+# "assignments" is terminal, so the ephemeral path skips re-writing those
+HARD_STAGES = frozenset({"candidates", "emb_pairs", "verified"})
+
+
+def dedup_pages(
+    pages: DataFrame, cfg: DedupConfig = DedupConfig()
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full pipeline with ephemeral (session-temp) checkpoints.
+
+    Returns (verified_pairs, assignments):
+      verified_pairs — (id_a, id_b, status, reason), id_a < id_b
+      assignments    — (id, cluster_id); singletons get their own id,
+                       cluster_id = min id in the component (FIXTURES.md §5).
+
+    The plan is `dedup_stages` — byte-identical to what the spark-submit
+    path (`plans.pipeline.run_dedup_pipeline`) runs, minus the durable
+    checkpoint dir (pinned by tests/test_dedup_e2e.py's CLI parity test).
+    """
+
+    def stage(name: str, build) -> DataFrame:
+        df = build()
+        return materialize(df, name) if name in HARD_STAGES else df
+
+    out = dedup_stages(pages, cfg, stage)
+    return out["verified"], out["assignments"]
 
 
 def dup_stats(assignments: DataFrame) -> DataFrame:

@@ -9,9 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fuzzycat_spark.operators.components import connected_components
-from fuzzycat_spark.operators.dedup import DedupConfig, candidate_pairs
-from fuzzycat_spark.operators.verify import prepare_pages, verify_pairs
+from fuzzycat_spark.operators.dedup import DedupConfig, dedup_stages
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 
 
@@ -68,48 +66,34 @@ def run_dedup_pipeline(
     cfg: DedupConfig = DedupConfig(),
     lineage: bool = True,
 ) -> dict[str, DataFrame]:
-    """Stage-checkpointed dedup: prepare → candidates → verify → components
-    → assignments. Re-running with the same checkpointer resumes after the
-    last stage whose parquet table completed.
+    """Stage-checkpointed dedup: prepare → candidates (+ embedding tier) →
+    verify → components → assignments. Re-running with the same
+    checkpointer resumes after the last stage whose parquet table completed.
+
+    The plan itself is `operators.dedup.dedup_stages` — the SAME composition
+    `dedup_pages` (the flagship entry) runs: star edges for the key-equality
+    strategies (so over-cap boilerplate mega-clusters still link, instead of
+    the reference's drop-big-clusters behavior), per-pair priority dedup,
+    the optional embedding cosine tier, and single-text-scan simhash via
+    `with_token_hashes`. This path only swaps the ephemeral checkpoints for
+    named resumable ones and records lineage/verdict counters.
     """
 
-    def record(name: str, df: DataFrame) -> DataFrame:
+    def stage(name: str, build) -> DataFrame:
+        df = ck.stage(name, build)
         if lineage:
             ck.record_counters(name, _lineage(ck.path(name)))
         return df
 
-    prep = record(
-        "prepared",
-        ck.stage(
-            "prepared",
-            lambda: prepare_pages(
-                pages, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode
-            ),
-        ),
-    )
-    cands = record("candidates", ck.stage("candidates", lambda: candidate_pairs(pages, cfg, prep=prep)))
-    verified = record("verified", ck.stage("verified", lambda: verify_pairs(cands, prep)))
-
-    def build_assignments() -> DataFrame:
-        edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
-        cc = connected_components(edges, checkpointer=ck)
-        return (
-            pages.select(F.col(cfg.id_col).alias("id"))
-            .join(cc, on="id", how="left")
-            .select("id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"))
-        )
-
-    assignments = record("assignments", ck.stage("assignments", build_assignments))
+    out = dedup_stages(pages, cfg, stage, cc_checkpointer=ck)
 
     # the reference's run counters (notes/old_pipeline.md:106-112 analog)
     verdicts = {
         r["status"]: int(r["n"])
-        for r in verified.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in out["verified"]
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     ck.record_counters("verdicts", verdicts)
-    return {
-        "prepared": prep,
-        "candidates": cands,
-        "verified": verified,
-        "assignments": assignments,
-    }
+    return out

@@ -36,7 +36,8 @@ def main() -> None:
     p.add_argument(
         "--strategies",
         default="exact,slug,minhash",
-        help="comma list: exact,slug,minhash,simhash,substring,winnow",
+        help="comma list: exact,slug,minhash,simhash,substring,winnow,"
+        "embedding,nysiis",
     )
     p.add_argument(
         "--slug-mode",
@@ -46,6 +47,26 @@ def main() -> None:
     )
     p.add_argument("--substring-k", type=int, default=25)
     p.add_argument("--simhash-band-bits", type=int, default=8)
+    p.add_argument("--winnow-k", type=int, default=3)
+    p.add_argument("--winnow-w", type=int, default=4)
+    p.add_argument(
+        "--name-col", default=None,
+        help="name column for the nysiis phonetic strategy",
+    )
+    p.add_argument(
+        "--embedding-col", default=None,
+        help="array<float> column for the embedding strategy",
+    )
+    p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--embedding-planes", type=int, default=8)
+    p.add_argument(
+        "--embedding-strong", type=float, default=0.9,
+        help="cosine at/above which a candidate pair is a strong dup",
+    )
+    p.add_argument(
+        "--embedding-index", default="hyperplane", choices=("hyperplane", "ivf"),
+    )
+    p.add_argument("--embedding-ivf-k", type=int, default=8)
     p.add_argument(
         "--salt-hot", type=int, default=0,
         help="shard over-cap buckets into N salted sub-buckets (0 = drop them)",
@@ -73,6 +94,15 @@ def main() -> None:
         shingle_n=args.shingle_n,
         substring_k=args.substring_k,
         simhash_band_bits=args.simhash_band_bits,
+        winnow_k=args.winnow_k,
+        winnow_w=args.winnow_w,
+        name_col=args.name_col,
+        embedding_col=args.embedding_col,
+        embedding_dim=args.embedding_dim,
+        embedding_planes=args.embedding_planes,
+        embedding_strong=args.embedding_strong,
+        embedding_index=args.embedding_index,
+        embedding_ivf_k=args.embedding_ivf_k,
         salt_hot=args.salt_hot,
         denylist_keys=() if args.no_denylist else None,
         max_block_size=args.max_block_size,

@@ -10,7 +10,7 @@ import tempfile
 import pyspark.sql.functions as F
 import pytest
 
-from fuzzycat_spark.operators.dedup import DedupConfig
+from fuzzycat_spark.operators.dedup import DedupConfig, dedup_pages
 from fuzzycat_spark.operators.pairs import star_pairs, status_ranked_matches
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 from fuzzycat_spark.plans.pipeline import run_dedup_pipeline
@@ -38,6 +38,54 @@ def test_pipeline_stages_and_resume(spark):
     out2 = run_dedup_pipeline(pages, ck2, DedupConfig(), lineage=False)
     assert out2["assignments"].count() == n
     assert os.path.getmtime(manifest["verified"]["path"]) == before  # not rewritten
+
+
+def test_cli_pipeline_matches_flagship_on_mega_cluster(spark, tmp_path):
+    """run_dedup_pipeline (the spark-submit path) must produce EXACTLY the
+    flagship dedup_pages pair set — including on an over-cap (>100-copy
+    slug-equal) template family. The round-4 CLI path routed exact/slug
+    through the capped band table, so a mega-cluster's buckets exceeded
+    max_block_size=100 and yielded ZERO pairs (the reference's
+    drop-big-clusters pathology, verify.py:130-131, that star edges exist
+    to fix); it also re-scanned text for simhash. Both paths now run
+    operators.dedup.dedup_stages."""
+    corpus = synth_pages(spark, n_families=20, n_spam=0)
+    # 120 slug-equal pages (punctuation-only variants -> one slug key, many
+    # content hashes), well over max_block_size=100
+    mega = spark.range(120).select(
+        F.concat(F.lit("https://mega.example/p/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.lit("boilerplate template body with many repeated tokens for the mega cluster fixture"),
+            F.repeat(F.lit("!"), F.pmod(F.col("id"), F.lit(7)).cast("int")),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    pages = corpus.unionByName(mega)
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash", "simhash"))
+
+    v_flag, a_flag = dedup_pages(pages, cfg)
+    flag_pairs = {(r.id_a, r.id_b, r.status, r.reason) for r in v_flag.collect()}
+
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"))
+    out = run_dedup_pipeline(pages, ck, cfg, lineage=False)
+    cli_pairs = {
+        (r.id_a, r.id_b, r.status, r.reason) for r in out["verified"].collect()
+    }
+    assert cli_pairs == flag_pairs
+
+    # the mega family is fully recovered through the CLI path: one cluster
+    mega_clusters = {
+        r.cluster_id
+        for r in out["assignments"].collect()
+        if r.id.startswith("https://mega.example/")
+    }
+    assert len(mega_clusters) == 1
+    # and assignments agree doc-for-doc with the flagship
+    flag_assign = {(r.id, r.cluster_id) for r in a_flag.collect()}
+    cli_assign = {(r.id, r.cluster_id) for r in out["assignments"].collect()}
+    assert cli_assign == flag_assign
 
 
 def test_star_pairs(spark):
