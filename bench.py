@@ -62,11 +62,21 @@ def main() -> None:
         "fingerprint",
         "simhash",
     ]
+    # best-of-N per query, all reps recorded: a single rep on this shared
+    # VM carries 10-40% co-tenancy noise (SCALING.md), so one bad sample
+    # used to read as a whole-suite regression; the min is the least-noise
+    # estimator of a query's actual cost, and the rep list is the variance
+    # evidence that makes the recorded number defensible
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    query_reps: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        reps: list[float] = []
+        for _ in range(reps_n):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            reps.append(round(time.time() - t0, 3))
+        query_reps[name] = reps
+        timings[name] = min(reps)
 
     # end-to-end synthetic web-page dedup (the production workload shape)
     n_docs = SYNTH_FAMILIES * 4 + SYNTH_SPAM
@@ -80,43 +90,40 @@ def main() -> None:
     warm = pages.sample(0.02, seed=1).localCheckpoint()
     _, wa = dedup_pages(warm, DedupConfig())
     wa.count()
-    pages_sec = None
-    for _ in range(2):
+    e2e_reps: list[float] = []
+    for _ in range(max(2, reps_n - 1)):
         t0 = time.time()
         _, assign = dedup_pages(pages, DedupConfig())
         assert assign.count() == n_docs
-        rep = round(time.time() - t0, 3)
-        pages_sec = rep if pages_sec is None else min(pages_sec, rep)
+        e2e_reps.append(round(time.time() - t0, 3))
+    query_reps["pages_dedup_e2e"] = e2e_reps
+    pages_sec = min(e2e_reps)
     timings["pages_dedup_e2e"] = pages_sec
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "dedup_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                "synth_docs": n_docs,
-                "docs_per_sec": round(n_docs / pages_sec, 1),
-                # north-rule evidence (same job at two parallelism levels):
-                # measured by the round-4 tools/bench_scaling.py campaign —
-                # 1M docs, 3 reps/level, fresh JVM per rep, min kept; full
-                # rep data + protocol in SCALING.md / BASELINE.md
-                "scaling_campaign": {
-                    "n_docs": 1_000_000,
-                    "docs_per_sec_by_cores": {
-                        "1": 1210, "2": 2396, "4": 4514, "8": 7445, "32": 9567,
-                    },
-                    "efficiency_1_to_4": 0.933,
-                    "efficiency_2_to_8": 0.78,
-                    "source": "tools/bench_scaling.py campaign 2026-08-17",
-                },
-            }
-        )
+    record = {
+        "metric": "dedup_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_reps": query_reps,
+        "estimator": f"min of {reps_n} reps per query",
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "synth_docs": n_docs,
+        "docs_per_sec": round(n_docs / pages_sec, 1),
+    }
+    # north-rule evidence (same job at two parallelism levels) from the
+    # committed campaign artifact — provenance-stamped historical numbers
+    # (tools/bench_scaling.py refreshes it), never constants baked into a
+    # live bench line as if this run had measured them
+    campaign_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING_CAMPAIGN.json"
     )
+    if os.path.exists(campaign_path):
+        with open(campaign_path) as f:
+            record["scaling_campaign"] = {"historical_reference": True, **json.load(f)}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

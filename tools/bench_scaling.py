@@ -87,6 +87,33 @@ synth_pages(spark, n_families={N_FAMILIES}, n_spam={N_SPAM}).write.mode("overwri
         "scaling_efficiency": round(speedup / ideal, 3),
     }
     print(json.dumps(summary))
+    # refresh the committed campaign artifact that bench.py embeds (set
+    # SPARK_GRAFT_CAMPAIGN_OUT=SCALING_CAMPAIGN.json after a real campaign;
+    # bench output then carries measured-at provenance, never stale
+    # constants baked into live bench lines)
+    out_path = os.environ.get("SPARK_GRAFT_CAMPAIGN_OUT")
+    if out_path:
+        import datetime
+        import subprocess as sp
+
+        commit = sp.run(
+            ["git", "-C", os.path.dirname(HERE), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        artifact = {
+            "n_docs": hi["docs"],
+            "docs_per_sec_by_cores": {
+                str(r["cores"]): round(r["docs"] / r["wall_sec"]) for r in results
+            },
+            f"efficiency_{lo['cores']}_to_{hi['cores']}": round(speedup / ideal, 3),
+            "source": "tools/bench_scaling.py",
+            "measured_at": datetime.date.today().isoformat(),
+            "measured_on_commit": commit,
+            "protocol": f"{reps} reps/level, fresh JVM per rep, min estimator",
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
