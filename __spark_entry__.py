@@ -112,6 +112,18 @@ _SLUG = (
     " ' +', ' ', 'g'))"
 )
 
+# the default web-boilerplate denylist, mirrored into every oracle that
+# models a pipeline running with DedupConfig's default denylist: slug
+# bands/stars exclude denylisted keys, and the cascade's BLACKLISTED rule
+# sits before SLUG_MATCH. Keys are md5(slug) — identical in Spark
+# (F.md5(slug.cast("binary"))) and DuckDB (md5(slug)). Without this the
+# oracles modeled a denylist-free system and agreed with the gated
+# pipelines only because no gated corpus contained a denylisted slug
+# (the denylist_pairs / components_denylist gates now exercise it).
+from fuzzycat_spark.functions.denylist import DEFAULT_DENYLIST_KEYS  # noqa: E402
+
+_DENY_IN = ", ".join(f"'{k}'" for k in DEFAULT_DENYLIST_KEYS)
+
 # base CTEs: slug, tokens, distinct word-3-gram shingles (same fallbacks as
 # fuzzycat_spark.functions.normalize: <n tokens -> whole slug; empty -> [])
 _BASE_CTES = f"""
@@ -192,6 +204,7 @@ exact_cand AS (
 slug_keyed AS (
   SELECT doc_id, md5(slug) AS k, count(*) OVER (PARTITION BY md5(slug)) AS bs FROM t
   WHERE slug IS NOT NULL AND md5(slug) != ''
+    AND md5(slug) NOT IN ({_DENY_IN})
 ),
 slug_cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -245,6 +258,7 @@ _VERIFY_CASE = f"""
     WHEN a_ch IS NOT NULL AND a_ch = b_ch THEN ['exact', 'CONTENT_HASH']
     WHEN a_slug IS NULL OR b_slug IS NULL OR a_slug = '' OR b_slug = '' THEN ['ambiguous', 'EMPTY_TEXT']
     WHEN a_n_tok < 5 OR b_n_tok < 5 THEN ['ambiguous', 'SHORT_TEXT']
+    WHEN md5(a_slug) IN ({_DENY_IN}) OR md5(b_slug) IN ({_DENY_IN}) THEN ['ambiguous', 'BLACKLISTED']
     WHEN a_slug = b_slug THEN ['exact', 'SLUG_MATCH']
     WHEN a_nproj = b_nproj THEN ['different', 'NUM_DIFF']
     WHEN {_CONTAIN} >= 0.8 AND least(a_n_tok, b_n_tok) >= 10 THEN ['strong', 'CONTAINMENT']
@@ -384,9 +398,11 @@ star_exact AS (
 star_slug AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM (SELECT doc_id, md5(slug) AS kk FROM tok
-        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}) a
+        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}
+          AND md5(slug) NOT IN ({_DENY_IN})) a
   JOIN (SELECT doc_id, md5(slug) AS kk FROM tok
-        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}) b USING (kk)
+        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}
+          AND md5(slug) NOT IN ({_DENY_IN})) b USING (kk)
   WHERE a.doc_id < b.doc_id
 ),
 edges0 AS (
@@ -786,6 +802,7 @@ def _ann_knn_multiprobe_sql() -> str:
     n = _ANN_PLANES_N
     return f"""
 WITH bk AS ({_ann_bucket_sql()}),
+bkok AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET}),
 pbk AS (
   SELECT vec_id, bucket FROM bk
   UNION ALL
@@ -798,6 +815,7 @@ pbk AS (
 cand AS (
   SELECT DISTINCT p.vec_id AS probe_id, bb.vec_id AS neighbor_id
   FROM pbk p JOIN bk bb ON p.bucket = bb.bucket
+  JOIN bkok ON bb.bucket = bkok.bucket
   WHERE p.vec_id != bb.vec_id
 )
 SELECT probe_id, neighbor_id, rank FROM (
@@ -936,6 +954,97 @@ SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
 FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
 
 
+_PLANTED_FIXTURE = "/root/repo/fixtures/embeddings_planted.parquet"
+_PLANTED_STRONG = 0.9  # the PRODUCTION default (DedupConfig.embedding_strong)
+
+
+def q_ann_pairs_planted(spark, sf_dir):
+    """bucketed_similar_pairs at the production threshold (0.9) over the
+    committed planted fixture (tools/make_planted_embeddings.py): five
+    >0.9-cosine families that MUST surface, plus a 210-copy identical
+    vector whose mega bucket exceeds max_bucket_size=200 and MUST be
+    excluded — the bucket cap and the 0.9 threshold are both exercised
+    non-vacuously (round-4 ADVICE: the driver corpus had no denylisted
+    slug and no over-cap bucket, so cap/denylist modeling was untested)."""
+    from fuzzycat_spark.operators.knn import bucketed_similar_pairs
+
+    e = spark.read.parquet(_PLANTED_FIXTURE)
+    return bucketed_similar_pairs(
+        e, _PLANTED_STRONG, n_planes=_ANN_PLANES_N, dim=_ANN_DIM
+    ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def _ann_pairs_planted_sql() -> str:
+    return f"""
+WITH embeddings AS (SELECT * FROM '{_PLANTED_FIXTURE}'),
+bk AS ({_ann_bucket_sql()}),
+bkok AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_D}, 6) AS cosine
+FROM embeddings a
+JOIN bk ba ON a.vec_id = ba.vec_id
+JOIN bkok ON ba.bucket = bkok.bucket
+JOIN bk bb ON ba.bucket = bb.bucket
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE a.vec_id < b.vec_id AND round({_COS_D}, 9) >= {_PLANTED_STRONG}"""
+
+
+def q_components_embedding_planted(spark, sf_dir):
+    """The embedding strategy end-to-end at embedding_strong=0.9 — the
+    shipped production default — over the planted fixture: the five
+    planted families must form five clusters, the 210-copy mega bucket
+    must stay singletons (cap), fillers must stay singletons (threshold).
+    Closes the round-4 accepted-not-wrong item: the sf gates run at 0.45
+    because the driver embeddings are near-orthogonal; this gate proves
+    cluster formation at 0.9 on a corpus where 0.9 has real edges."""
+    e = spark.read.parquet(_PLANTED_FIXTURE)
+    pages = e.select(
+        F.col("vec_id").alias("url"),
+        F.col("vec_id").cast("string").alias("text"),
+        "embedding",
+    )
+    cfg = DedupConfig(
+        strategies=("embedding",),
+        embedding_col="embedding",
+        embedding_dim=_ANN_DIM,
+        embedding_planes=_ANN_PLANES_N,
+        embedding_strong=_PLANTED_STRONG,
+        max_bucket_size=MAX_BUCKET,
+    )
+    _, assign = dedup_pages(pages, cfg)
+    return assign
+
+
+def _components_embedding_planted_sql() -> str:
+    return f"""WITH RECURSIVE embeddings AS (SELECT * FROM '{_PLANTED_FIXTURE}'),
+bk AS ({_ann_bucket_sql()}),
+bkok AS (
+  SELECT bucket FROM bk GROUP BY bucket HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+  FROM bk ba JOIN bkok USING (bucket) JOIN bk bb ON ba.bucket = bb.bucket
+  WHERE ba.vec_id < bb.vec_id
+),
+epairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN embeddings a ON cand.id_a = a.vec_id
+  JOIN embeddings b ON cand.id_b = b.vec_id
+  WHERE round({_COS_D}, 9) >= {_PLANTED_STRONG}
+),
+eedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM epairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM epairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM eedges
+  UNION
+  SELECT g.src, reach.r FROM eedges g JOIN reach ON g.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
+FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
+
+
 def q_ann_similar_pairs(spark, sf_dir):
     """Bounded-at-scale threshold pairs: exact cosine only WITHIN
     hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
@@ -948,11 +1057,16 @@ def q_ann_similar_pairs(spark, sf_dir):
 
 
 def _ann_similar_pairs_sql() -> str:
+    # bucket cap mirrored from bucketed_similar_pairs' default
+    # max_bucket_size (pairs only form inside buckets at/below the cap;
+    # over-cap buckets are excluded entirely — see lsh_candidate_pairs)
     return f"""
-WITH bk AS ({_ann_bucket_sql()})
+WITH bk AS ({_ann_bucket_sql()}),
+bkok AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_D}, 6) AS cosine
 FROM embeddings a
 JOIN bk ba ON a.vec_id = ba.vec_id
+JOIN bkok ON ba.bucket = bkok.bucket
 JOIN bk bb ON ba.bucket = bb.bucket
 JOIN embeddings b ON b.vec_id = bb.vec_id
 WHERE a.vec_id < b.vec_id AND round({_COS_D}, 9) >= {_SIM_THRESHOLD}"""
@@ -968,8 +1082,11 @@ def _ann_bucket_sql() -> str:
 
 
 def _ann_knn_sql() -> str:
+    # hyperplane_knn caps the INDEX side only (probe rows are never
+    # dropped; an over-cap bucket simply yields no neighbors from it)
     return f"""
-WITH bk AS ({_ann_bucket_sql()})
+WITH bk AS ({_ann_bucket_sql()}),
+bkok AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET})
 SELECT probe_id, neighbor_id, rank FROM (
   SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
     CAST(row_number() OVER (PARTITION BY a.vec_id
@@ -977,6 +1094,7 @@ SELECT probe_id, neighbor_id, rank FROM (
   FROM embeddings a
   JOIN bk ba ON a.vec_id = ba.vec_id
   JOIN bk bb ON ba.bucket = bb.bucket
+  JOIN bkok ON bb.bucket = bkok.bucket
   JOIN embeddings b ON b.vec_id = bb.vec_id
   WHERE a.vec_id != b.vec_id
 ) WHERE rank <= 3"""
@@ -1457,8 +1575,10 @@ star_exact AS (
 ),
 star_slug AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}) a
-  JOIN (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}) b
+  FROM (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}
+          AND md5(slug) NOT IN ({_DENY_IN})) a
+  JOIN (SELECT doc_id, slug FROM feats WHERE slug IS NOT NULL AND n_tok >= {SHORT_TOKENS}
+          AND md5(slug) NOT IN ({_DENY_IN})) b
     ON a.slug = b.slug
   WHERE a.doc_id < b.doc_id
 ),
@@ -1480,6 +1600,133 @@ reach(id, r) AS (
 cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
 SELECT f.doc_id AS id, coalesce(cc.cluster_id, f.doc_id) AS cluster_id
 FROM f LEFT JOIN cc ON f.doc_id = cc.id"""
+
+
+_DENY_FIXTURE = "/root/repo/fixtures/denylist_docs.parquet"
+
+_DENY_CFG = DedupConfig(
+    id_col="doc_id",
+    text_col="text",
+    strategies=("exact", "slug", "minhash"),
+    num_perm=NUM_PERM,
+    bands=BANDS,
+    rows=ROWS,
+    shingle_n=SHINGLE_N,
+    minhash_udf=True,
+    max_block_size=MAX_BLOCK,
+    max_bucket_size=MAX_BUCKET,
+)
+
+
+def q_denylist_pairs(spark, sf_dir):
+    """The DEFAULT web denylist exercised with real pairs (round-4 ADVICE:
+    no gated corpus contained a denylisted slug, so the oracle's denylist
+    modeling was vacuous). The committed fixture plants two denylisted
+    slug families whose near-identical token streams DO collide in MinHash
+    bands: the cascade must answer ambiguous/BLACKLISTED (never
+    SLUG_MATCH), byte-identical junk must still link via CONTENT_HASH
+    stars, and a real slug family must keep its SLUG_MATCH star edge."""
+    df = spark.read.parquet(_DENY_FIXTURE)
+    verified, _ = dedup_pages(df, _DENY_CFG)
+    return verified.select("id_a", "id_b", "status", "reason")
+
+
+def q_components_denylist(spark, sf_dir):
+    """Cluster assignments over the denylist fixture: denylisted families
+    must NOT collapse into slug clusters (only the byte-identical pair
+    links), the real family must cluster fully."""
+    df = spark.read.parquet(_DENY_FIXTURE)
+    _, assign = dedup_pages(df, _DENY_CFG)
+    return assign
+
+
+def _denylist_ctes() -> str:
+    """Shared oracle CTEs reproducing dedup_pages over the denylist
+    fixture: MinHash band candidates (capped) -> cascade (with the
+    BLACKLISTED rule), min-id star edges for content-hash and
+    (denylist-filtered) slug keys, then per-pair priority dedup —
+    the same composition operators/dedup.dedup_stages runs."""
+    return f"""documents AS (SELECT doc_id, text, lang FROM '{_DENY_FIXTURE}'),
+{_BAND_CTES},
+dbucket_ok AS (
+  SELECT band_id, band_hash FROM band_rows
+  GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+),
+dbr AS (SELECT band_rows.* FROM band_rows JOIN dbucket_ok USING (band_id, band_hash)),
+nearcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dbr a JOIN dbr b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM nearcand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+),
+near_verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+),
+dstar_exact AS (
+  SELECT least(rep, doc_id) AS id_a, greatest(rep, doc_id) AS id_b,
+         'exact' AS status, 'CONTENT_HASH' AS reason
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM t WHERE text IS NOT NULL)
+  WHERE doc_id != rep
+),
+dstar_slug AS (
+  SELECT least(rep, doc_id) AS id_a, greatest(rep, doc_id) AS id_b,
+         'exact' AS status, 'SLUG_MATCH' AS reason
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(slug)) AS rep
+        FROM tok
+        WHERE slug IS NOT NULL AND len(toks) >= {SHORT_TOKENS}
+          AND md5(slug) NOT IN ({_DENY_IN}))
+  WHERE doc_id != rep
+),
+verified AS (
+  SELECT id_a, id_b, status, reason FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a, id_b ORDER BY
+      CASE reason WHEN 'CONTENT_HASH' THEN 0 WHEN 'SLUG_MATCH' THEN 1 ELSE 2 END,
+      reason) AS rn
+    FROM (SELECT * FROM near_verified
+          UNION ALL SELECT * FROM dstar_exact
+          UNION ALL SELECT * FROM dstar_slug)
+  ) WHERE rn = 1
+)"""
+
+
+def _denylist_pairs_sql() -> str:
+    return f"WITH {_denylist_ctes()} SELECT id_a, id_b, status, reason FROM verified"
+
+
+def _components_denylist_sql() -> str:
+    return f"""WITH RECURSIVE {_denylist_ctes()},
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM verified WHERE status IN ('exact', 'strong')
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified WHERE status IN ('exact', 'strong')
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
 
 _HTML_FIXTURE = "/root/repo/fixtures/html_docs.parquet"
@@ -1692,6 +1939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_id": q_script_id,
         "extract_text": q_extract_text,
         "components_embedding_ivf": q_components_embedding_ivf,
+        "denylist_pairs": q_denylist_pairs,
+        "components_denylist": q_components_denylist,
+        "ann_pairs_planted": q_ann_pairs_planted,
+        "components_embedding_planted": q_components_embedding_planted,
     }
 
 
@@ -1793,6 +2044,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": f"""
             SELECT doc_id, etext FROM '{_HTML_FIXTURE}'""",
         "components_embedding_ivf": _components_embedding_ivf_sql(),
+        "denylist_pairs": _denylist_pairs_sql(),
+        "components_denylist": _components_denylist_sql(),
+        "ann_pairs_planted": _ann_pairs_planted_sql(),
+        "components_embedding_planted": _components_embedding_planted_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
