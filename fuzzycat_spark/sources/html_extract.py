@@ -11,8 +11,10 @@ anchored `<main>…</main>` slice; this is a real extractor:
 2. drop comments and CDATA,
 3. drop NON-CONTENT elements with their subtrees — script/style/head/
    template/noscript (never text) and nav/footer/aside (boilerplate
-   chrome), iterated to a fixpoint so nested same-tag occurrences are
-   fully removed,
+   chrome). One innermost-subtree regex PER TAG, iterated to a fixpoint,
+   so nested drop elements are fully removed whether the nesting is
+   same-tag (<nav><nav>…</nav>…</nav>) or different-tag
+   (<nav>…<footer>…</footer>tail</nav> — the tail goes too),
 4. block-level tags become line breaks (block segmentation), inline tags
    vanish,
 5. character references decode (named + decimal + hex),
@@ -37,12 +39,21 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-# elements whose entire subtree is dropped
+# elements whose entire subtree is dropped. ONE regex per tag, each
+# matching an INNERMOST same-tag element (no nested open of the same tag
+# before the close): a single alternation with a non-greedy close would
+# stop at the nearest closing tag of ANY drop tag, so
+# '<nav>a<footer>b</footer>tail</nav>' kept 'tail'. Per-tag regexes in
+# the fixpoint loop remove innermost subtrees pass by pass, so nested
+# same-tag AND nested different-tag drop elements are fully removed.
 _DROP_TAGS = "script|style|head|template|noscript|nav|footer|aside|svg|iframe"
-_DROP_RE = re.compile(
-    rf"<(?:{_DROP_TAGS})\b[^>]*>.*?</(?:{_DROP_TAGS})\s*>",
-    re.IGNORECASE | re.DOTALL,
-)
+_DROP_RES = [
+    re.compile(
+        rf"<{tag}\b[^>]*>(?:(?!<{tag}\b).)*?</{tag}\s*>",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for tag in _DROP_TAGS.split("|")
+]
 _COMMENT_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>", re.DOTALL)
 # tags that delimit text blocks (their boundaries become line breaks)
 _BLOCK_TAGS = (
@@ -87,8 +98,10 @@ def extract_text(html: bytes | str | None) -> str | None:
         else html
     )
     s = _COMMENT_RE.sub("", s)
-    for _ in range(5):  # fixpoint: nested same-tag drop elements
-        s2 = _DROP_RE.sub("", s)
+    for _ in range(8):  # fixpoint: one nesting level peels per pass
+        s2 = s
+        for drop_re in _DROP_RES:
+            s2 = drop_re.sub("", s2)
         if s2 == s:
             break
         s = s2
@@ -115,8 +128,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
         else b
     )
     s = s.str.replace(_COMMENT_RE, "", regex=True)
-    for _ in range(5):
-        s2 = s.str.replace(_DROP_RE, "", regex=True)
+    for _ in range(8):
+        s2 = s
+        for drop_re in _DROP_RES:
+            s2 = s2.str.replace(drop_re, "", regex=True)
         if s2.equals(s):
             break
         s = s2

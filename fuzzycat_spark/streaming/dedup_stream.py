@@ -192,9 +192,45 @@ def incremental_dedup_batch(
         # so the per-epoch overwrite writes would REPLACE pairs/index/
         # features epoch=N with empty tables. The pointer swap is the LAST
         # write of an epoch, so committed == N proves epoch N is fully
-        # durable — skip the replay outright. This also protects committed
-        # history when a fresh checkpoint_dir restarts foreachBatch epoch
-        # ids at 0.
+        # durable — skip the replay.
+        #
+        # The skip is only safe when the replayed batch is the SAME data,
+        # which a true at-least-once replay guarantees. The other way to
+        # land here is a FRESH checkpoint_dir pointed at existing index/
+        # pairs paths: foreachBatch restarts epoch ids at 0, and batch 0
+        # of the new stream may contain NEW source files — silently
+        # skipping those would lose them forever (the new streaming
+        # checkpoint marks them consumed). Distinguish the two cases by
+        # probing for ids absent from the committed feature state: a true
+        # replay has none; a fresh-restart batch with new data does, and
+        # must fail loudly so the operator re-runs with either the
+        # original checkpoint_dir or fresh state paths.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "incremental_dedup_batch: skipping epoch %d (already committed "
+            "through epoch %d) — verifying the skipped batch carries no "
+            "unseen ids",
+            epoch_id,
+            committed,
+        )
+        feat_hist = _read_state(spark, feat_path, committed)
+        ids = batch.select(F.col(cfg.id_col).alias("id"))
+        unseen = (
+            ids if feat_hist is None
+            else ids.join(feat_hist.select("id"), on="id", how="left_anti")
+        ).limit(1).count()
+        if unseen:
+            raise RuntimeError(
+                f"incremental_dedup_batch: epoch {epoch_id} <= committed "
+                f"epoch {committed} but the batch contains ids absent from "
+                "the committed state. This means a NEW checkpoint_dir was "
+                "started against EXISTING index/pairs paths, which is "
+                "unsupported (epoch ids restart at 0 and committed epochs "
+                "are skipped as replays — new data in them would be lost). "
+                "Restore the original checkpoint_dir, or point the stream "
+                "at fresh index_path/pairs_path state."
+            )
         return
 
     batch = materialize(batch, "stream_batch", keep_last=2)

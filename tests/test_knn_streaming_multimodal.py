@@ -359,6 +359,37 @@ def test_replay_of_committed_epoch_is_a_noop(spark, tmp_path):
     assert all("rows_per_partition" in t for t in m["tables"].values())
 
 
+def test_fresh_checkpoint_with_new_data_fails_loudly(spark, tmp_path):
+    """A FRESH checkpoint_dir pointed at existing index/pairs paths
+    restarts foreachBatch epoch ids at 0; if batch 0 of the new stream
+    contains NEW source files, silently skipping it as a replay would
+    permanently lose that data (the new streaming checkpoint marks it
+    consumed). The replay guard must distinguish this from a true
+    at-least-once replay (same ids) and raise."""
+    import fuzzycat_spark.streaming.dedup_stream as ds
+
+    cfg = DedupConfig(strategies=("exact", "slug", "minhash"))
+    index, pairs = f"{tmp_path}/index", f"{tmp_path}/pairs"
+    old = spark.createDataFrame(
+        [("u1", "some committed document text here today")],
+        "url string, text string",
+    )
+    ds.incremental_dedup_batch(old, index, pairs, cfg, epoch_id=0)
+    assert ds.committed_epoch(index) == 0
+
+    # true replay (identical ids) stays a silent no-op
+    ds.incremental_dedup_batch(old, index, pairs, cfg, epoch_id=0)
+
+    # fresh-restart batch 0 with an unseen id must raise, not skip
+    fresh = spark.createDataFrame(
+        [("u1", "some committed document text here today"),
+         ("u_new", "a brand new document the committed state never saw")],
+        "url string, text string",
+    )
+    with pytest.raises(RuntimeError, match="unsupported"):
+        ds.incremental_dedup_batch(fresh, index, pairs, cfg, epoch_id=0)
+
+
 def test_run_incremental_dedup_via_writestream(spark, tmp_path):
     """The real streaming entry point: a parquet file source drained with
     availableNow through run_incremental_dedup must commit its epochs via

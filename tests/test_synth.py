@@ -86,6 +86,20 @@ def test_extract_text_edge_cases():
     assert "caf" in extract_text(b"<p>caf\xff</p>")
     # numeric refs out of range stay literal; surrogates stay literal
     assert extract_text("<p>&#1114112; &#xD800;</p>") == "&#1114112; &#xD800;"
+    # nested DIFFERENT drop tags: the outer subtree goes entirely — the
+    # per-tag innermost regexes can't stop at the inner element's close
+    # (the old single-alternation regex kept 'tail' here)
+    assert extract_text("<p>keep</p><nav>a<footer>b</footer>tail</nav>") == "keep"
+    # deep same-tag nesting still reaches the fixpoint
+    assert (
+        extract_text("<div><nav>1<nav>2<nav>3</nav>4</nav>5</nav>ok</div>")
+        == "ok"
+    )
+    # mismatched close of a DIFFERENT drop tag doesn't extend the cut
+    assert (
+        extract_text("<p>a</p><footer>junk</nav><p>rest</p>")
+        == "a\njunk\nrest"
+    )
 
 
 def test_deterministic(spark, corpus):

@@ -48,6 +48,9 @@ PAGES: list[str] = [
     "just plain text with no tags whatsoever",
     # inline tags vanish without spacing damage
     "<p>mid<b>dle</b> and <i>ital</i>ic</p>",
+    # nested DIFFERENT drop tags: the outer nav subtree (including the
+    # tail after the inner footer) is removed entirely
+    "<p>keep</p><nav>menu<footer>legal</footer>trailing junk</nav><p>end</p>",
 ]
 
 
