@@ -1881,6 +1881,71 @@ def q_lang_stats(spark, sf_dir):
     )
 
 
+_MULTILANG_FIXTURE = "/root/repo/fixtures/multilang_docs.parquet"
+
+
+def q_lang_id_script(spark, sf_dir):
+    """Script-conditional language ID over the committed mixed-script
+    fixture (ja/zh/ko/ru/uk/bg/sr/el/he/th/hi/ar/fa/ur + Latin stopword
+    languages + und abstentions): the BATCH plan — script_of routes each
+    doc, non-Latin docs are labeled by pure-codegen letter inventories
+    and skip the stopword dictionary join entirely; only latin/und docs
+    pay the explode + broadcast join. Closes the round-4 'lang_id answers
+    und for all non-Latin text' gap (functions/text.py:lang_id_script_col).
+    Ground-truth accuracy is asserted in tests/test_functions.py; this
+    gate proves the Spark plan and the DuckDB mirror agree rule-for-rule."""
+    from fuzzycat_spark.functions.text import lang_id_table
+
+    df = spark.read.parquet(_MULTILANG_FIXTURE)
+    return lang_id_table(df, "doc_id", "text", script_aware=True)
+
+
+def _lang_id_script_sql() -> str:
+    """DuckDB mirror of lang_id_script_col's dispatch: the script case,
+    the per-script single-language map, the cyrillic distinctive-letter
+    argmax (ties/zero → und), the arabic precedence chain, and the Latin
+    stopword vote — every constant imported from functions.text so the
+    two engines cannot drift."""
+    from fuzzycat_spark.functions.text import (
+        ARABIC_LANG_CHAIN,
+        CYRILLIC_LANG_CHARS,
+        SCRIPT_SINGLE_LANG,
+    )
+
+    cyr_votes = {
+        lang: f"len(regexp_extract_all(text, '{cls}'))"
+        for lang, cls in CYRILLIC_LANG_CHARS
+    }
+    cyr_best = "greatest(" + ", ".join(cyr_votes.values()) + ")"
+    cyr_nbest = " + ".join(
+        f"CASE WHEN {v} = {cyr_best} THEN 1 ELSE 0 END" for v in cyr_votes.values()
+    )
+    cyr_pick = "CASE " + " ".join(
+        f"WHEN {v} = {cyr_best} THEN '{lang}'" for lang, v in cyr_votes.items()
+    ) + " END"
+    cyr = (
+        f"CASE WHEN {cyr_best} > 0 AND ({cyr_nbest}) = 1 "
+        f"THEN {cyr_pick} ELSE 'und' END"
+    )
+    ar = "CASE " + " ".join(
+        f"WHEN len(regexp_extract_all(text, '{cls}')) > 0 THEN '{lang}'"
+        for lang, cls in ARABIC_LANG_CHAIN
+    ) + " ELSE 'ar' END"
+    single = "CASE script " + " ".join(
+        f"WHEN '{s}' THEN '{lang}'" for s, lang in SCRIPT_SINGLE_LANG
+    ) + " ELSE 'und' END"
+    return f"""
+WITH documents AS (SELECT doc_id, text FROM '{_MULTILANG_FIXTURE}'),
+v AS ({_lang_vote_sql()}),
+s AS (SELECT doc_id, text, {_script_case_sql()} AS script FROM documents)
+SELECT s.doc_id,
+  CASE WHEN s.script IN ('latin', 'und') THEN v.lang_pred
+       WHEN s.script = 'cyrillic' THEN {cyr}
+       WHEN s.script = 'arabic' THEN {ar}
+       ELSE {single} END AS lang_pred
+FROM s JOIN v ON s.doc_id = v.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1943,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_denylist": q_components_denylist,
         "ann_pairs_planted": q_ann_pairs_planted,
         "components_embedding_planted": q_components_embedding_planted,
+        "lang_id_script": q_lang_id_script,
     }
 
 
@@ -2048,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "components_denylist": _components_denylist_sql(),
         "ann_pairs_planted": _ann_pairs_planted_sql(),
         "components_embedding_planted": _components_embedding_planted_sql(),
+        "lang_id_script": _lang_id_script_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)

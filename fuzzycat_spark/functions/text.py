@@ -292,7 +292,8 @@ def lang_id_col(col: Column | str) -> Column:
 
 
 def lang_id_table(
-    df, id_col: str = "doc_id", text_col: str = "text"
+    df, id_col: str = "doc_id", text_col: str = "text",
+    script_aware: bool = False,
 ):
     """(id_col, lang_pred) for a whole corpus — the batch/100 TB form of
     `lang_id_col`, vote-identical by construction.
@@ -304,15 +305,27 @@ def lang_id_table(
     inventory-size string comparisons; the shuffle carries one row per
     document regardless of corpus size. Docs with zero stopword tokens
     (or zero tokens) fall out of the join and coalesce to 'und'.
+
+    `script_aware=True` is the batch form of `lang_id_script_col`:
+    non-Latin-majority docs are labeled by their script's codegen rule
+    (ja/ko/zh/el/he/th/hi + the cyrillic/arabic letter votes) and SKIP
+    the token explode + dictionary join entirely — the ASCII slug
+    destroys their tokens anyway, so the join work would be pure waste.
+    Only latin/und docs pay the explode+join, and at web scale the
+    non-Latin half of the corpus costs one regexp pass, no shuffle rows.
     """
     spark = df.sparkSession
     langs, mask = _lang_masks()
     dict_df = spark.createDataFrame(
         sorted(mask.items()), "tok string, mask long"
     )
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens_col(text_col)).alias("tok")
-    )
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    if script_aware:
+        src = src.withColumn("_script", script_of(F.col("_t")))
+        latin = src.filter(F.col("_script").isin("latin", "und"))
+    else:
+        latin = src
+    toks = latin.select("_id", F.explode(tokens_col("_t")).alias("tok"))
     hits = toks.join(F.broadcast(dict_df), on="tok")
     agg = hits.groupBy("_id").agg(
         *[
@@ -324,14 +337,15 @@ def lang_id_table(
     )
     votes = [(lang, F.col(f"_v{i}")) for i, lang in enumerate(langs)]
     pred = agg.select("_id", _argmax_lang(votes).alias("lang_pred"))
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(pred, on="_id", how="left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(F.col("lang_pred"), F.lit("und")).alias("lang_pred"),
-        )
-    )
+    joined = src.join(pred, on="_id", how="left")
+    stop_vote = F.coalesce(F.col("lang_pred"), F.lit("und"))
+    if script_aware:
+        label = F.when(
+            F.col("_script").isin("latin", "und"), stop_vote
+        ).otherwise(_nonlatin_lang_col(F.col("_script"), F.col("_t")))
+    else:
+        label = stop_vote
+    return joined.select(F.col("_id").alias(id_col), label.alias("lang_pred"))
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +398,98 @@ def script_of(col: Column | str) -> Column:
     return F.when(best > 0, pick).otherwise(F.lit("und"))
 
 
+# ---------------------------------------------------------------------------
+# script-conditional language ID (pure Catalyst, DuckDB-mirrorable)
+# ---------------------------------------------------------------------------
+
+# Scripts that pin the language outright on the web's language mix: kana
+# appears only in Japanese (and outranks han in script_of, so ja text
+# with kanji still routes here); hangul is Korean; a han-majority doc
+# WITHOUT kana is Chinese-shaped; Greek/Hebrew/Thai/Devanagari each carry
+# one dominant web language (devanagari → hi over mr/ne is the majority
+# call, same spirit as the stopword vote's argmax).
+SCRIPT_SINGLE_LANG: tuple[tuple[str, str], ...] = (
+    ("kana", "ja"),
+    ("hangul", "ko"),
+    ("han", "zh"),
+    ("greek", "el"),
+    ("hebrew", "he"),
+    ("thai", "th"),
+    ("devanagari", "hi"),
+)
+
+# Cyrillic splits by DISTINCTIVE LETTER inventories (the stopword trick
+# doesn't transfer: the ASCII slug destroys Cyrillic tokens, and the
+# orthographies differ more by alphabet than by function words):
+# ы/э/ё exist in Russian but not Ukrainian/Serbian (and ы/э not in
+# Bulgarian); і/ї/є/ґ are Ukrainian-only; ъ is ~2-3% of Bulgarian
+# letters but rare in Russian (hard-sign spellings only); ј/љ/њ/ђ/ћ/џ
+# are Serbian-only. Vote = argmax of the four counts, ties/zero → 'und'.
+CYRILLIC_LANG_CHARS: tuple[tuple[str, str], ...] = (
+    ("bg", "[ъЪ]"),
+    ("ru", "[ыэёЫЭЁ]"),
+    ("sr", "[јљњђћџЈЉЊЂЋЏ]"),
+    ("uk", "[іїєґІЇЄҐ]"),
+)
+
+# Arabic script: Urdu's retroflex/aspiration letters (ٹ ڈ ڑ ں ے ہ ھ) do
+# not occur in Arabic or Persian; Persian's پ چ ژ گ do not occur in
+# Arabic but DO occur in Urdu — so the dispatch is a precedence chain
+# (ur before fa), defaulting to 'ar' when neither inventory fires.
+ARABIC_LANG_CHAIN: tuple[tuple[str, str], ...] = (
+    ("ur", "[ٹڈڑںےہھ]"),
+    ("fa", "[پچژگ]"),
+)
+
+
+def _cyrillic_lang_col(c: Column) -> Column:
+    votes = [
+        (lang, F.regexp_count(c, F.lit(cls)))
+        for lang, cls in CYRILLIC_LANG_CHARS
+    ]
+    return _argmax_lang(votes)
+
+
+def _arabic_lang_col(c: Column) -> Column:
+    out: Column = F.lit("ar")
+    for lang, cls in reversed(ARABIC_LANG_CHAIN):
+        out = F.when(F.regexp_count(c, F.lit(cls)) > 0, F.lit(lang)).otherwise(out)
+    return out
+
+
+def _nonlatin_lang_col(script: Column, c: Column) -> Column:
+    """Label for a doc whose majority script is NON-Latin (see
+    lang_id_script_col); scripts with no rule fall to 'und'."""
+    out: Column = F.lit("und")
+    for s_name, lang in SCRIPT_SINGLE_LANG:
+        out = F.when(script == s_name, F.lit(lang)).otherwise(out)
+    out = F.when(script == "cyrillic", _cyrillic_lang_col(c)).otherwise(out)
+    out = F.when(script == "arabic", _arabic_lang_col(c)).otherwise(out)
+    return out
+
+
+def lang_id_script_col(col: Column | str) -> Column:
+    """Script-conditional language ID: `script_of` routes each document
+    to the detector that can actually see its language —
+
+    - latin / und  → the stopword vote (`lang_id_col`, 13 languages)
+    - kana/hangul/han/greek/hebrew/thai/devanagari → the script's
+      dominant language (ja/ko/zh/el/he/th/hi)
+    - cyrillic     → distinctive-letter argmax (ru/uk/bg/sr)
+    - arabic       → distinctive-letter precedence chain (ur/fa/ar)
+
+    Everything is native regexp_count + when-chains (whole-stage codegen,
+    no Python), and every branch has an exact DuckDB mirror for the
+    driver gate. This closes the round-4 gap where non-Latin text always
+    answered 'und' (reference scope: sandcrawler.py exists precisely
+    because of non-Latin titles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    script = script_of(c)
+    return F.when(script.isin("latin", "und"), lang_id_col(c)).otherwise(
+        _nonlatin_lang_col(script, c)
+    )
+
+
 def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
     """Deterministic document fingerprint: min md5 over word n-gram shingles
     (a 1-permutation MinHash — robust to local edits, cheap to compare).
@@ -404,6 +510,10 @@ __all__ = [
     "quality_score_cols",
     "lang_id_col",
     "lang_id_table",
+    "lang_id_script_col",
+    "SCRIPT_SINGLE_LANG",
+    "CYRILLIC_LANG_CHARS",
+    "ARABIC_LANG_CHAIN",
     "doc_fingerprint",
     "slug_text",
 ]

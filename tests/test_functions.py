@@ -432,6 +432,35 @@ def test_lang_id_table_matches_column_form(spark):
     assert table_form["empty"] == "und" and table_form["nums"] == "und"
 
 
+def test_lang_id_script_fixture_accuracy(spark):
+    """Script-conditional language ID labels EVERY doc of the committed
+    mixed-script fixture correctly (ja/zh/ko via kana-hangul-han routing,
+    ru/uk/bg/sr via cyrillic distinctive-letter argmax, ar/fa/ur via the
+    arabic precedence chain, el/he/th/hi via single-script rules, Latin
+    languages via the stopword vote, und abstentions where no rule can
+    see the language) — and the batch table form agrees row-for-row with
+    the Column form."""
+    from fuzzycat_spark.functions.text import lang_id_script_col, lang_id_table
+
+    df = spark.read.parquet("/root/repo/fixtures/multilang_docs.parquet")
+    col_rows = df.select(
+        "doc_id", "expected", lang_id_script_col("text").alias("pred")
+    ).collect()
+    assert {(r.doc_id, r.expected) for r in col_rows} == {
+        (r.doc_id, r.pred) for r in col_rows
+    }
+    table_form = {
+        r.doc_id: r.lang_pred
+        for r in lang_id_table(df, "doc_id", "text", script_aware=True).collect()
+    }
+    assert table_form == {r.doc_id: r.pred for r in col_rows}
+    # non-Latin coverage is real, not und-everywhere (the round-4 gap)
+    assert {r.pred for r in col_rows} >= {
+        "ja", "zh", "ko", "ru", "uk", "bg", "sr", "el", "he", "th", "hi",
+        "ar", "fa", "ur", "en", "de", "fr", "es", "und",
+    }
+
+
 def test_script_of_labels(spark):
     """Codepoint-range script detection: majority script wins, kana
     outranks han on ties (Japanese-shaped), everything outranks the
