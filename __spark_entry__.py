@@ -1136,15 +1136,18 @@ def _cos_sql(a: str, b: str) -> str:
 
 def _ivf_cents_cte() -> str:
     """Shared CTEs reproducing ivf_centroids(k=8, n_iter=1) + ivf_assign:
-    seeds -> argmax-cosine assignment -> per-position rounded means -> final
-    assignment. DuckDB lists are 1-based where posexplode is 0-based; only
-    the ordering matters."""
+    seeded-hash-sample seeds (k smallest md5('0' || id) — the engine-
+    portable mirror of ivf_centroids' TakeOrderedAndProject draw) ->
+    argmax-cosine assignment -> per-position rounded means -> final
+    assignment. DuckDB lists are 1-based where posexplode is 0-based;
+    only the ordering matters."""
     e_emb = "CAST(e.embedding AS DOUBLE[])"
     return f"""
 seeds AS (
-  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, c AS centroid
-  FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS c
-        FROM embeddings ORDER BY vec_id LIMIT {_IVF_K})
+  SELECT CAST(row_number() OVER (ORDER BY hk, id) - 1 AS BIGINT) AS cid, c AS centroid
+  FROM (SELECT vec_id AS id, md5('0' || CAST(vec_id AS VARCHAR)) AS hk,
+               CAST(embedding AS DOUBLE[]) AS c
+        FROM embeddings ORDER BY hk, id LIMIT {_IVF_K})
 ),
 asg0 AS (
   SELECT vec_id, cid FROM (

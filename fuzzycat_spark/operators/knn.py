@@ -218,22 +218,37 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    seed: int = 0,
 ) -> DataFrame:
     """Deterministic IVF coarse centroids: (cid, centroid array<double>).
 
-    Seeds are the k lowest-id vectors (deterministic and oracle-reproducible;
-    at 10^9+ vectors swap for a seeded `df.sample`), refined by `n_iter`
-    Lloyd iterations. Each iteration is two shuffles, both bounded:
-    assignment broadcasts the k centroids, and the per-position mean
-    shuffles (cid, pos) keys — k*dim groups regardless of corpus size.
-    Clusters that lose all members drop out (same semantics as the SQL
-    GROUP BY); components are rounded so cross-engine float summation
-    order cannot flip a downstream argmax.
+    Seeds are a seeded HASH-SAMPLE: the k vectors with the smallest
+    md5(seed || id) — a uniform draw (md5 scrambles any id distribution)
+    that is deterministic, resume-stable, and reproducible in any engine
+    (the DuckDB oracle runs the identical expression), unlike
+    `df.sample`, whose Bernoulli draw depends on Spark's partition
+    layout. Physically this is TakeOrderedAndProject — a per-partition
+    k-heap over the scan plus a driver merge of p×k rows — NOT a global
+    sort (no range-partitioning exchange; pinned by
+    tests/test_plan_hygiene.py). Earlier rounds seeded from the k lowest
+    ids, which biased seeds toward one corner of the id space and showed
+    up as a global-sort smell in the plan.
+
+    Refinement is `n_iter` Lloyd iterations. Each iteration is two
+    shuffles, both bounded: assignment broadcasts the k centroids, and
+    the per-position mean shuffles (cid, pos) keys — k*dim groups
+    regardless of corpus size. Clusters that lose all members drop out
+    (same semantics as the SQL GROUP BY); components are rounded so
+    cross-engine float summation order cannot flip a downstream argmax.
     """
-    w = Window.orderBy(F.asc("id"))
+    hk = F.md5(
+        F.concat(F.lit(str(seed)), F.col("id").cast("string")).cast("binary")
+    )
+    w = Window.orderBy(F.asc("_hk"), F.asc("id"))
     cents = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("c"))
-        .orderBy("id")
+        .withColumn("_hk", hk)
+        .orderBy("_hk", "id")
         .limit(k)
         .select(
             (F.row_number().over(w) - 1).cast("long").alias("cid"),
