@@ -1732,6 +1732,104 @@ SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
 
 
+_NYSIIS_FIXTURE = "/root/repo/fixtures/nysiis_docs.parquet"
+
+_NYSIIS_CFG = DedupConfig(
+    id_col="doc_id",
+    text_col="text",
+    strategies=("nysiis",),
+    name_col="author",
+    max_bucket_size=MAX_BUCKET,
+)
+
+
+def q_nysiis_pairs(spark, sf_dir):
+    """The nysiis phonetic blocking strategy END-TO-END (the one pipeline
+    strategy with no prior CORRECTNESS entry): candidates come only from
+    equal NYSIIS full-name keys computed by the Arrow-batched UDF, then
+    the text cascade verifies. The oracle blocks on the fixture's
+    PRECOMPUTED scalar nysiis column (the state machine has no SQL form
+    — the uslug-column trick), so UDF == scalar is pinned through the
+    whole distributed pipeline: homophone authors with near-dup text
+    link, homophone authors with unrelated text get cascade-rejected,
+    null/digits-only authors never block."""
+    df = spark.read.parquet(_NYSIIS_FIXTURE)
+    verified, _ = dedup_pages(df, _NYSIIS_CFG)
+    return verified.select("id_a", "id_b", "status", "reason")
+
+
+def q_components_nysiis(spark, sf_dir):
+    """Cluster assignments over the homophone fixture: the Smith and
+    MacDonald families collapse, the rejected-candidates and
+    never-blocked docs stay singletons."""
+    df = spark.read.parquet(_NYSIIS_FIXTURE)
+    _, assign = dedup_pages(df, _NYSIIS_CFG)
+    return assign
+
+
+def _nysiis_ctes() -> str:
+    """Shared oracle CTEs: nysiis-key equality candidates (from the
+    committed scalar `nkey` column, null/empty filtered, bucket-capped
+    like every approximate strategy) -> the verify cascade."""
+    return f"""documents AS (
+  SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang FROM '{_NYSIIS_FIXTURE}'
+),
+{_BASE_CTES},
+nk AS (
+  SELECT doc_id, nkey FROM '{_NYSIIS_FIXTURE}'
+  WHERE nkey IS NOT NULL AND nkey != ''
+),
+nkok AS (SELECT nkey FROM nk GROUP BY nkey HAVING count(*) <= {MAX_BUCKET}),
+ncand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nk a JOIN nkok USING (nkey) JOIN nk b USING (nkey)
+  WHERE a.doc_id < b.doc_id
+),
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM ncand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+  FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)
+)"""
+
+
+def _nysiis_pairs_sql() -> str:
+    return f"WITH {_nysiis_ctes()} SELECT id_a, id_b, status, reason FROM verified"
+
+
+def _components_nysiis_sql() -> str:
+    return f"""WITH RECURSIVE {_nysiis_ctes()},
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM verified WHERE status IN ('exact', 'strong')
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified WHERE status IN ('exact', 'strong')
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM '{_NYSIIS_FIXTURE}' d LEFT JOIN cc ON d.doc_id = cc.id"""
+
+
 _HTML_FIXTURE = "/root/repo/fixtures/html_docs.parquet"
 
 
@@ -2012,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs_planted": q_ann_pairs_planted,
         "components_embedding_planted": q_components_embedding_planted,
         "lang_id_script": q_lang_id_script,
+        "nysiis_pairs": q_nysiis_pairs,
+        "components_nysiis": q_components_nysiis,
     }
 
 
@@ -2118,6 +2218,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pairs_planted": _ann_pairs_planted_sql(),
         "components_embedding_planted": _components_embedding_planted_sql(),
         "lang_id_script": _lang_id_script_sql(),
+        "nysiis_pairs": _nysiis_pairs_sql(),
+        "components_nysiis": _components_nysiis_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
