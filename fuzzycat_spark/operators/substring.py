@@ -67,6 +67,37 @@ def _tokens_and_slug(
     return g2.select("id", "slug", F.col("_g.toks").alias("toks"))
 
 
+def substring_doc_grams(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    k: int = DEFAULT_MIN_TOKENS,
+    slug_mode: str = "ascii",
+) -> DataFrame:
+    """(id, slug, gh0, grams) per document with >= k tokens: `grams` is the
+    DISTINCT rolling k-gram hash array (the index side), `gh0` the first
+    window's hash (the probe key), `slug` the normalized text for the exact
+    containment confirmation. Shared by the batch operator and the
+    streaming incremental path, whose per-epoch k-gram index persists
+    exactly these rows."""
+    t = _tokens_and_slug(docs, id_col, text_col, slug_mode)
+    t = t.filter(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))),
+    )
+    # barrier so `grams` is evaluated once, not once per derived column
+    g = t.select(
+        "id", "slug", F.explode(F.array(F.struct(grams.alias("grams")))).alias("_g")
+    ).select("id", "slug", F.col("_g.grams").alias("grams"))
+    return g.select(
+        "id",
+        "slug",
+        F.element_at(F.col("grams"), 1).alias("gh0"),
+        F.array_distinct(F.col("grams")).alias("grams"),
+    )
+
+
 def exact_substring_pairs(
     docs: DataFrame,
     id_col: str = "url",
@@ -82,22 +113,13 @@ def exact_substring_pairs(
     Guaranteed-recall containment: probe = first k-gram, index = all
     k-grams, exact `contains` confirmation on the slugs.
     """
-    t = _tokens_and_slug(docs, id_col, text_col, slug_mode)
-    t = t.filter(F.size("toks") >= k)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))),
-    )
-    # barrier so `grams` is evaluated once, not once per derived column
-    g = t.select(
-        "id", "slug", F.explode(F.array(F.struct(grams.alias("grams")))).alias("_g")
-    ).select("id", "slug", F.col("_g.grams").alias("grams"))
+    g = substring_doc_grams(docs, id_col, text_col, k, slug_mode)
 
     # the gram join moves (id, int64) rows ONLY; slugs rejoin afterwards
     # for the (much smaller) surviving candidate set
     index = g.select(
         F.col("id").alias("id_of"),
-        F.explode(F.array_distinct(F.col("grams"))).alias("gh"),
+        F.explode(F.col("grams")).alias("gh"),
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("gh")
@@ -108,7 +130,7 @@ def exact_substring_pairs(
         )
     probe = g.select(
         F.col("id").alias("id_in"),
-        F.element_at(F.col("grams"), 1).alias("gh"),
+        F.col("gh0").alias("gh"),
     )
     cands = (
         probe.join(index, on="gh")

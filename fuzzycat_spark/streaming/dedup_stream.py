@@ -13,12 +13,35 @@ module is the Spark-native version of that incremental story:
   (stream-static join), then appends its own band rows to the index —
   the grow-only index mirrors the reference's ES candidate store.
 
+Strategy scope: every band strategy the batch pipeline supports — exact,
+slug, minhash, simhash, winnow, nysiis, and embedding with the
+DETERMINISTIC hyperplane index (seeded planes hash identically across
+epochs, so historical buckets stay joinable) — plus substring containment
+via a per-epoch k-gram index (below). embedding_index="ivf" is refused
+loudly: per-batch k-means centroids are not stable across epochs, so IVF
+cell ids written in epoch N would be meaningless against epoch N+1's
+(batch users get IVF; streams use hyperplane). A stream's DedupConfig
+must not change over its lifetime — the embedding column in particular is
+persisted into the feature state, and enabling it mid-stream fails loudly.
+
 State layout (all object-store-safe: existence = try-read, never
 os.path):
 - `<index>/epoch=N/`          band rows (id, band_id, band_hash),
                               sub-partitioned by band_id so cross-joins
                               prune partitions
-- `<index>_features/epoch=N/` per-id verify features (hashed forms only)
+- `<index>_features/epoch=N/` per-id verify features (hashed forms only;
+                              plus the embedding vector when the embedding
+                              strategy is enabled — the cosine tier needs
+                              historical vectors)
+- `<index>_ssgrams/epoch=N/`  substring k-gram index rows (id, gh int64) —
+                              the distributed suffix-array analog, epoch-
+                              partitioned like the band index
+- `<index>_ssmeta/epoch=N/`   substring probe rows (id, gh0, slug): the
+                              first-window hash plus the normalized slug
+                              for the exact containment confirmation (the
+                              one state table holding strings — the same
+                              price the batch operator pays when it joins
+                              slugs back for surviving candidates)
 - `<index>_sizes/epoch=N/`    cumulative per-bucket counts SNAPSHOT — the
                               hot-band guard: buckets whose TOTAL size
                               (history + this batch) exceeds the cap are
@@ -233,24 +256,81 @@ def incremental_dedup_batch(
             )
         return
 
+    emb_enabled = "embedding" in cfg.strategies
+    if emb_enabled and cfg.embedding_index != "hyperplane":
+        raise ValueError(
+            "incremental dedup supports embedding_index='hyperplane' only: "
+            "seeded hyperplanes hash identically across epochs, but IVF "
+            "centroids are fit per batch, so cell ids written in one epoch "
+            "would not match the next epoch's — the grow-only index would "
+            "silently stop linking cross-batch embedding dups. Use "
+            "hyperplane for streams (IVF stays a batch-pipeline index)."
+        )
     batch = materialize(batch, "stream_batch", keep_last=2)
+    feat_hist = _read_state(spark, feat_path, committed)
+    if feat_hist is not None:
+        # idempotency guard: drop ids the index already carries BEFORE any
+        # feature/band/gram work — every strategy below sees only new docs
+        batch = materialize(
+            batch.join(
+                feat_hist.select(F.col("id").alias(cfg.id_col)),
+                on=cfg.id_col,
+                how="left_anti",
+            ),
+            "stream_batch_new",
+            keep_last=2,
+        )
     prep = prepare_pages(
         batch, cfg.id_col, cfg.text_col, slug_mode=cfg.slug_mode,
         with_token_hashes="simhash" in cfg.strategies,
     )
-
-    feat_hist = _read_state(spark, feat_path, committed)
-    if feat_hist is not None:
-        # idempotency guard: drop ids the index already carries
+    if emb_enabled:
+        if cfg.embedding_col is None or cfg.embedding_dim is None:
+            raise ValueError(
+                "embedding strategy needs cfg.embedding_col and cfg.embedding_dim"
+            )
+        if feat_hist is not None and "_emb" not in feat_hist.columns:
+            raise ValueError(
+                "the committed feature state carries no embedding column: "
+                "this stream's earlier epochs ran WITHOUT the embedding "
+                "strategy. A stream's DedupConfig must not change over its "
+                "lifetime — start fresh state paths to enable embeddings."
+            )
+        # persist the vector alongside the hashed features: the cosine
+        # tier must score candidates against HISTORICAL docs' embeddings
         prep = materialize(
-            prep.join(feat_hist.select("id"), on="id", how="left_anti"),
-            "stream_prep",
+            prep.join(
+                batch.select(
+                    F.col(cfg.id_col).alias("id"),
+                    F.col(cfg.embedding_col).alias("_emb"),
+                ),
+                on="id",
+                how="left",
+            ),
+            "stream_prep_emb",
             keep_last=2,
         )
 
-    new_bands = materialize(
-        strategy_band_table(prep, cfg), "stream_bands", keep_last=2
-    )
+    band_strategies = tuple(s for s in cfg.strategies if s != "substring")
+    if band_strategies:
+        from dataclasses import replace
+
+        new_bands = materialize(
+            strategy_band_table(
+                prep, replace(cfg, strategies=band_strategies), pages=batch
+            ),
+            "stream_bands",
+            keep_last=2,
+        )
+    else:
+        # substring-only config: no band strategies, empty band table with
+        # the right schema so the shared sizes/star/cross plumbing is a no-op
+        new_bands = prep.select(
+            "id",
+            F.lit("x").alias("band_id"),
+            F.lit("x").alias("band_hash"),
+            F.lit(0).alias("cap"),
+        ).limit(0)
     # deterministic key-equality bands (exact hash, slug) link via star
     # edges — same O(n) no-cap design as the batch pipeline (see
     # operators/dedup.star_edges): each new member links to the band's
@@ -274,10 +354,47 @@ def incremental_dedup_batch(
     new_key = new_bands.filter(F.col("band_id").isin(*_KEY_BANDS))
     new_near = new_bands.filter(~F.col("band_id").isin(*_KEY_BANDS))
 
+    ss = None
+    if "substring" in cfg.strategies:
+        # substring containment state: the per-doc k-gram rows (index
+        # side) and (first-window hash, slug) probes — the SAME quantities
+        # the batch operator derives, persisted per epoch so containment
+        # links across batches in both directions (new-in-old via
+        # new-probe x old-index, old-in-new via old-probe x new-index)
+        from fuzzycat_spark.operators.substring import substring_doc_grams
+
+        gdoc = materialize(
+            substring_doc_grams(
+                batch, cfg.id_col, cfg.text_col, k=cfg.substring_k,
+                slug_mode=cfg.slug_mode,
+            ),
+            "stream_ssdoc",
+            keep_last=2,
+        )
+        ss = (
+            gdoc.select("id", F.explode("grams").alias("gh")),
+            gdoc.select("id", "gh0", "slug"),
+        )
+
     # cumulative per-bucket sizes: old + this batch's contribution
     new_sizes = new_bands.groupBy("band_id", "band_hash", "cap").agg(
         F.count(F.lit(1)).alias("n")
     )
+    if ss is not None:
+        # substring gram buckets ride the same cumulative-size/hot-guard
+        # machinery under the reserved 'ssgram' band id (they are NEVER
+        # pair-expanded like bands — only probe-joined below)
+        new_sizes = new_sizes.unionByName(
+            ss[0]
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("ssgram").alias("band_id"),
+                F.col("gh").cast("string").alias("band_hash"),
+                F.lit(cfg.max_bucket_size).alias("cap"),
+                "n",
+            )
+        )
     old_sizes = (
         try_read_parquet(spark, f"{sizes_path}/epoch={committed}")
         if committed is not None
@@ -356,6 +473,69 @@ def incremental_dedup_batch(
         )
         cands = cands.unionByName(cross).distinct()
 
+    if ss is not None:
+        # substring containment candidates: probe (first k-gram) joins the
+        # gram index, hot gram buckets excluded by CUMULATIVE size on both
+        # sides (in batch only the index side is capped, but a probe whose
+        # bucket is hot finds zero index rows there — excluding the probe
+        # is the same result, fewer shuffled rows). hist x hist never
+        # joins, so a pair is emitted exactly once: the epoch its newer
+        # member arrives.
+        new_grams, new_meta = ss
+        hot_gh = hot.filter(F.col("band_id") == "ssgram").select(
+            F.col("band_hash").cast("long").alias("gh")
+        )
+        hist_grams = _read_state(spark, index_path + "_ssgrams", committed)
+        hist_meta = _read_state(spark, index_path + "_ssmeta", committed)
+        cool_new_grams = new_grams.join(hot_gh, on="gh", how="left_anti")
+        index_side = cool_new_grams
+        if hist_grams is not None:
+            index_side = index_side.unionByName(
+                hist_grams.join(hot_gh, on="gh", how="left_anti")
+            )
+        probe_new = new_meta.select("id", F.col("gh0").alias("gh")).join(
+            hot_gh, on="gh", how="left_anti"
+        )
+        sspairs = (
+            probe_new.select(F.col("id").alias("id_in"), "gh")
+            .join(index_side.select(F.col("id").alias("id_of"), "gh"), on="gh")
+            .select("id_in", "id_of")
+        )
+        if hist_meta is not None:
+            probe_hist = hist_meta.select("id", F.col("gh0").alias("gh")).join(
+                hot_gh, on="gh", how="left_anti"
+            )
+            sspairs = sspairs.unionByName(
+                probe_hist.select(F.col("id").alias("id_in"), "gh")
+                .join(
+                    cool_new_grams.select(F.col("id").alias("id_of"), "gh"),
+                    on="gh",
+                )
+                .select("id_in", "id_of")
+            )
+        sspairs = sspairs.filter(F.col("id_in") != F.col("id_of")).distinct()
+        # exact confirmation over the persisted slugs (kills k-gram hash
+        # collisions and shared-prefix-only overlaps, exactly like batch)
+        slugs = new_meta.select("id", "slug")
+        if hist_meta is not None:
+            slugs = slugs.unionByName(hist_meta.select("id", "slug"))
+        confirmed = (
+            sspairs.join(
+                slugs.select(F.col("id").alias("id_in"), F.col("slug").alias("_s_in")),
+                on="id_in",
+            )
+            .join(
+                slugs.select(F.col("id").alias("id_of"), F.col("slug").alias("_s_of")),
+                on="id_of",
+            )
+            .filter(F.instr(F.col("_s_of"), F.col("_s_in")) > 0)
+            .select(
+                F.least(F.col("id_in"), F.col("id_of")).alias("id_a"),
+                F.greatest(F.col("id_in"), F.col("id_of")).alias("id_b"),
+            )
+        )
+        cands = cands.unionByName(confirmed).distinct()
+
     cands = materialize(cands, "stream_cands", keep_last=2)
 
     # features: this batch's + ONLY the historical rows that collided
@@ -377,7 +557,48 @@ def incremental_dedup_batch(
     )
     from fuzzycat_spark.operators.dedup import _deny
 
-    verified = verify_pairs(cands, feats, denylist_keys=_deny(cfg))
+    if emb_enabled:
+        # embedding cosine tier BEFORE the text cascade, mirroring the
+        # batch plan (dedup_stages): paraphrase dups have dissimilar text
+        # by definition, so cosine >= embedding_strong is the verdict and
+        # only the remainder pays the text joins. feats carries _emb for
+        # both this batch's and the colliding historical docs.
+        from fuzzycat_spark.operators.knn import cosine_col
+
+        embs = feats.select("id", "_emb")
+        scored = (
+            cands.join(
+                embs.select(F.col("id").alias("id_a"), F.col("_emb").alias("_ea")),
+                on="id_a",
+            )
+            .join(
+                embs.select(F.col("id").alias("id_b"), F.col("_emb").alias("_eb")),
+                on="id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_col(F.col("_ea"), F.col("_eb")), 9).alias("_cos"),
+            )
+        )
+        emb_pairs = materialize(
+            scored.filter(F.col("_cos") >= cfg.embedding_strong).select(
+                "id_a",
+                "id_b",
+                F.lit("strong").alias("status"),
+                F.lit("EMBEDDING_COSINE").alias("reason"),
+            ),
+            "stream_emb_pairs",
+            keep_last=2,
+        )
+        rest = cands.join(
+            emb_pairs.select("id_a", "id_b"), on=["id_a", "id_b"], how="left_anti"
+        )
+        verified = verify_pairs(rest, feats, denylist_keys=_deny(cfg)).unionByName(
+            emb_pairs
+        )
+    else:
+        verified = verify_pairs(cands, feats, denylist_keys=_deny(cfg))
     # every write below is per-epoch + overwrite (idempotent under replay
     # of the same epoch); the pointer swap LAST makes the epoch atomic —
     # a kill between any two writes leaves the pointer at the previous
@@ -390,11 +611,28 @@ def incremental_dedup_batch(
     ).mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
     prep.write.mode("overwrite").parquet(f"{feat_path}/epoch={epoch_id}")
     sizes.write.mode("overwrite").parquet(f"{sizes_path}/epoch={epoch_id}")
-    _write_epoch_manifest(index_path, pairs_path, epoch_id)
+    extra_tables: tuple[tuple[str, str], ...] = ()
+    if ss is not None:
+        ss[0].write.mode("overwrite").parquet(
+            f"{index_path}_ssgrams/epoch={epoch_id}"
+        )
+        ss[1].write.mode("overwrite").parquet(
+            f"{index_path}_ssmeta/epoch={epoch_id}"
+        )
+        extra_tables = (
+            ("ssgrams", index_path + "_ssgrams"),
+            ("ssmeta", index_path + "_ssmeta"),
+        )
+    _write_epoch_manifest(index_path, pairs_path, epoch_id, extra_tables)
     _commit_pointer(index_path, epoch_id)
 
 
-def _write_epoch_manifest(index_path: str, pairs_path: str, epoch_id: int) -> None:
+def _write_epoch_manifest(
+    index_path: str,
+    pairs_path: str,
+    epoch_id: int,
+    extra_tables: tuple[tuple[str, str], ...] = (),
+) -> None:
     """Per-epoch lineage record (north rule: "per-partition lineage +
     metrics" for EVERY stage, streaming included): parquet-footer row
     counts per partition for each state table of the epoch — metadata
@@ -414,6 +652,7 @@ def _write_epoch_manifest(index_path: str, pairs_path: str, epoch_id: int) -> No
                 ("pairs", pairs_path),
                 ("features", index_path + "_features"),
                 ("sizes", index_path + "_sizes"),
+                *extra_tables,
             )
         },
     }

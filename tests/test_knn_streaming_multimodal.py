@@ -424,3 +424,155 @@ def test_run_incremental_dedup_via_writestream(spark, tmp_path):
     assert committed_epoch(index) == 0
     got = {(r.id_a, r.id_b): r.status for r in read_pairs(spark, pairs, index).collect()}
     assert got.get(("u1", "u3")) == "exact"
+
+
+def test_incremental_equals_batch_winnow_substring(spark, tmp_path):
+    """The round-4 gap: winnow and substring were batch-only. Split a
+    corpus with (a) a shared-paragraph partial-overlap family (winnow's
+    tier — whole-doc jaccard below every LSH band's reach) and (b) full
+    containment pairs in BOTH temporal orders (contained-then-container
+    and container-then-contained) across three micro-batches; the
+    incremental path must surface the same exact/strong pair set as one
+    batch run over the union."""
+    from fuzzycat_spark.operators.dedup import dedup_pages
+    from fuzzycat_spark.streaming.dedup_stream import incremental_dedup_batch
+
+    para = (
+        "shared paragraph about the migration of arctic terns across "
+        "hemispheres every single year without fail"
+    )
+    core = (
+        "a compact note on tidal pools and the creatures living between "
+        "the tides on rocky shores"
+    )
+    rows = [
+        # batch 1
+        ("w1", para + " unique opening for the first winnow document here"),
+        ("s_in", core),  # contained doc arrives BEFORE its container
+        ("big_a", "giant wrapper starts here " + core + " and keeps going with more prose"),
+        # batch 2
+        ("s_of", "totally different preamble then " + core + " plus a distinct coda section"),
+        ("w2", para + " a different unique ending for the second document"),
+        ("x1", "unrelated filler text about compiler design and register allocation strategies"),
+        # batch 3
+        ("s_in2", core),  # second contained doc arrives AFTER a container
+        ("w3", para + " third framing sentence that shares only the paragraph"),
+    ]
+    cfg = DedupConfig(
+        strategies=("winnow", "substring"),
+        substring_k=5,
+    )
+    df = spark.createDataFrame(rows, "url string, text string")
+    batch_pairs = {
+        (r.id_a, r.id_b, r.status)
+        for r in dedup_pages(df, cfg)[0]
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+
+    base = str(tmp_path)
+    index, pairs_path = f"{base}/index", f"{base}/pairs"
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        b = spark.createDataFrame(rows[lo:hi], "url string, text string")
+        incremental_dedup_batch(b, index, pairs_path, cfg)
+    inc_pairs = {
+        (r.id_a, r.id_b, r.status)
+        for r in spark.read.parquet(pairs_path)
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+    assert inc_pairs == batch_pairs
+    # the containment pairs must actually be present (both directions)
+    flat = {(a, b) for a, b, _ in inc_pairs}
+    assert ("big_a", "s_in") in flat
+    assert ("s_in2", "s_of") in flat or ("s_of", "s_in2") in flat
+
+
+def test_incremental_embedding_cosine_links_across_batches(spark, tmp_path):
+    """Paraphrase dups (similar embedding, dissimilar text) must link via
+    the streaming cosine tier exactly as in batch: the second doc arrives
+    in a LATER epoch, so the pair exercises the persisted _emb feature
+    state and the deterministic hyperplane index."""
+    from fuzzycat_spark.operators.dedup import dedup_pages
+    from fuzzycat_spark.streaming.dedup_stream import incremental_dedup_batch
+
+    rng = np.random.RandomState(7)
+    v = rng.standard_normal(16)
+    v = (v / np.linalg.norm(v)).tolist()
+    v2 = [x + 0.01 for x in v]  # cosine ~1
+    w = rng.standard_normal(16)
+    w = (w / np.linalg.norm(w)).tolist()
+    rows = [
+        ("p1", "the original phrasing of a subtle argument about causality", v),
+        ("q1", "completely different words for the very same underlying claim", v2),
+        ("r1", "an unrelated grocery list with apples and flour and yeast", w),
+    ]
+    schema = "url string, text string, emb array<double>"
+    cfg = DedupConfig(
+        strategies=("exact", "slug", "embedding"),
+        embedding_col="emb",
+        embedding_dim=16,
+        embedding_planes=4,
+        embedding_strong=0.95,
+    )
+    df = spark.createDataFrame(rows, schema)
+    batch_pairs = {
+        (r.id_a, r.id_b, r.status, r.reason)
+        for r in dedup_pages(df, cfg)[0]
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+    assert ("p1", "q1", "strong", "EMBEDDING_COSINE") in batch_pairs
+
+    base = str(tmp_path)
+    index, pairs_path = f"{base}/index", f"{base}/pairs"
+    for lo, hi in ((0, 1), (1, 3)):
+        b = spark.createDataFrame(rows[lo:hi], schema)
+        incremental_dedup_batch(b, index, pairs_path, cfg)
+    inc_pairs = {
+        (r.id_a, r.id_b, r.status, r.reason)
+        for r in spark.read.parquet(pairs_path)
+        .filter("status in ('exact','strong')")
+        .collect()
+    }
+    assert inc_pairs == batch_pairs
+
+
+def test_incremental_embedding_ivf_fails_loudly(spark, tmp_path):
+    cfg = DedupConfig(
+        strategies=("embedding",),
+        embedding_col="emb",
+        embedding_dim=4,
+        embedding_index="ivf",
+    )
+    b = spark.createDataFrame(
+        [("u1", "text", [0.1, 0.2, 0.3, 0.4])],
+        "url string, text string, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="hyperplane"):
+        incremental_dedup_batch(b, f"{tmp_path}/i", f"{tmp_path}/p", cfg)
+
+
+def test_incremental_embedding_config_change_fails_loudly(spark, tmp_path):
+    """Enabling the embedding strategy against feature state written
+    without it must fail loudly (the historical vectors the cosine tier
+    needs were never persisted)."""
+    base = str(tmp_path)
+    index, pairs_path = f"{base}/index", f"{base}/pairs"
+    plain = DedupConfig(strategies=("exact", "slug"))
+    b1 = spark.createDataFrame(
+        [("u1", "some web page text body", [0.1, 0.2])],
+        "url string, text string, emb array<double>",
+    )
+    incremental_dedup_batch(b1, index, pairs_path, plain)
+    emb_cfg = DedupConfig(
+        strategies=("exact", "slug", "embedding"),
+        embedding_col="emb",
+        embedding_dim=2,
+    )
+    b2 = spark.createDataFrame(
+        [("u2", "other web page text body", [0.3, 0.4])],
+        "url string, text string, emb array<double>",
+    )
+    with pytest.raises(ValueError, match="must not change"):
+        incremental_dedup_batch(b2, index, pairs_path, emb_cfg)
