@@ -1443,6 +1443,25 @@ def q_media_features(spark, sf_dir):
     )
 
 
+_MEDIA_FIXTURE = "/root/repo/fixtures/media_docs.parquet"
+
+
+def q_media_decode(spark, sf_dir):
+    """The REAL media codec through the driver gate: committed binary
+    payloads (uncompressed 24-bit BMP incl. bottom-up/top-down/padded
+    rows, binary PPM with header comment, PGM, 8/16-bit PCM WAV) are
+    decoded by `real_decoder` inside a distributed mapInPandas pass;
+    the gate compares (sample count, sum, sha256 of the uint8 samples)
+    against scalars precomputed from the SOURCE pixel arrays at
+    fixture-generation time (tools/make_media_fixture.py). A codec bug
+    of even one byte hash-mismatches. Compressed formats (PNG/JPEG/MP4)
+    remain behind the declared NotImplementedError seam."""
+    from fuzzycat_spark.sources.multimodal import decode_media_stats
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return decode_media_stats(media)
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -2099,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "corpus_filter": q_corpus_filter,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
@@ -2225,6 +2245,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
                      AS n_bytes
             FROM documents""",
+        "media_decode": f"""
+            SELECT media_id, px_count, px_sum, px_sha
+            FROM '{_MEDIA_FIXTURE}'""",
         "ann_similar_pairs": _ann_similar_pairs_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,

@@ -3,11 +3,15 @@
 A training-data pipeline at 100 TB carries media payloads next to text.
 This module provides the Spark-side plumbing — schemas, Arrow-batched
 `mapInPandas` transforms, partition-size guidance — with the codec step
-behind a clear seam: the actual decoders (PIL/ffmpeg) are NOT in this
-container, so `decode=` accepts an injectable codec; the default
-`deterministic_fake_decoder` derives reproducible pseudo-content from the
-bytes (tests exercise the full distributed path), and `strict_decoder`
-raises NotImplementedError to mark the production integration point.
+behind a clear seam: `decode=` accepts an injectable codec. `real_decoder`
+is a genuine pure-byte codec for the formats that need no external
+library (uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV);
+COMPRESSED formats (PNG/JPEG/MP4) still require PIL/ffmpeg, which are not
+in this container — `strict_decoder` and `real_decoder`'s
+unknown-magic branch raise NotImplementedError to mark that integration
+point. `deterministic_fake_decoder` derives reproducible pseudo-content
+from the bytes so tests can exercise the distributed path on arbitrary
+payloads.
 
 Design rules for binary columns at scale (mirrors SURVEY §4's "never carry
 html through a shuffle"):
@@ -64,6 +68,126 @@ def strict_decoder(raw: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         f"no media codec available in this environment (kind={kind}); "
         "inject a decoder via extract_media_features(decode=...)"
+    )
+
+
+def _decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) → flat float32
+    pixel samples in top-down, row-major, R,G,B order, values 0..255.
+    Pure byte parsing: file header offset, int32 dims (negative height =
+    top-down storage), 4-byte row padding, per-pixel BGR → RGB swap."""
+    if len(raw) < 54:
+        raise ValueError("BMP truncated: missing header")
+    off = int.from_bytes(raw[10:14], "little")
+    width = int.from_bytes(raw[18:22], "little", signed=True)
+    height = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP has degenerate dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = ((bpp * width + 31) // 32) * 4
+    need = off + row_bytes * height
+    if len(raw) < need:
+        raise ValueError(f"BMP truncated: {len(raw)} bytes, need {need}")
+    rows = (
+        np.frombuffer(raw, dtype=np.uint8, count=row_bytes * height, offset=off)
+        .reshape(height, row_bytes)[:, : width * 3]
+        .reshape(height, width, 3)
+    )
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up
+    return rows[:, :, ::-1].reshape(-1).astype(np.float32)  # BGR → RGB
+
+
+def _decode_pnm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → flat float32 samples 0..255.
+    Header is whitespace-separated ASCII tokens with '#' comments; one
+    whitespace byte separates the maxval from the raster."""
+    magic = raw[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(f"unsupported PNM magic {magic!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(raw):
+            raise ValueError("PNM truncated: incomplete header")
+        c = raw[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError(f"PNM maxval {maxval} > 255 (2-byte samples)")
+    n = width * height * (3 if magic == b"P6" else 1)
+    if len(raw) < pos + n:
+        raise ValueError(f"PNM truncated: {len(raw)} bytes, need {pos + n}")
+    return np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos).astype(
+        np.float32
+    )
+
+
+def _decode_wav(raw: bytes) -> np.ndarray:
+    """PCM RIFF/WAVE (8- or 16-bit) → flat float32 samples scaled 0..255
+    (16-bit samples map through (x + 32768) >> 8 so the downstream 64-bin
+    histogram sees the same value range as image pixels)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format={audio_format})")
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int32)
+        return ((x + 32768) >> 8).astype(np.float32)
+    raise NotImplementedError(f"unsupported WAV bit depth {bits}")
+
+
+def real_decoder(raw: bytes, kind: str) -> np.ndarray:
+    """Real deterministic codec for the container formats that need no
+    external library — uncompressed BMP, binary PPM/PGM, PCM WAV — chosen
+    by magic bytes. Compressed formats (PNG/JPEG/MP4/...) still raise
+    NotImplementedError: THAT remains the PIL/ffmpeg integration seam, but
+    the decode step itself is no longer a stub. Output is always a flat
+    float32 array of 0..255 samples, the contract the feature histogram
+    consumes."""
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    if raw[:2] in (b"P5", b"P6"):
+        return _decode_pnm(raw)
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return _decode_wav(raw)
+    raise NotImplementedError(
+        f"no built-in codec for this payload (kind={kind}, "
+        f"magic={raw[:4]!r}); plug PIL/ffmpeg via "
+        "extract_media_features(decode=...)"
     )
 
 
@@ -125,6 +249,53 @@ def extract_media_features(
 
     narrow = media.select("media_id", "kind", "bytes")
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("px_count", LongType(), False),
+        StructField("px_sum", LongType(), False),
+        StructField("px_sha", StringType(), False),
+    ]
+)
+
+
+def decode_media_stats(
+    media: DataFrame,
+    decode: Callable[[bytes, str], "np.ndarray"] = real_decoder,
+) -> DataFrame:
+    """Distributed decode audit: per media object, the decoded sample
+    count, sum, and sha256 of the uint8 sample bytes — scalar invariants
+    that pin the codec byte-for-byte. The driver gate compares these
+    against stats precomputed from the SOURCE pixel arrays at
+    fixture-generation time (tools/make_media_fixture.py), so encoder →
+    committed bytes → `real_decoder` round-trips exactly or the gate
+    hash-mismatches. Same narrow-projection discipline as
+    extract_media_features: bytes never cross a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, b, k in zip(pdf["media_id"], pdf["bytes"], pdf["kind"]):
+                px = decode(bytes(b) if b is not None else b"", k).astype(np.uint8)
+                out.append(
+                    (
+                        mid,
+                        int(px.size),
+                        int(px.astype(np.int64).sum()),
+                        hashlib.sha256(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODE_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "bytes").mapInPandas(
+        run, DECODE_STATS_SCHEMA
+    )
 
 
 def sample_video_frames(

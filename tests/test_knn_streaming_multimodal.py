@@ -193,6 +193,75 @@ def test_strict_decoder_marks_integration_point():
     assert (a == b).all()
 
 
+_MEDIA_FIXTURE = "/root/repo/fixtures/media_docs.parquet"
+
+
+def test_real_decoder_round_trips_committed_fixture():
+    """Byte-identity of the real codec: every committed payload (BMP
+    bottom-up/top-down/padded, PPM with comment, PGM, 8/16-bit PCM WAV)
+    decodes to exactly the source sample array recorded at fixture
+    generation time (tools/make_media_fixture.py) — scalar path, no Spark."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from fuzzycat_spark.sources.multimodal import real_decoder
+
+    t = pq.read_table(_MEDIA_FIXTURE).to_pydict()
+    assert len(t["media_id"]) >= 7
+    for mid, raw, kind, n, s, sha in zip(
+        t["media_id"], t["bytes"], t["kind"], t["px_count"], t["px_sum"], t["px_sha"]
+    ):
+        px = real_decoder(raw, kind).astype(np.uint8)
+        assert px.size == n, mid
+        assert int(px.astype(np.int64).sum()) == s, mid
+        assert hashlib.sha256(px.tobytes()).hexdigest() == sha, mid
+
+
+def test_real_decoder_rejects_what_it_cannot_parse():
+    from fuzzycat_spark.sources.multimodal import real_decoder
+
+    with pytest.raises(NotImplementedError):  # compressed formats = the seam
+        real_decoder(b"\x89PNG\r\n\x1a\nrest", "image")
+    with pytest.raises(NotImplementedError):  # 32bpp BMP unsupported
+        bad = bytearray(60)
+        bad[:2] = b"BM"
+        bad[28] = 32
+        real_decoder(bytes(bad), "image")
+    with pytest.raises(ValueError):  # truncated BMP header
+        real_decoder(b"BM\x00", "image")
+    with pytest.raises(ValueError):  # PNM raster shorter than header claims
+        real_decoder(b"P6\n4 4\n255\n\x00\x00", "image")
+    with pytest.raises(NotImplementedError):  # 2-byte PNM samples
+        real_decoder(b"P5\n1 1\n65535\n\x00\x00", "image")
+    with pytest.raises(NotImplementedError):  # non-PCM WAV
+        wav = (
+            b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+            + (3).to_bytes(2, "little")  # IEEE float, not PCM
+            + b"\x01\x00" + b"\x40\x1f\x00\x00" + b"\x80\x3e\x00\x00"
+            + b"\x02\x00\x10\x00" + b"data\x00\x00\x00\x00"
+        )
+        real_decoder(wav, "audio")
+
+
+def test_decode_media_stats_distributed_matches_fixture(spark):
+    """The mapInPandas decode audit (default codec = real_decoder) over
+    the committed fixture reproduces the generation-time scalars — the
+    same invariant the media_decode driver gate pins at sf0.01."""
+    from fuzzycat_spark.sources.multimodal import decode_media_stats
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    want = {
+        r.media_id: (r.px_count, r.px_sum, r.px_sha)
+        for r in media.select("media_id", "px_count", "px_sum", "px_sha").collect()
+    }
+    got = {
+        r.media_id: (r.px_count, r.px_sum, r.px_sha)
+        for r in decode_media_stats(media).collect()
+    }
+    assert got == want
+
+
 def test_incremental_equals_batch_dedup(spark):
     """Three micro-batches through the incremental path must surface the
     SAME exact/strong pair set as one batch dedup over the union — the

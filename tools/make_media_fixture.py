@@ -1,0 +1,144 @@
+"""Generate fixtures/media_docs.parquet: real binary media payloads
+(uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV) plus oracle columns.
+
+The px_count/px_sum/px_sha columns are computed from the SOURCE sample
+arrays here at generation time — NOT by running the decoder — so the
+driver gate (`media_decode`) pins the encode→decode round trip
+byte-for-byte: Spark decodes the committed bytes with
+`sources.multimodal.real_decoder` in a distributed mapInPandas pass while
+the DuckDB oracle reads the committed scalars; any codec drift
+hash-mismatches the gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def encode_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes."""
+    assert rgb.dtype == np.uint8, rgb.dtype
+    h, w, _ = rgb.shape
+    row_bytes = ((24 * w + 31) // 32) * 4
+    pad = row_bytes - w * 3
+    bgr = rgb[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]  # bottom-up storage
+    body = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + info + body
+
+
+def encode_ppm(rgb: np.ndarray, comment: str | None = None) -> bytes:
+    assert rgb.dtype == np.uint8, rgb.dtype
+    h, w, _ = rgb.shape
+    head = b"P6\n"
+    if comment:
+        head += f"# {comment}\n".encode()
+    head += f"{w} {h}\n255\n".encode()
+    return head + rgb.tobytes()
+
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    assert gray.dtype == np.uint8, gray.dtype
+    h, w = gray.shape
+    return f"P5\n{w} {h}\n255\n".encode() + gray.tobytes()
+
+
+def encode_wav(samples: np.ndarray, bits: int, rate: int = 8000) -> bytes:
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:
+        data = samples.astype(np.uint8).tobytes()
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block, block, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def main() -> None:
+    rng = np.random.RandomState(20260817)
+    rows = []
+
+    def add(mid, kind, mime, raw, expected_u8, width=None, height=None, dur=None):
+        e = expected_u8.astype(np.uint8)
+        rows.append(
+            {
+                "media_id": mid,
+                "kind": kind,
+                "mime": mime,
+                "bytes": raw,
+                "width": width,
+                "height": height,
+                "duration_ms": dur,
+                "px_count": int(e.size),
+                "px_sum": int(e.astype(np.int64).sum()),
+                "px_sha": hashlib.sha256(e.tobytes()).hexdigest(),
+            }
+        )
+
+    # 4x3 bottom-up BMP with a deterministic gradient (exercises row
+    # padding: 4*3=12 bytes/row, already aligned → add a 5x2 too)
+    # NOTE: % 256 on a uint8 array promotes to int16 under NEP 50 —
+    # cast back to uint8 or the encoders would write 2-byte samples
+    g1 = ((np.arange(4 * 3 * 3) * 7) % 256).astype(np.uint8).reshape(3, 4, 3)
+    add("bmp_grad", "image", "image/bmp", encode_bmp(g1), g1.reshape(-1), 4, 3)
+    # 5x2: row = 15 bytes → padded to 16 (pins the padding arithmetic)
+    g2 = rng.randint(0, 256, size=(2, 5, 3), dtype=np.uint8)
+    add("bmp_padded", "image", "image/bmp", encode_bmp(g2), g2.reshape(-1), 5, 2)
+    # top-down (negative height) variant
+    g3 = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    add("bmp_topdown", "image", "image/bmp", encode_bmp(g3, top_down=True), g3.reshape(-1), 2, 2)
+    # P6 PPM with a header comment
+    p1 = rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    add("ppm_comment", "image", "image/x-portable-pixmap",
+        encode_ppm(p1, comment="fixture"), p1.reshape(-1), 3, 2)
+    # P5 PGM grayscale
+    p2 = rng.randint(0, 256, size=(1, 4), dtype=np.uint8)
+    add("pgm_gray", "image", "image/x-portable-graymap", encode_pgm(p2), p2.reshape(-1), 4, 1)
+    # 16-bit PCM WAV: expected samples go through the documented
+    # (x + 32768) >> 8 mapping to the 0..255 histogram range
+    s16 = (np.sin(np.arange(64) / 4.0) * 20000).astype(np.int16)
+    add("wav_pcm16", "audio", "audio/wav", encode_wav(s16, 16),
+        ((s16.astype(np.int32) + 32768) >> 8), dur=int(64 / 8))
+    # 8-bit PCM WAV with an ODD byte count (pins the word-align padding)
+    s8 = rng.randint(0, 256, size=33, dtype=np.uint8)
+    add("wav_pcm8", "audio", "audio/wav", encode_wav(s8, 8), s8, dur=int(33 / 8))
+
+    table = pa.table(
+        {
+            "media_id": pa.array([r["media_id"] for r in rows], pa.string()),
+            "kind": pa.array([r["kind"] for r in rows], pa.string()),
+            "mime": pa.array([r["mime"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "width": pa.array([r["width"] for r in rows], pa.int32()),
+            "height": pa.array([r["height"] for r in rows], pa.int32()),
+            "duration_ms": pa.array([r["duration_ms"] for r in rows], pa.int64()),
+            "px_count": pa.array([r["px_count"] for r in rows], pa.int64()),
+            "px_sum": pa.array([r["px_sum"] for r in rows], pa.int64()),
+            "px_sha": pa.array([r["px_sha"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, "/root/repo/fixtures/media_docs.parquet")
+    for r in rows:
+        print(r["media_id"], len(r["bytes"]), "bytes →", r["px_count"], "samples")
+
+
+if __name__ == "__main__":
+    main()
