@@ -664,6 +664,33 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(_band_table(spark, sf_dir), MAX_BUCKET)
 
 
+_NGRAM_JACCARD_T = 0.5
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-n-gram Jaccard near-dup — the classic candidate-then-
+    verify composition: capped MinHash-LSH band candidates (the 100 TB
+    path; never an all-pairs join), then the EXACT shingle-set Jaccard
+    computed only for survivors, thresholded at 0.5. MinHash alone
+    approximates the similarity; this emits the exact value, so the
+    operator doubles as the precision back-stop the approximate tiers
+    feed. Shingle arrays join in AFTER candidate generation — the band
+    shuffle stays (id, band_id, band_hash)."""
+    from fuzzycat_spark.functions.text import jaccard_col
+
+    sh = _doc_shingles(spark, sf_dir)
+    cands = lsh_candidate_pairs(_band_table(spark, sf_dir), MAX_BUCKET)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard_col(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.round(jac, 9) >= _NGRAM_JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+    )
+
+
 def q_candidates(spark, sf_dir):
     return candidate_pairs(_docs(spark, sf_dir), DOC_CFG)
 
@@ -2094,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_bands": q_lsh_bands,
         "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
         "candidates": q_candidates,
         "verified_pairs": q_verified_pairs,
         "components": q_components,
@@ -2188,6 +2216,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM br a JOIN br b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id""",
+        "ngram_jaccard": f"""
+            WITH {_BAND_CTES},
+            bucket_ok AS (
+              SELECT band_id, band_hash FROM band_rows
+              GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+            ),
+            br AS (SELECT band_rows.* FROM band_rows JOIN bucket_ok USING (band_id, band_hash)),
+            lsh_cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM br a JOIN br b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id
+            ),
+            scored AS (
+              SELECT c.id_a, c.id_b,
+                     CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.shingles, b.shingles))
+                               / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     END AS j
+              FROM lsh_cand c
+              JOIN sh a ON c.id_a = a.doc_id
+              JOIN sh b ON c.id_b = b.doc_id
+            )
+            SELECT id_a, id_b, round(j, 6) AS jac FROM scored
+            WHERE round(j, 9) >= {_NGRAM_JACCARD_T}""",
         "candidates": f"""
             WITH {_CAND_CTES}
             SELECT id_a, id_b FROM cand""",
