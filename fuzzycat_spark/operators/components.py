@@ -7,17 +7,37 @@ can link records across blocks, transitive closure needs an actual CC
 computation (SURVEY.md §2.9/§4) — this is the one genuinely custom
 algorithm in the pipeline.
 
-Algorithm: iterative min-label propagation with pointer jumping
-(hash-to-min flavor): each node takes the min label over itself, its
-neighbors, and its current label's label. Pointer jumping makes convergence
-O(log diameter) instead of O(diameter), which matters for chain-shaped
-containment families at web scale.
+Algorithm: min-label edge contraction + pointer doubling on the COMPOSED
+label map. Each round:
 
-Each iteration is checkpointed to parquet via StageCheckpointer — a HARD
-lineage cut. `DataFrame.localCheckpoint` chains measurably fail to cut the
-recompute chain on Spark 4.1 (per-iteration cost grows ~3x per iteration;
-see plans/checkpoint.py) — on a cluster these checkpoints are the Iceberg
-stage tables that also make the loop resumable.
+1. per current super-node, take the min over its closed neighborhood in
+   the CONTRACTED graph and fold it into the cumulative node→label map;
+2. pointer-double the cumulative map T times (label ← label(label));
+3. relabel both edge endpoints through the map, drop self-loops, dedup.
+
+Contraction handles random-id chains (local minima absorb their basins;
+the surviving path shrinks geometrically) and doubling on the CUMULATIVE
+map handles monotone-id chains (where contraction alone removes O(1)
+nodes per round but the map's reach multiplies ~2^T per round). Each
+mechanism alone has a linear-convergence pathology — measured on
+1,000-node paths: static-edge min propagation with one hop (the previous
+formulation here) needs >60 rounds on a shuffled-id path, and contraction
+with only in-round jumps needs >25 on a monotone-id path; the composition
+converges in ≤6 rounds on both. Web containment chains (A contains B
+contains C …) are exactly these shapes at 100 TB, where every extra round
+is a full shuffle+checkpoint. The edge set — the big side — SHRINKS every
+round instead of being re-shuffled at full size per iteration.
+
+Convergence is certain (every component contracts to its min, which is a
+fixed point of every round map), so exhausting `max_iterations` means an
+astronomically deep graph — that now raises instead of silently returning
+partial labels.
+
+Each round is checkpointed to parquet via StageCheckpointer — a HARD
+lineage cut. `DataFrame.localCheckpoint` chains measurably fail to cut
+the recompute chain on Spark 4.1 (per-iteration cost grows ~3x per
+iteration; see plans/checkpoint.py) — on a cluster these checkpoints are
+the Iceberg stage tables that also make the loop resumable.
 """
 
 from __future__ import annotations
@@ -26,6 +46,13 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+
+# pointer-doubling steps per round on the cumulative map: reach grows
+# ~(2^T)x per round ACROSS rounds (round k reaches ~2^(T(k+1)) on a
+# monotone chain), so with T=3 a 10^9-node chain needs ~10 rounds even if
+# contraction contributed nothing. Each step is one self-join of the
+# fixed-width (id, label) map, fused into the round's single labels write.
+_JUMPS_PER_ROUND = 3
 
 
 def connected_components(
@@ -39,7 +66,9 @@ def connected_components(
     for strings) over each connected component of the undirected edge set.
 
     Nodes appearing only as singletons are absent (callers union them back
-    with cluster_id = own id if needed).
+    with cluster_id = own id if needed). Raises RuntimeError if
+    max_iterations rounds do not converge (practically unreachable —
+    rounds needed ≈ log_8(diameter)).
     """
     spark = edges.sparkSession
     ck = checkpointer or StageCheckpointer(spark)
@@ -50,94 +79,99 @@ def connected_components(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .observe(eobs, F.count(F.lit(1)).alias("n")),
-        "cc_edges",
+        "cc_edges_0",
     )
-    # initial label = min(self, neighbors) — the first propagation round
-    # fused into label creation, so clique-shaped families converge after
-    # a single confirming iteration
-    labels = ck.write(
-        sym.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .withColumnRenamed("src", "id"),
-        "cc_labels",
-    )
-
     # size the loop's shuffles to the edge list, not the (much larger)
-    # corpus: a per-iteration join over a few thousand edges at corpus-width
+    # corpus: a per-round join over a few thousand edges at corpus-width
     # partitioning is pure scheduling overhead. ~100k edges per partition.
     # The reduced partition count lives in a CHILD session (newSession():
-    # isolated SQL conf, shared SparkContext and block/cache state) — the
-    # round-3 version set spark.sql.shuffle.partitions on the CALLER's
-    # session with a try/finally restore, which races any concurrent query
-    # on that session (streaming foreachBatch + an ad-hoc batch query is a
-    # realistic pair). The edge count rides on the cc_edges write
-    # (Observation), not a second job.
+    # isolated SQL conf, shared SparkContext and block/cache state) — a
+    # conf set on the CALLER's session would race any concurrent query on
+    # it (streaming foreachBatch + an ad-hoc batch query is a realistic
+    # pair). The edge count rides on the cc_edges_0 write (Observation),
+    # not a second job.
     n_edges = int(eobs.get["n"])
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 100_000 + 1))
     loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     lck = StageCheckpointer(loop, base_dir=ck.base_dir)
-    # re-read the checkpointed frames in the loop session (frames from
-    # different sessions must not mix in one plan)
-    sym = lck.load("cc_edges")
-    labels = lck.load("cc_labels")
+    e_cur = lck.load("cc_edges_0")
 
-    last_name = "cc_labels"
+    labels: DataFrame | None = None
+    labels_name = None
     for i in range(max_iterations):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "dst"), on="dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
-        )
-        # one pointer jump per round — label(label(v)) — doubles pointer
-        # depth per materialized round (log2 convergence on chains); a
-        # second hop costs a full extra shuffle per iteration for a
-        # marginal depth win and was the #1 line in the round-1 bench
-        lut1 = labels.select(
-            F.col("id").alias("label"), F.col("label").alias("hop1")
-        )
-        hop = labels.join(lut1, on="label").select("id", "label", "hop1")
-        # the convergence counter rides on the checkpoint write itself
-        # (Observation fills during the write job) — iterations cost
-        # exactly ONE Spark job, no separate count action
-        obs = Observation(f"cc_changed_{i}")
-        new_labels = lck.write(
-            hop.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.col("hop1"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("new_label"),
-                "label",
-            )
-            .observe(
-                obs,
-                F.count(
-                    F.when(F.col("new_label") != F.col("label"), F.lit(1))
-                ).alias("changed"),
-            ),
-            # alternate two slots so the loop doesn't accumulate files
-            f"cc_labels_{i % 2}",
-        )
-        changed = int(obs.get["changed"])
-        last_name = f"cc_labels_{i % 2}"
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        lck.record_counters(f"cc_iter_{i}", {"changed": changed})
-        if changed == 0:
+        if n_edges == 0:
             break
-    # the loop recorded its checkpoints/counters in the CHILD
-    # checkpointer's manifest copy; fold them back so the caller's next
-    # flush (e.g. the pipeline's verdict counters) doesn't clobber the
-    # cc_iter_* convergence records out of the shared manifest file
+        # per-super-node min over its closed neighborhood in the current
+        # contracted graph (sym edges → every node appears as src)
+        lab = (
+            e_cur.groupBy("src")
+            .agg(F.least(F.col("src"), F.min("dst")).alias("to"))
+            .withColumnRenamed("src", "node")
+        )
+        if labels is None:
+            labels = lab.select(
+                F.col("node").alias("id"), F.col("to").alias("label")
+            )
+        else:
+            # fold the round map into the cumulative one: label ← lab(label)
+            # (left join: nodes in already-contracted components keep theirs)
+            labels = labels.join(
+                lab, labels["label"] == lab["node"], "left"
+            ).select(
+                "id", F.coalesce(F.col("to"), F.col("label")).alias("label")
+            )
+        # pointer doubling on the CUMULATIVE map: label ← label(label), T
+        # times — reach compounds across rounds. All T self-joins fuse into
+        # this round's one labels write job.
+        for _ in range(_JUMPS_PER_ROUND):
+            r = labels.select(F.col("id").alias("_n"), F.col("label").alias("_t"))
+            labels = labels.join(r, labels["label"] == r["_n"], "left").select(
+                "id", F.coalesce(F.col("_t"), F.col("label")).alias("label")
+            )
+        labels_name = f"cc_labels_{i % 2}"
+        labels = lck.write(labels, labels_name)
+        # contract: relabel both endpoints through the cumulative map, drop
+        # self-loops, dedup. The edge set SHRINKS every round; the round
+        # count rides on the write's Observation (no separate count job).
+        ma = labels.select(F.col("id").alias("src"), F.col("label").alias("_s"))
+        mb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_d"))
+        obs = Observation(f"cc_round_{i}")
+        e_cur = lck.write(
+            e_cur.join(ma, on="src")
+            .join(mb, on="dst")
+            .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n")),
+            f"cc_edges_{1 + (i % 2)}",
+        )
+        n_edges = int(obs.get["n"])
+        lck.record_counters(f"cc_iter_{i}", {"remaining_edges": n_edges})
+    if n_edges > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({n_edges} contracted edges remain) — rounds needed "
+            "grow ~log_8(diameter); raise max_iterations"
+        )
+
+    # fold the loop's checkpoints/counters back so the caller's next
+    # manifest flush doesn't clobber the cc_iter_* convergence records
     ck._manifest.update(lck._manifest)
     ck._flush()
+
+    if labels_name is None:
+        # no edges at all: empty assignment typed like the input's ids
+        return edges.select(
+            F.col(id_a).alias("id"), F.col(id_a).alias("cluster_id")
+        ).limit(0)
     # hand the result back on the CALLER's session (and at its
-    # partitioning) so downstream joins never mix sessions
-    final = spark.read.parquet(lck.path(last_name))
-    if last_name == "cc_labels":
-        return final.select("id", F.col("label").alias("cluster_id"))
-    return final.select("id", F.col("new_label").alias("cluster_id"))
+    # partitioning) so downstream joins never mix sessions. When the last
+    # contraction emptied the edge set, labels IS the component-min
+    # assignment: the component min is a fixed point of every round map,
+    # and edge-set emptiness means the map is constant on each component.
+    return (
+        spark.read.parquet(lck.path(labels_name))
+        .select("id", F.col("label").alias("cluster_id"))
+    )

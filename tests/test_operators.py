@@ -120,6 +120,55 @@ def test_connected_components_long_chain(spark):
     assert len(labels) == 33
 
 
+def test_connected_components_pathological_chain_shapes(spark):
+    """The two linear-convergence pathologies, both fixed by contraction +
+    cumulative-map pointer doubling: a shuffled-id path (static-edge min
+    propagation advanced ~1 hop/round — >60 rounds at n=1000) and a
+    monotone-id path (contraction with only in-round jumps removed O(1)
+    nodes/round). Both must converge to ONE component well inside the
+    default round budget; web containment chains take exactly these
+    shapes."""
+    import random
+
+    from fuzzycat_spark.plans import checkpoint as cp
+
+    rounds: list[int] = []
+    orig = cp.StageCheckpointer.record_counters
+
+    def spy(self, name, counters):
+        if name.startswith("cc_iter"):
+            rounds.append(counters["remaining_edges"])
+        return orig(self, name, counters)
+
+    cp.StageCheckpointer.record_counters = spy
+    try:
+        n = 400
+        shuffled = list(range(n))
+        random.Random(7).shuffle(shuffled)
+        for ids in (shuffled, list(range(n - 1, -1, -1))):
+            rounds.clear()
+            edges = spark.createDataFrame(
+                [(ids[i], ids[i + 1]) for i in range(n - 1)],
+                "id_a: long, id_b: long",
+            )
+            got = connected_components(edges).collect()
+            assert {r.cluster_id for r in got} == {0}
+            assert len(got) == n
+            assert len(rounds) <= 8, rounds
+    finally:
+        cp.StageCheckpointer.record_counters = orig
+
+
+def test_connected_components_raises_when_rounds_exhausted(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1)
+
+
 def test_connected_components_leaves_caller_session_conf_alone(spark):
     """The CC loop sizes its shuffles in a CHILD session: a concurrent
     query on the caller's session must never observe the reduced
@@ -168,7 +217,7 @@ def test_connected_components_counters_survive_in_caller_manifest(spark, tmp_pat
     iters = [k for k in m if k.startswith("cc_iter_")]
     assert iters, list(m)
     assert all("counters" in m[k] for k in iters)
-    assert m[iters[-1]]["counters"]["changed"] == 0  # converged
+    assert m[iters[-1]]["counters"]["remaining_edges"] == 0  # converged
 
 
 def test_exact_substring_pairs_short_contained_doc(spark):

@@ -36,6 +36,14 @@ def main() -> None:
             F.format_string("n%09d", F.col("id")).alias("id_a"),
             F.format_string("n%09d", F.col("id") + 1).alias("id_b"),
         ),
+        # chain with order-DESTROYED ids: reversing the zero-padded digits
+        # is a bijection, so the graph is the same path but min-propagation
+        # can't ride monotone ids — the shape that defeated the static-edge
+        # formulation (>60 rounds at n=1000); contraction handles it
+        "chain_shuffled": spark.range(n).select(
+            F.concat(F.lit("n"), F.reverse(F.format_string("%09d", F.col("id")))).alias("id_a"),
+            F.concat(F.lit("n"), F.reverse(F.format_string("%09d", F.col("id") + 1))).alias("id_b"),
+        ),
         # star: hub-spoke_i (one mega-degree node)
         "star": spark.range(n).select(
             F.lit("hub").alias("id_a"),
@@ -64,7 +72,7 @@ def main() -> None:
         ).first()
         wall = time.time() - t0
         iters = sum(1 for k in ck._manifest if k.startswith("cc_iter_"))
-        expected = {"chain": 1, "star": 1, "paths32": None}[name]
+        expected = {"chain": 1, "chain_shuffled": 1, "star": 1, "paths32": None}[name]
         ok = expected is None or agg["n_components"] == expected
         print(
             json.dumps(
