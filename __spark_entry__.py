@@ -2016,6 +2016,52 @@ UNION ALL
 SELECT id_a, id_b, status, reason FROM star_all"""
 
 
+def q_streaming_first_seen(spark, sf_dir):
+    """The applyInPandasWithState custom stateful operator through the
+    driver gate: per-user first-touch attribution (first event by event
+    time with event_id tie-break, plus cumulative count/value) computed
+    by a real readStream → arbitrary-state → foreachBatch drain over the
+    events table. One availableNow epoch == every user emits exactly one
+    final row, so the oracle is the batch semantics (window first-row +
+    per-user aggregates). Multi-batch accumulation and event-time-timeout
+    eviction are pinned by tests/test_stateful_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from fuzzycat_spark.streaming.stateful import first_seen_stats
+
+    base = tempfile.mkdtemp(prefix="fuzzycat_first_seen_gate_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        for name in os.listdir(table):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(table, name), src)
+    else:
+        shutil.copy(table, src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(table).schema
+    ).parquet(src).select(*events.columns)
+    out = os.path.join(base, "out")
+    q = (
+        first_seen_stats(stream)
+        .writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_lang_stats(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -2150,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
+        "streaming_first_seen": q_streaming_first_seen,
         "script_id": q_script_id,
         "extract_text": q_extract_text,
         "components_embedding_ivf": q_components_embedding_ivf,
@@ -2280,6 +2327,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
         "components_unicode": _components_unicode_sql(),
         "streaming_pairs": _streaming_pairs_sql(),
+        "streaming_first_seen": """
+            WITH ranked AS (
+              SELECT user_id, event_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_events,
+                     sum(value) OVER (PARTITION BY user_id) AS total_value
+              FROM events
+            )
+            SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   round(total_value, 6) AS total_value
+            FROM ranked WHERE rn = 1""",
         "script_id": f"""
             SELECT doc_id, {_script_case_sql()} AS script
             FROM '{_UNICODE_FIXTURE}'""",
