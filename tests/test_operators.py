@@ -111,7 +111,7 @@ def test_connected_components_shapes(spark):
 
 
 def test_connected_components_long_chain(spark):
-    # 33-node chain exercises pointer jumping (O(log d) not O(d))
+    # 33-node chain exercises sublinear convergence (contraction + doubling)
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i+1:02d}") for i in range(32)], "id_a string, id_b string"
     )

@@ -31,7 +31,7 @@ def main() -> None:
     n = N_EDGES
 
     shapes = {
-        # chain: 0-1-2-...-n  (diameter n — log2 rounds via pointer jumping)
+        # chain: 0-1-2-...-n  (diameter n — ~log_8 rounds via composed-map doubling)
         "chain": spark.range(n).select(
             F.format_string("n%09d", F.col("id")).alias("id_a"),
             F.format_string("n%09d", F.col("id") + 1).alias("id_b"),
