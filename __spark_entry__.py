@@ -49,7 +49,13 @@ from fuzzycat_spark.operators.dedup import (
 )
 from fuzzycat_spark.operators.lsh import lsh_candidate_pairs, minhash_band_table
 from fuzzycat_spark.operators.pairs import block_pairs
-from fuzzycat_spark.operators.verify import SHORT_TOKENS, prepare_pages, verify_pairs
+from fuzzycat_spark.operators.verify import (
+    LEV_PFX,
+    LEV_STRONG_RATIO,
+    SHORT_TOKENS,
+    prepare_pages,
+    verify_pairs,
+)
 
 # ---------------------------------------------------------------------------
 # shared config (the "shingle/signature config" recall is defined at)
@@ -253,6 +259,27 @@ _CONTAIN = (
     "ELSE len(list_intersect(a_sh, b_sh)) / least(len(a_sh), len(b_sh)) END"
 )
 
+# tier-4 edit-distance rules (verify.py _tier4_rules): normalized
+# Levenshtein similarity over LEV_PFX-char prefixes of the slug (raw
+# order) and of the sorted-distinct-token join (word-order invariant).
+# IEEE double division + subtraction are exactly rounded in both engines,
+# so the >= threshold compare is bit-identical to Spark's.
+_A_PFX = f"substr(a_slug, 1, {LEV_PFX})"
+_B_PFX = f"substr(b_slug, 1, {LEV_PFX})"
+_A_TS = f"substr(array_to_string(list_sort(a_tokset), ' '), 1, {LEV_PFX})"
+_B_TS = f"substr(array_to_string(list_sort(b_tokset), ' '), 1, {LEV_PFX})"
+
+
+def _lev_ratio_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN greatest(length({a}), length({b})) = 0 THEN 0.0 "
+        f"ELSE 1.0 - levenshtein({a}, {b}) / greatest(length({a}), length({b})) END"
+    )
+
+
+_LEV_R = _lev_ratio_sql(_A_PFX, _B_PFX)
+_TS_R = _lev_ratio_sql(_A_TS, _B_TS)
+
 _VERIFY_CASE = f"""
   CASE
     WHEN a_ch IS NOT NULL AND a_ch = b_ch THEN ['exact', 'CONTENT_HASH']
@@ -265,6 +292,8 @@ _VERIFY_CASE = f"""
     WHEN {_JAC_SH} >= 0.7 THEN ['strong', 'SHINGLE_JACCARD']
     WHEN {_JAC_TOK} >= 0.7 THEN ['strong', 'TOKEN_JACCARD']
     WHEN {_JAC_SH} >= 0.4 THEN ['weak', 'SHINGLE_JACCARD_WEAK']
+    WHEN {_LEV_R} >= {LEV_STRONG_RATIO} THEN ['strong', 'LEVENSHTEIN']
+    WHEN {_TS_R} >= {LEV_STRONG_RATIO} THEN ['strong', 'TOKEN_SORT_RATIO']
     WHEN a_lang IS NOT NULL AND b_lang IS NOT NULL AND a_lang != b_lang THEN ['different', 'LANGUAGE']
     ELSE ['ambiguous', 'UNKNOWN']
   END"""
@@ -1876,6 +1905,60 @@ SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
 FROM '{_NYSIIS_FIXTURE}' d LEFT JOIN cc ON d.doc_id = cc.id"""
 
 
+_LEV_FIXTURE = "/root/repo/fixtures/lev_docs.parquet"
+
+
+def q_lev_pairs(spark, sf_dir):
+    """The tier-4 edit-distance verify rules END-TO-END over the committed
+    typo-noise corpus (fixture doc: tools/make_lev_fixture.py). Candidates
+    are ALL unordered pairs — the unit under test is the cascade itself,
+    like the 318-golden-pair metadata gate, so blocking recall cannot mask
+    a rule regression. The corpus plants pairs where alternating per-word
+    typos destroy every shingle and most tokens (only the bounded-prefix
+    Levenshtein rule links them), a word-reversed+typo pair only the
+    token-sorted form links, and controls for every earlier cascade arm,
+    so this gate pins the FULL reason surface non-vacuously."""
+    df = spark.read.parquet(_LEV_FIXTURE)
+    prep = prepare_pages(df, "doc_id", "text")
+    ids = df.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("id_a")).join(
+        F.broadcast(ids.select(F.col("doc_id").alias("id_b"))),
+        F.col("id_a") < F.col("id_b"),
+    )
+    return verify_pairs(pairs, prep).select("id_a", "id_b", "status", "reason")
+
+
+def _lev_pairs_sql() -> str:
+    return f"""WITH documents AS (
+  SELECT doc_id, text, lang FROM '{_LEV_FIXTURE}'
+),
+{_BASE_CTES},
+feats AS (
+  SELECT doc_id, md5(text) AS ch, slug, {_NPROJ} AS nproj, toks,
+         list_distinct(toks) AS tokset, shingles,
+         CAST(len(toks) AS BIGINT) AS n_tok, lang
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+),
+pairrows AS (
+  SELECT c.id_a, c.id_b,
+         a.ch AS a_ch, b.ch AS b_ch, a.slug AS a_slug, b.slug AS b_slug,
+         a.nproj AS a_nproj, b.nproj AS b_nproj,
+         a.tokset AS a_tokset, b.tokset AS b_tokset,
+         a.shingles AS a_sh, b.shingles AS b_sh,
+         a.n_tok AS a_n_tok, b.n_tok AS b_n_tok,
+         a.lang AS a_lang, b.lang AS b_lang
+  FROM cand c
+  JOIN feats a ON c.id_a = a.doc_id
+  JOIN feats b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, v[1] AS status, v[2] AS reason
+FROM (SELECT id_a, id_b, {_VERIFY_CASE} AS v FROM pairrows)"""
+
+
 _HTML_FIXTURE = "/root/repo/fixtures/html_docs.parquet"
 
 
@@ -2206,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_embedding_planted": q_components_embedding_planted,
         "lang_id_script": q_lang_id_script,
         "nysiis_pairs": q_nysiis_pairs,
+        "lev_pairs": q_lev_pairs,
         "components_nysiis": q_components_nysiis,
     }
 
@@ -2351,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "components_embedding_planted": _components_embedding_planted_sql(),
         "lang_id_script": _lang_id_script_sql(),
         "nysiis_pairs": _nysiis_pairs_sql(),
+        "lev_pairs": _lev_pairs_sql(),
         "components_nysiis": _components_nysiis_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,

@@ -42,6 +42,15 @@ STRONG_JACCARD = 0.7
 WEAK_JACCARD = 0.4
 SHORT_TOKENS = 5
 SHINGLE_N = 3
+# tier-4 edit-distance rules (reference analog: fuzzycat's token-ratio /
+# Levenshtein verify checks on normalized fields, verify.py:480-520) run
+# over BOUNDED slug prefixes so the DP cost is a constant per pair and
+# the feature checkpoint stays fixed-width: ratio >= 0.9 over the first
+# 96 normalized chars. LEV_MAX_EDITS bounds Spark's banded levenshtein
+# (ratio >= 0.9 over <=96 chars implies distance <= 9, so 10 is lossless).
+LEV_PFX = 96
+LEV_STRONG_RATIO = 0.9
+LEV_MAX_EDITS = int(LEV_PFX * (1 - LEV_STRONG_RATIO)) + 1
 
 
 def _gen_barrier(df: DataFrame, keep: list[str], struct: Column) -> DataFrame:
@@ -148,6 +157,15 @@ def prepare_pages(
         # per-element hash) — no second xxhash64 array is stored
         F.transform(shingles, md5_h64).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
+        # bounded normalized-string prefixes for the tier-4 edit-distance
+        # rules: raw slug order (LEVENSHTEIN) and token-sorted order
+        # (TOKEN_SORT_RATIO, word-order invariant). Capped at LEV_PFX
+        # chars these are fixed-width scalars, so the no-string-ARRAYS
+        # checkpoint property still holds.
+        F.substring(F.col("slug"), 1, LEV_PFX).alias("slug_pfx"),
+        F.substring(
+            F.array_join(F.sort_array(tokset), " "), 1, LEV_PFX
+        ).alias("tsort_pfx"),
     ]
     if with_token_hashes:
         # per-token 32-bit hashes WITH duplicates (term-frequency weight)
@@ -226,14 +244,42 @@ def _tier2_rules() -> list[tuple[Column, str, str]]:
 
 
 def _tier3_rules() -> list[tuple[Column, str, str]]:
-    """Cascade rules 8-10: token jaccard (needs the tokset arrays), then
-    the weak-shingle rule over the jac_sh scalar carried from tier 2, then
-    the language screen."""
+    """Cascade rules 8-9: token jaccard (needs the tokset arrays), then
+    the weak-shingle rule over the jac_sh scalar carried from tier 2."""
     m = F.col("m")
     jac_tok = _jaccard_from_counts(m.i, m.na, m.nb)
     return [
         (jac_tok >= STRONG_JACCARD, "strong", "TOKEN_JACCARD"),
         (m.jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
+    ]
+
+
+def _lev_ratio(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein similarity over two bounded prefixes:
+    1 - dist/max(len). Spark's 3-arg levenshtein runs the banded DP and
+    returns -1 past LEV_MAX_EDITS — lossless here because ratio >=
+    LEV_STRONG_RATIO over <= LEV_PFX chars needs dist <= 9 < the band."""
+    mx = F.greatest(F.length(a), F.length(b))
+    d = F.levenshtein(a, b, LEV_MAX_EDITS)
+    return F.when((mx == 0) | (d < 0), F.lit(0.0)).otherwise(
+        F.lit(1.0) - d.cast("double") / mx.cast("double")
+    )
+
+
+def _tier4_rules() -> list[tuple[Column, str, str]]:
+    """Cascade rules 10-12 — the edit-distance last resort (fuzzycat's
+    token-ratio/Levenshtein checks, verify.py:480-520, re-targeted to the
+    page slug): heavy per-word typo noise destroys every shingle AND most
+    tokens, so set rules miss pairs a character-level measure still
+    catches. Raw-prefix similarity first (LEVENSHTEIN), then the
+    word-order-invariant token-sorted form (TOKEN_SORT_RATIO, fuzzywuzzy's
+    token_sort over the distinct-token join), then the language screen.
+    Deliberately ordered after every set rule so the quadratic DP only
+    ever sees the set-rule residue."""
+    m = F.col("m")
+    return [
+        (m.lev_r >= LEV_STRONG_RATIO, "strong", "LEVENSHTEIN"),
+        (m.ts_r >= LEV_STRONG_RATIO, "strong", "TOKEN_SORT_RATIO"),
         (m.lang_diff, "different", "LANGUAGE"),
     ]
 
@@ -294,7 +340,7 @@ def verify_pairs(
     denylist_keys: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """(id_a, id_b, status, reason) for every candidate pair — the cascade
-    as a THREE-TIER distributed plan with rule-for-rule identical
+    as a FOUR-TIER distributed plan with rule-for-rule identical
     semantics to the reference's early-exit ordering:
 
     - Tier 1 joins only scalar feature columns (content hash, slug/nproj
@@ -305,7 +351,11 @@ def verify_pairs(
       unresolved and settles containment + strong shingle jaccard.
     - Tier 3 joins ONLY the tokset-hash arrays for the remainder (token
       jaccard, then the weak-shingle rule over the jac_sh scalar carried
-      from tier 2, then the language screen).
+      from tier 2).
+    - Tier 4 joins ONLY the two bounded normalized prefixes and runs the
+      edit-distance rules (LEVENSHTEIN, TOKEN_SORT_RATIO — the
+      reference's token-ratio/Levenshtein checks) plus the language
+      screen; unresolved pairs default to ambiguous/UNKNOWN.
 
     Each tier shuffles strictly less volume than the last: the 1M-doc
     profile measured 7.3 GB when every pair carried BOTH docs' full
@@ -365,13 +415,65 @@ def verify_pairs(
         "id_a", "id_b", "jac_sh", "lang_diff"
     )
     m3 = _array_tier(todo3, features, "tokset_h", ["jac_sh", "lang_diff"])
-    status3, reason3 = _when_chain(
-        _tier3_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
+    status3, reason3 = _when_chain(_tier3_rules(), None)
+    t3 = materialize(
+        m3.select(
+            "id_a",
+            "id_b",
+            status3.alias("status"),
+            reason3.alias("reason"),
+            F.col("m").lang_diff.alias("lang_diff"),
+        ),
+        "verify_tier3",
     )
-    tier3 = m3.select(
-        "id_a", "id_b", status3.alias("status"), reason3.alias("reason")
+    resolved3 = t3.filter(F.col("status").isNotNull()).select(
+        "id_a", "id_b", "status", "reason"
     )
-    return resolved1.unionByName(resolved2).unionByName(tier3)
+
+    # tier 4: bounded-prefix edit distance for the residue — two LEV_PFX
+    # char scalars per side, the narrowest join of the cascade, and the
+    # O(LEV_PFX * LEV_MAX_EDITS) banded DP runs once per pair behind the
+    # same Generate barrier the array tiers use.
+    todo4 = t3.filter(F.col("status").isNull()).select(
+        "id_a", "id_b", "lang_diff"
+    )
+    fa4 = features.select(
+        F.col("id").alias("a_id"),
+        F.col("slug_pfx").alias("a_pfx"),
+        F.col("tsort_pfx").alias("a_ts"),
+    )
+    fb4 = features.select(
+        F.col("id").alias("b_id"),
+        F.col("slug_pfx").alias("b_pfx"),
+        F.col("tsort_pfx").alias("b_ts"),
+    )
+    j4 = todo4.join(fa4, on=F.col("id_a") == F.col("a_id")).join(
+        fb4, on=F.col("id_b") == F.col("b_id")
+    )
+    m4 = j4.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    _lev_ratio(F.col("a_pfx"), F.col("b_pfx")).alias("lev_r"),
+                    _lev_ratio(F.col("a_ts"), F.col("b_ts")).alias("ts_r"),
+                    F.col("lang_diff").alias("lang_diff"),
+                )
+            )
+        ).alias("m"),
+    )
+    status4, reason4 = _when_chain(
+        _tier4_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
+    )
+    tier4 = m4.select(
+        "id_a", "id_b", status4.alias("status"), reason4.alias("reason")
+    )
+    return (
+        resolved1.unionByName(resolved2)
+        .unionByName(resolved3)
+        .unionByName(tier4)
+    )
 
 
 def verdict_counts(verified: DataFrame) -> DataFrame:
