@@ -6,6 +6,10 @@ Usage (cluster):
         --output <dir for assignments/ and verified_pairs/> \
         --checkpoint <resumable stage dir>
 
+Against an Iceberg warehouse (jars via --packages iceberg-spark-runtime):
+    ... --iceberg-catalog lake --iceberg-warehouse s3a://bucket/wh \
+        --input lake.web.pages --output lake.web.dedup_run1
+
 The session comes from the cluster (no master set here); locally,
 `make submit-local` runs the same file under spark-submit --master local[*].
 Re-running with the same --checkpoint resumes after the last completed
@@ -75,14 +79,40 @@ def main() -> None:
         "--no-denylist", action="store_true",
         help="disable the default web-boilerplate slug denylist",
     )
+    p.add_argument(
+        "--iceberg-catalog", default=None,
+        help="register an Iceberg catalog of this name on the session "
+        "(requires the iceberg-spark-runtime jars on the cluster)",
+    )
+    p.add_argument(
+        "--iceberg-warehouse", default=None,
+        help="warehouse path/URI for --iceberg-catalog",
+    )
+    p.add_argument(
+        "--iceberg-catalog-type", default="hadoop",
+        help="Iceberg catalog type: hadoop, hive, rest, ...",
+    )
     args = p.parse_args()
 
     # --py-files ships the package; imports resolve on the executors too
     from fuzzycat_spark.operators.dedup import DedupConfig
     from fuzzycat_spark.plans.checkpoint import StageCheckpointer
     from fuzzycat_spark.plans.pipeline import run_dedup_pipeline
+    from fuzzycat_spark.sources.tables import (
+        iceberg_session_conf,
+        read_pages,
+        write_output,
+    )
 
-    spark = SparkSession.builder.appName("fuzzycat-spark-dedup").getOrCreate()
+    builder = SparkSession.builder.appName("fuzzycat-spark-dedup")
+    if args.iceberg_catalog:
+        for k, v in iceberg_session_conf(
+            args.iceberg_catalog,
+            args.iceberg_warehouse or "",
+            args.iceberg_catalog_type,
+        ).items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     cfg = DedupConfig(
         id_col=args.id_col,
         text_col=args.text_col,
@@ -108,15 +138,17 @@ def main() -> None:
         max_block_size=args.max_block_size,
         max_bucket_size=args.max_bucket_size,
     )
-    pages = (
-        spark.read.table(args.input)
-        if "/" not in args.input
-        else spark.read.parquet(args.input)
-    )
+    pages = read_pages(spark, args.input)
     ck = StageCheckpointer(spark, args.checkpoint)
     out = run_dedup_pipeline(pages, ck, cfg)
-    out["verified"].write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
-    out["assignments"].write.mode("overwrite").parquet(f"{args.output}/assignments")
+    # --output may be a directory (parquet subdirs) or a catalog namespace
+    # like `cat.db.run1` (Iceberg tables `<ns>_verified_pairs` / `<ns>_assignments`)
+    if "/" in args.output:
+        write_output(out["verified"], f"{args.output}/verified_pairs")
+        write_output(out["assignments"], f"{args.output}/assignments")
+    else:
+        write_output(out["verified"], f"{args.output}_verified_pairs")
+        write_output(out["assignments"], f"{args.output}_assignments")
     print(json.dumps({"stages": list(ck._manifest)}))
     spark.stop()
 
