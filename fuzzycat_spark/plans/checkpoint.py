@@ -33,6 +33,55 @@ _EPHEMERAL: dict[str, "StageCheckpointer"] = {}
 _MAT_COUNTER = 0
 
 
+def resolve_fs(path: str):
+    """(filesystem, fs_path) via pyarrow.fs — local paths AND object-store
+    URIs (hadoop s3a:///s3n:// map to pyarrow's s3://). Shared by stage
+    lineage here and the streaming pointer/lineage I/O."""
+    from pyarrow import fs as pafs
+
+    uri = path
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if uri.startswith(hadoop_scheme):
+            uri = "s3://" + uri[len(hadoop_scheme) :]
+            break
+    return pafs.FileSystem.from_uri(uri)
+
+
+def partition_lineage(path: str) -> dict:
+    """Per-partition lineage + counters for a completed parquet stage,
+    from file FOOTERS only: each writer task emits one file, so per-file
+    row counts ARE the per-partition counters, and reading them costs one
+    small metadata fetch per file — no data scan, no extra Spark job. The
+    max/min spread is the per-stage skew evidence you want recorded on a
+    100 TB run (a stage whose max_file_rows is 100x its median is the
+    shuffle to fix)."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    fs, root = resolve_fs(path)
+    infos = fs.get_file_info(pafs.FileSelector(root))
+    parts = []
+    for fi in sorted(infos, key=lambda i: i.path):
+        if fi.is_file and fi.path.endswith(".parquet"):
+            md = pq.read_metadata(fi.path, filesystem=fs)
+            parts.append(
+                {
+                    "file": fi.path.rsplit("/", 1)[-1],
+                    "rows": md.num_rows,
+                    "bytes": fi.size,
+                }
+            )
+    rows = [p["rows"] for p in parts]
+    return {
+        "files": len(parts),
+        "rows": sum(rows),
+        "bytes": sum(p["bytes"] for p in parts),
+        "max_file_rows": max(rows, default=0),
+        "min_file_rows": min(rows, default=0),
+        "partitions": parts,
+    }
+
+
 def _ephemeral_root() -> str | None:
     """Root for EPHEMERAL checkpoint dirs (auto-created, removed at exit).
 
@@ -147,7 +196,15 @@ class StageCheckpointer:
     On re-run, completed stages load instead of recomputing.
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str | None = None,
+        lineage: bool | None = None,
+    ):
+        # per-partition lineage is for DURABLE run checkpoints (explicit
+        # base_dir); ephemeral materialize() barriers skip the footer reads
+        self.lineage = lineage if lineage is not None else base_dir is not None
         self.spark = spark
         self.base_dir = base_dir or tempfile.mkdtemp(
             prefix="fuzzycat_ckpt_", dir=_ephemeral_root()
@@ -168,12 +225,19 @@ class StageCheckpointer:
         _touch_heartbeat(self.base_dir)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        self._manifest[name] = {
-            "path": path,
-            "rows": None,  # filled lazily by callers that need counters
-            "wall_sec": round(time.time() - t0, 3),
-            "ts": time.time(),
-        }
+        entry = {"path": path}
+        if self.lineage:
+            lineage = partition_lineage(path)
+            parts = lineage.pop("partitions")
+            # full per-partition list rides in a sidecar INSIDE the stage
+            # dir (it scales with file count); the manifest keeps the
+            # aggregates
+            with open(os.path.join(path, "_lineage.json"), "w") as f:
+                json.dump(parts, f)
+            entry.update(lineage)
+        entry["wall_sec"] = round(time.time() - t0, 3)
+        entry["ts"] = time.time()
+        self._manifest[name] = entry
         self._flush()
         return out
 

@@ -110,16 +110,11 @@ def _pointer_path(sizes_path: str) -> str:
 
 
 def _resolve_fs(path: str):
-    """(filesystem, fs_path) via pyarrow.fs — local paths AND object-store
-    URIs (hadoop s3a:///s3n:// map to pyarrow's s3://)."""
-    from pyarrow import fs as pafs
+    """(filesystem, fs_path) — shared scheme-mapping helper, see
+    plans.checkpoint.resolve_fs."""
+    from fuzzycat_spark.plans.checkpoint import resolve_fs
 
-    uri = path
-    for hadoop_scheme in ("s3a://", "s3n://"):
-        if uri.startswith(hadoop_scheme):
-            uri = "s3://" + uri[len(hadoop_scheme):]
-            break
-    return pafs.FileSystem.from_uri(uri)
+    return resolve_fs(path)
 
 
 def committed_epoch(index_path: str) -> int | None:

@@ -145,3 +145,27 @@ def test_sweep_spares_live_dir_with_fresh_heartbeat(tmp_path):
     _sweep_stale(root, "fuzzycat_ckpt_")
     assert os.path.isdir(live)
     assert not os.path.exists(dead)
+
+
+def test_stage_lineage_from_footers(spark, tmp_path):
+    """Durable stages record per-partition lineage + counters (north rule)
+    from parquet footers only: manifest carries the aggregates (rows,
+    files, bytes, skew spread), the stage dir a per-file sidecar."""
+    import json
+    import os
+
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"))
+    df = spark.range(1000).repartition(4)
+    ck.write(df, "stage_a")
+    m = ck._manifest["stage_a"]
+    assert m["rows"] == 1000 and m["files"] == 4
+    assert m["min_file_rows"] >= 1 and m["max_file_rows"] <= 1000
+    assert m["bytes"] > 0
+    with open(os.path.join(m["path"], "_lineage.json")) as f:
+        parts = json.load(f)
+    assert len(parts) == 4
+    assert sum(p["rows"] for p in parts) == 1000
+    # ephemeral checkpointers (materialize barriers) skip the footer scan
+    eph = StageCheckpointer(spark)
+    eph.write(df, "mat_1")
+    assert "files" not in eph._manifest["mat_1"]
