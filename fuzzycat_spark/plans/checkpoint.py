@@ -54,23 +54,28 @@ def partition_lineage(path: str) -> dict:
     small metadata fetch per file — no data scan, no extra Spark job. The
     max/min spread is the per-stage skew evidence you want recorded on a
     100 TB run (a stage whose max_file_rows is 100x its median is the
-    shuffle to fix)."""
+    shuffle to fix). A filesystem pyarrow cannot reach degrades to an
+    {"error": ...} record instead of failing the job — lineage is
+    telemetry, not a correctness dependency."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
-    fs, root = resolve_fs(path)
-    infos = fs.get_file_info(pafs.FileSelector(root))
-    parts = []
-    for fi in sorted(infos, key=lambda i: i.path):
-        if fi.is_file and fi.path.endswith(".parquet"):
-            md = pq.read_metadata(fi.path, filesystem=fs)
-            parts.append(
-                {
-                    "file": fi.path.rsplit("/", 1)[-1],
-                    "rows": md.num_rows,
-                    "bytes": fi.size,
-                }
-            )
+    try:
+        fs, root = resolve_fs(path)
+        infos = fs.get_file_info(pafs.FileSelector(root))
+        parts = []
+        for fi in sorted(infos, key=lambda i: i.path):
+            if fi.is_file and fi.path.endswith(".parquet"):
+                md = pq.read_metadata(fi.path, filesystem=fs)
+                parts.append(
+                    {
+                        "file": fi.path.rsplit("/", 1)[-1],
+                        "rows": md.num_rows,
+                        "bytes": fi.size,
+                    }
+                )
+    except Exception as exc:  # unreachable fs -> telemetry gap, not a crash
+        return {"error": f"lineage unavailable for {path}: {exc}"}
     rows = [p["rows"] for p in parts]
     return {
         "files": len(parts),
@@ -228,12 +233,13 @@ class StageCheckpointer:
         entry = {"path": path}
         if self.lineage:
             lineage = partition_lineage(path)
-            parts = lineage.pop("partitions")
-            # full per-partition list rides in a sidecar INSIDE the stage
-            # dir (it scales with file count); the manifest keeps the
-            # aggregates
-            with open(os.path.join(path, "_lineage.json"), "w") as f:
-                json.dump(parts, f)
+            parts = lineage.pop("partitions", None)
+            if parts is not None:
+                # full per-partition list rides in a sidecar INSIDE the
+                # stage dir (it scales with file count); the manifest
+                # keeps the aggregates
+                with open(os.path.join(path, "_lineage.json"), "w") as f:
+                    json.dump(parts, f)
             entry.update(lineage)
         entry["wall_sec"] = round(time.time() - t0, 3)
         entry["ts"] = time.time()

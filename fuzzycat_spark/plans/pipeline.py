@@ -13,53 +13,6 @@ from fuzzycat_spark.operators.dedup import DedupConfig, dedup_stages
 from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 
 
-def _lineage(stage_path: str) -> dict:
-    """Per-partition row counts for a checkpointed stage, read from the
-    parquet FOOTERS of the stage's part files — metadata only, zero Spark
-    jobs (the round-2 version re-scanned every stage with a
-    groupBy(spark_partition_id).count() after its write, doubling the
-    action count of the whole pipeline). The part files ARE the stage's
-    partitions (one per write task), so footer row counts are exactly the
-    per-partition lineage record.
-
-    Paths resolve through pyarrow.fs.FileSystem.from_uri, so both local
-    directories and object-store URIs work (s3a:///s3n:// are mapped to
-    pyarrow's s3://; footer reads there are ranged GETs). A filesystem
-    pyarrow cannot reach degrades to an {"error": ...} record instead of
-    failing the pipeline — lineage is telemetry, not a correctness
-    dependency."""
-    import os
-
-    import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
-
-    uri = stage_path
-    for hadoop_scheme in ("s3a://", "s3n://"):
-        if uri.startswith(hadoop_scheme):
-            uri = "s3://" + uri[len(hadoop_scheme):]
-            break
-    try:
-        filesystem, path = pafs.FileSystem.from_uri(uri)
-        infos = filesystem.get_file_info(pafs.FileSelector(path))
-        parts = sorted(
-            i.path
-            for i in infos
-            if os.path.basename(i.path).startswith("part-")
-            and i.path.endswith(".parquet")
-        )
-        per_part = {
-            i: pq.ParquetFile(filesystem.open_input_file(p)).metadata.num_rows
-            for i, p in enumerate(parts)
-        }
-    except Exception as exc:  # unreachable fs -> telemetry gap, not a crash
-        return {"error": f"lineage unavailable for {stage_path}: {exc}"}
-    return {
-        "n_rows": int(sum(per_part.values())),
-        "n_partitions": len(per_part),
-        "rows_per_partition": per_part,
-    }
-
-
 def run_dedup_pipeline(
     pages: DataFrame,
     ck: StageCheckpointer,
@@ -76,14 +29,15 @@ def run_dedup_pipeline(
     the reference's drop-big-clusters behavior), per-pair priority dedup,
     the optional embedding cosine tier, and single-text-scan simhash via
     `with_token_hashes`. This path only swaps the ephemeral checkpoints for
-    named resumable ones and records lineage/verdict counters.
+    named resumable ones and records lineage/verdict counters (per-partition
+    lineage is intrinsic to durable StageCheckpointer writes —
+    plans.checkpoint.partition_lineage; `lineage=False` disables the footer
+    pass for this run).
     """
+    ck.lineage = lineage
 
     def stage(name: str, build) -> DataFrame:
-        df = ck.stage(name, build)
-        if lineage:
-            ck.record_counters(name, _lineage(ck.path(name)))
-        return df
+        return ck.stage(name, build)
 
     out = dedup_stages(pages, cfg, stage, cc_checkpointer=ck)
 

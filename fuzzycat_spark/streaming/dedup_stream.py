@@ -632,17 +632,17 @@ def _write_epoch_manifest(
     metrics" for EVERY stage, streaming included): parquet-footer row
     counts per partition for each state table of the epoch — metadata
     reads only, zero Spark jobs, same mechanism as the batch pipeline's
-    stage lineage (plans/pipeline._lineage). Written BEFORE the pointer
-    swap so a committed epoch always has its manifest; failures degrade
-    to an error record, never block the commit."""
+    stage lineage (plans/checkpoint.partition_lineage). Written BEFORE the
+    pointer swap so a committed epoch always has its manifest; failures
+    degrade to an error record, never block the commit."""
     import json
 
-    from fuzzycat_spark.plans.pipeline import _lineage
+    from fuzzycat_spark.plans.checkpoint import partition_lineage
 
     manifest = {
         "epoch": epoch_id,
         "tables": {
-            name: _lineage(f"{parent}/epoch={epoch_id}")
+            name: partition_lineage(f"{parent}/epoch={epoch_id}")
             for name, parent in (
                 ("pairs", pairs_path),
                 ("features", index_path + "_features"),

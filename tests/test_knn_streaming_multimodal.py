@@ -423,9 +423,9 @@ def test_replay_of_committed_epoch_is_a_noop(spark, tmp_path):
     # (footer row counts, the streaming twin of the batch stage lineage)
     m = ds.read_epoch_manifest(index, 0)
     assert m is not None and m["epoch"] == 0
-    assert m["tables"]["pairs"]["n_rows"] == len(before_pairs)
-    assert m["tables"]["features"]["n_rows"] == 3
-    assert all("rows_per_partition" in t for t in m["tables"].values())
+    assert m["tables"]["pairs"]["rows"] == len(before_pairs)
+    assert m["tables"]["features"]["rows"] == 3
+    assert all("partitions" in t for t in m["tables"].values())
 
 
 def test_fresh_checkpoint_with_new_data_fails_loudly(spark, tmp_path):

@@ -27,8 +27,8 @@ def test_pipeline_stages_and_resume(spark):
     manifest = json.load(open(os.path.join(base, "_manifest.json")))
     for stage in ("prepared", "candidates", "verified", "assignments"):
         assert stage in manifest
-        assert manifest[stage]["counters"]["n_rows"] > 0
-        assert manifest[stage]["counters"]["n_partitions"] >= 1
+        assert manifest[stage]["rows"] > 0
+        assert manifest[stage]["files"] >= 1
     assert "verdicts" in manifest
 
     # resume: same checkpointer dir loads instead of recomputing — verify by
