@@ -157,14 +157,21 @@ def prepare_pages(
         # per-element hash) — no second xxhash64 array is stored
         F.transform(shingles, md5_h64).alias("shingles_h"),
         F.transform(tokset, lambda t: F.xxhash64(t)).alias("tokset_h"),
-        # bounded normalized-string prefixes for the tier-4 edit-distance
+        # bounded normalized-string prefixes for the edit-distance verify
         # rules: raw slug order (LEVENSHTEIN) and token-sorted order
         # (TOKEN_SORT_RATIO, word-order invariant). Capped at LEV_PFX
         # chars these are fixed-width scalars, so the no-string-ARRAYS
-        # checkpoint property still holds.
+        # checkpoint property still holds. The slice before the join is a
+        # pure cost cut, not a semantic one: the first 96 chars of the
+        # joined string come from at most 49 tokens (each token
+        # contributes >= 1 char + separator), so joining the full sorted
+        # array only to truncate it built a multi-KB string per doc for
+        # nothing.
         F.substring(F.col("slug"), 1, LEV_PFX).alias("slug_pfx"),
         F.substring(
-            F.array_join(F.sort_array(tokset), " "), 1, LEV_PFX
+            F.array_join(F.slice(F.sort_array(tokset), 1, LEV_PFX), " "),
+            1,
+            LEV_PFX,
         ).alias("tsort_pfx"),
     ]
     if with_token_hashes:
@@ -243,17 +250,6 @@ def _tier2_rules() -> list[tuple[Column, str, str]]:
     ]
 
 
-def _tier3_rules() -> list[tuple[Column, str, str]]:
-    """Cascade rules 8-9: token jaccard (needs the tokset arrays), then
-    the weak-shingle rule over the jac_sh scalar carried from tier 2."""
-    m = F.col("m")
-    jac_tok = _jaccard_from_counts(m.i, m.na, m.nb)
-    return [
-        (jac_tok >= STRONG_JACCARD, "strong", "TOKEN_JACCARD"),
-        (m.jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
-    ]
-
-
 def _lev_ratio(a: Column, b: Column) -> Column:
     """Normalized Levenshtein similarity over two bounded prefixes:
     1 - dist/max(len). Spark's 3-arg levenshtein runs the banded DP and
@@ -266,20 +262,32 @@ def _lev_ratio(a: Column, b: Column) -> Column:
     )
 
 
-def _tier4_rules() -> list[tuple[Column, str, str]]:
-    """Cascade rules 10-12 — the edit-distance last resort (fuzzycat's
-    token-ratio/Levenshtein checks, verify.py:480-520, re-targeted to the
-    page slug): heavy per-word typo noise destroys every shingle AND most
-    tokens, so set rules miss pairs a character-level measure still
-    catches. Raw-prefix similarity first (LEVENSHTEIN), then the
-    word-order-invariant token-sorted form (TOKEN_SORT_RATIO, fuzzywuzzy's
-    token_sort over the distinct-token join), then the language screen.
-    Deliberately ordered after every set rule so the quadratic DP only
-    ever sees the set-rule residue."""
+def _tier3_rules() -> list[tuple[Column, str, str]]:
+    """Cascade rules 8-12: token jaccard (the tokset arrays), the
+    weak-shingle rule over the jac_sh scalar carried from tier 2, then the
+    edit-distance last resort (fuzzycat's token-ratio/Levenshtein checks,
+    verify.py:480-520, re-targeted to the page slug): heavy per-word typo
+    noise destroys every shingle AND most tokens, so set rules miss pairs
+    a character-level measure still catches — raw-prefix similarity first
+    (LEVENSHTEIN), then the word-order-invariant token-sorted form
+    (TOKEN_SORT_RATIO, fuzzywuzzy's token_sort over the distinct-token
+    join), then the language screen.
+
+    The lev ratios sit INSIDE the when-chain on purpose: CaseWhen codegen
+    short-circuits, so the banded DP runs only for rows every set rule
+    left unresolved (at most twice — status + reason chain). A measured
+    alternative, a separate 4th tier with its own materialize + prefix
+    join, cost +33% verify wall on the 1M campaign; this fusion keeps the
+    cascade one terminal stage."""
     m = F.col("m")
+    jac_tok = _jaccard_from_counts(m.i, m.na, m.nb)
+    lev_r = _lev_ratio(m.a_pfx, m.b_pfx)
+    ts_r = _lev_ratio(m.a_ts, m.b_ts)
     return [
-        (m.lev_r >= LEV_STRONG_RATIO, "strong", "LEVENSHTEIN"),
-        (m.ts_r >= LEV_STRONG_RATIO, "strong", "TOKEN_SORT_RATIO"),
+        (jac_tok >= STRONG_JACCARD, "strong", "TOKEN_JACCARD"),
+        (m.jac_sh >= WEAK_JACCARD, "weak", "SHINGLE_JACCARD_WEAK"),
+        (lev_r >= LEV_STRONG_RATIO, "strong", "LEVENSHTEIN"),
+        (ts_r >= LEV_STRONG_RATIO, "strong", "TOKEN_SORT_RATIO"),
         (m.lang_diff, "different", "LANGUAGE"),
     ]
 
@@ -340,7 +348,7 @@ def verify_pairs(
     denylist_keys: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """(id_a, id_b, status, reason) for every candidate pair — the cascade
-    as a FOUR-TIER distributed plan with rule-for-rule identical
+    as a THREE-TIER distributed plan with rule-for-rule identical
     semantics to the reference's early-exit ordering:
 
     - Tier 1 joins only scalar feature columns (content hash, slug/nproj
@@ -349,13 +357,12 @@ def verify_pairs(
       settles every exact/slug family.
     - Tier 2 joins ONLY the shingle-hash arrays for pairs tier 1 left
       unresolved and settles containment + strong shingle jaccard.
-    - Tier 3 joins ONLY the tokset-hash arrays for the remainder (token
-      jaccard, then the weak-shingle rule over the jac_sh scalar carried
-      from tier 2).
-    - Tier 4 joins ONLY the two bounded normalized prefixes and runs the
-      edit-distance rules (LEVENSHTEIN, TOKEN_SORT_RATIO — the
-      reference's token-ratio/Levenshtein checks) plus the language
-      screen; unresolved pairs default to ambiguous/UNKNOWN.
+    - Tier 3 (terminal) joins the tokset-hash arrays plus the two bounded
+      normalized prefixes for the remainder: token jaccard, the
+      weak-shingle rule over the jac_sh scalar carried from tier 2, the
+      short-circuited edit-distance rules (LEVENSHTEIN, TOKEN_SORT_RATIO
+      — the reference's token-ratio/Levenshtein checks), then the
+      language screen; unresolved pairs default to ambiguous/UNKNOWN.
 
     Each tier shuffles strictly less volume than the last: the 1M-doc
     profile measured 7.3 GB when every pair carried BOTH docs' full
@@ -411,69 +418,49 @@ def verify_pairs(
         "id_a", "id_b", "status", "reason"
     )
 
+    # terminal fused tier 3+4: ONE feature join carrying the tokset-hash
+    # arrays AND the two bounded prefixes per side (~200 B extra per pair,
+    # residue pairs only). The lev DPs live inside the when-chain and
+    # short-circuit behind the set rules (_tier3_rules docstring).
     todo3 = t2.filter(F.col("status").isNull()).select(
         "id_a", "id_b", "jac_sh", "lang_diff"
     )
-    m3 = _array_tier(todo3, features, "tokset_h", ["jac_sh", "lang_diff"])
-    status3, reason3 = _when_chain(_tier3_rules(), None)
-    t3 = materialize(
-        m3.select(
-            "id_a",
-            "id_b",
-            status3.alias("status"),
-            reason3.alias("reason"),
-            F.col("m").lang_diff.alias("lang_diff"),
-        ),
-        "verify_tier3",
-    )
-    resolved3 = t3.filter(F.col("status").isNotNull()).select(
-        "id_a", "id_b", "status", "reason"
-    )
-
-    # tier 4: bounded-prefix edit distance for the residue — two LEV_PFX
-    # char scalars per side, the narrowest join of the cascade, and the
-    # O(LEV_PFX * LEV_MAX_EDITS) banded DP runs once per pair behind the
-    # same Generate barrier the array tiers use.
-    todo4 = t3.filter(F.col("status").isNull()).select(
-        "id_a", "id_b", "lang_diff"
-    )
-    fa4 = features.select(
+    fa3 = features.select(
         F.col("id").alias("a_id"),
-        F.col("slug_pfx").alias("a_pfx"),
-        F.col("tsort_pfx").alias("a_ts"),
+        F.col("tokset_h").alias("a_arr"),
+        F.col("slug_pfx").alias("f_a_pfx"),
+        F.col("tsort_pfx").alias("f_a_ts"),
     )
-    fb4 = features.select(
+    fb3 = features.select(
         F.col("id").alias("b_id"),
-        F.col("slug_pfx").alias("b_pfx"),
-        F.col("tsort_pfx").alias("b_ts"),
+        F.col("tokset_h").alias("b_arr"),
+        F.col("slug_pfx").alias("f_b_pfx"),
+        F.col("tsort_pfx").alias("f_b_ts"),
     )
-    j4 = todo4.join(fa4, on=F.col("id_a") == F.col("a_id")).join(
-        fb4, on=F.col("id_b") == F.col("b_id")
+    j3 = todo3.join(fa3, on=F.col("id_a") == F.col("a_id")).join(
+        fb3, on=F.col("id_b") == F.col("b_id")
     )
-    m4 = j4.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(
-                    _lev_ratio(F.col("a_pfx"), F.col("b_pfx")).alias("lev_r"),
-                    _lev_ratio(F.col("a_ts"), F.col("b_ts")).alias("ts_r"),
-                    F.col("lang_diff").alias("lang_diff"),
-                )
-            )
-        ).alias("m"),
+    fields = [
+        F.size(F.array_intersect(F.col("a_arr"), F.col("b_arr"))).alias("i"),
+        F.size(F.col("a_arr")).alias("na"),
+        F.size(F.col("b_arr")).alias("nb"),
+        F.col("jac_sh").alias("jac_sh"),
+        F.col("lang_diff").alias("lang_diff"),
+        F.col("f_a_pfx").alias("a_pfx"),
+        F.col("f_b_pfx").alias("b_pfx"),
+        F.col("f_a_ts").alias("a_ts"),
+        F.col("f_b_ts").alias("b_ts"),
+    ]
+    m3 = j3.select(
+        "id_a", "id_b", F.explode(F.array(F.struct(*fields))).alias("m")
     )
-    status4, reason4 = _when_chain(
-        _tier4_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
+    status3, reason3 = _when_chain(
+        _tier3_rules(), (F.lit("ambiguous"), F.lit("UNKNOWN"))
     )
-    tier4 = m4.select(
-        "id_a", "id_b", status4.alias("status"), reason4.alias("reason")
+    tier3 = m3.select(
+        "id_a", "id_b", status3.alias("status"), reason3.alias("reason")
     )
-    return (
-        resolved1.unionByName(resolved2)
-        .unionByName(resolved3)
-        .unionByName(tier4)
-    )
+    return resolved1.unionByName(resolved2).unionByName(tier3)
 
 
 def verdict_counts(verified: DataFrame) -> DataFrame:
