@@ -2099,6 +2099,88 @@ UNION ALL
 SELECT id_a, id_b, status, reason FROM star_all"""
 
 
+def q_streaming_assignments(spark, sf_dir):
+    """Incremental cluster assignments over a genuinely MULTI-EPOCH drain:
+    the documents table is split into three files by doc_id hash and
+    streamed with maxFilesPerTrigger=1, so the incremental path must link
+    families ACROSS epochs (stream-static index joins, historical star
+    reps, cross-epoch component merges through streaming/assignments.py's
+    reduced-label-graph CC) and still land on exactly the batch
+    assignments — which is what the oracle computes (single-table
+    semantics; every band bucket in this corpus is far below the cap, so
+    epoch order cannot change the pair set). Star representatives differ
+    per epoch from the batch ones, but star edges are component-
+    equivalent by key transitivity; `read_assignments` resolves the
+    append-only label state through the composed remap snapshot."""
+    import os
+    import tempfile
+
+    from fuzzycat_spark.streaming.assignments import read_assignments
+    from fuzzycat_spark.streaming.dedup_stream import run_incremental_dedup
+
+    base = tempfile.mkdtemp(prefix="fuzzycat_assign_gate_")
+    docs = _docs(spark, sf_dir)
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    # three deterministic shards -> three availableNow epochs
+    for shard in range(3):
+        docs.filter(F.abs(F.hash("doc_id")) % 3 == shard).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(base, f"tmp{shard}"))
+        for name in os.listdir(os.path.join(base, f"tmp{shard}")):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(base, f"tmp{shard}", name),
+                    os.path.join(src_dir, f"shard{shard}.parquet"),
+                )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    index, pairs = f"{base}/index", f"{base}/pairs"
+    q = run_incremental_dedup(stream, index, pairs, f"{base}/ckpt", DOC_CFG)
+    q.awaitTermination(600)
+    out = read_assignments(spark, index)
+    assert out is not None, "streaming drain committed no epoch"
+    return out
+
+
+def _streaming_assignments_sql() -> str:
+    """Oracle for q_streaming_assignments: the batch components over the
+    streaming pair semantics — reuse _streaming_pairs_sql's CTE chain
+    verbatim (so gate and oracle stay pinned to the same pair model) and
+    wrap it in the recursive-CTE connected components + singleton join."""
+    pair_sql = _streaming_pairs_sql()
+    tail = """SELECT id_a, id_b, status, reason FROM verified
+UNION ALL
+SELECT id_a, id_b, status, reason FROM star_all"""
+    assert pair_sql.endswith(tail), "streaming pair oracle changed shape"
+    body = pair_sql[: -len(tail)].rstrip() + ",\n"
+    assert body.startswith("WITH ")
+    return (
+        "WITH RECURSIVE " + body[len("WITH "):]
+        + """edges0 AS (
+  SELECT id_a, id_b FROM verified WHERE status IN ('exact', 'strong')
+  UNION
+  SELECT id_a, id_b FROM star_all
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id"""
+    )
+
+
 def q_streaming_first_seen(spark, sf_dir):
     """The applyInPandasWithState custom stateful operator through the
     driver gate: per-user first-touch attribution (first event by event
@@ -2279,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
+        "streaming_assignments": q_streaming_assignments,
         "streaming_first_seen": q_streaming_first_seen,
         "script_id": q_script_id,
         "extract_text": q_extract_text,
@@ -2411,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, uslug FROM '{_UNICODE_FIXTURE}'""",
         "components_unicode": _components_unicode_sql(),
         "streaming_pairs": _streaming_pairs_sql(),
+        "streaming_assignments": _streaming_assignments_sql(),
         "streaming_first_seen": """
             WITH ranked AS (
               SELECT user_id, event_id, ts, value,

@@ -175,6 +175,7 @@ def incremental_dedup_batch(
     pairs_path: str,
     cfg: DedupConfig = DedupConfig(),
     epoch_id: int | None = None,
+    assign: bool = True,
 ) -> None:
     """foreachBatch body: verify `batch` against itself + the accumulated
     index, append verified pairs, then extend the index.
@@ -601,6 +602,23 @@ def incremental_dedup_batch(
     verified.unionByName(star_pairs).write.mode("overwrite").parquet(
         f"{pairs_path}/epoch={epoch_id}"
     )
+    if assign:
+        # incremental cluster assignments (streaming/assignments.py):
+        # fold this epoch's written pairs into the label state — reads
+        # the just-written sink (materialized; re-deriving the lazy plan
+        # would re-run blocking+verify), writes labels/remap BEFORE the
+        # pointer swap so assignments commit atomically with the epoch
+        from fuzzycat_spark.streaming.assignments import update_assignments
+
+        update_assignments(
+            spark,
+            spark.read.parquet(f"{pairs_path}/epoch={epoch_id}"),
+            prep.select("id"),
+            index_path,
+            epoch_id,
+            committed,
+            edge_statuses=cfg.edge_statuses,
+        )
     new_bands.select("id", "band_id", "band_hash").write.partitionBy(
         "band_id"
     ).mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
@@ -617,6 +635,11 @@ def incremental_dedup_batch(
         extra_tables = (
             ("ssgrams", index_path + "_ssgrams"),
             ("ssmeta", index_path + "_ssmeta"),
+        )
+    if assign:
+        extra_tables = extra_tables + (
+            ("labels", index_path + "_labels"),
+            ("remap", index_path + "_remap"),
         )
     _write_epoch_manifest(index_path, pairs_path, epoch_id, extra_tables)
     _commit_pointer(index_path, epoch_id)
@@ -681,13 +704,16 @@ def run_incremental_dedup(
     pairs_path: str,
     checkpoint_dir: str,
     cfg: DedupConfig = DedupConfig(),
+    assign: bool = True,
 ):
     """Wire a streaming pages source into the incremental dedup sink.
-    Returns the StreamingQuery (caller awaits/stops it)."""
+    Returns the StreamingQuery (caller awaits/stops it). `assign=True`
+    additionally maintains incremental cluster assignments (the batch
+    pipeline's end product) — see streaming/assignments.py."""
     return (
         stream.writeStream.foreachBatch(
             lambda df, epoch: incremental_dedup_batch(
-                df, index_path, pairs_path, cfg, epoch_id=epoch
+                df, index_path, pairs_path, cfg, epoch_id=epoch, assign=assign
             )
         )
         .option("checkpointLocation", checkpoint_dir)
