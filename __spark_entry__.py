@@ -760,6 +760,18 @@ def q_dup_stats(spark, sf_dir):
     return dup_stats(q_components(spark, sf_dir))
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Corpus-emitting end of the pipeline: one best-quality representative
+    per duplicate cluster (ties -> min id), over the same assignments the
+    `components` gate proves. The window runs on the cluster_id shuffle;
+    quality is the native Catalyst blend the `quality` gate pins."""
+    from fuzzycat_spark.operators.dedup import select_canonical
+
+    return select_canonical(
+        _docs(spark, sf_dir), q_components(spark, sf_dir), "doc_id", "text"
+    )
+
+
 def q_closest_match(spark, sf_dir):
     from fuzzycat_spark.operators.pairs import status_ranked_matches
 
@@ -2336,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": q_candidates,
         "verified_pairs": q_verified_pairs,
         "components": q_components,
+        "canonical_docs": q_canonical_docs,
         "components_all": q_components_all,
         "components_embedding": q_components_embedding,
         "dup_stats": q_dup_stats,
@@ -2480,6 +2493,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_size, count(*) AS n_clusters FROM (
               SELECT cluster_id, count(*) AS cluster_size FROM assignments GROUP BY 1
             ) GROUP BY cluster_size""",
+        "canonical_docs": f"""
+            WITH assignments AS ({_CC_SQL}),
+            q AS ({_QUALITY_SQL})
+            SELECT cluster_id, canonical_id, n_members, quality FROM (
+              SELECT a.cluster_id, a.id AS canonical_id, q.quality,
+                count(*) OVER (PARTITION BY a.cluster_id) AS n_members,
+                row_number() OVER (
+                  PARTITION BY a.cluster_id ORDER BY q.quality DESC, a.id ASC
+                ) AS rn
+              FROM assignments a JOIN q ON a.id = q.doc_id
+            ) WHERE rn = 1""",
         "knn": _KNN_SQL,
         "similar_embeddings": _SIMILAR_PAIRS_SQL,
         "ann_buckets": _ann_bucket_sql(),

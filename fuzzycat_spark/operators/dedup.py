@@ -567,3 +567,75 @@ def dup_stats(assignments: DataFrame) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     ).orderBy("cluster_size")
+
+
+def select_canonical(
+    pages: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One kept representative per duplicate cluster — the corpus-emitting
+    end of the pipeline (what a training-data run actually writes out).
+    The reference keeps whichever record sorts first in the cluster slab
+    (`cluster.py`'s sorted key groups); here the keep rule is explicit:
+    highest quality score, ties broken by min id, so the choice is
+    deterministic and independent of partitioning.
+
+    `assignments` is `dedup_pages`/`dedup_stages` output (id, cluster_id);
+    `quality_col` names a precomputed [0,1] column on `pages`, else the
+    native `quality_score_cols` blend is computed on the fly (pure
+    Catalyst, no Python).
+
+    Returns (cluster_id, canonical_id, n_members, quality) — one row per
+    cluster, `quality` rounded to 6 so cross-engine comparisons are exact.
+
+    Scale: one narrow projection of pages (id + one double), one shuffle
+    to join assignments on id, one shuffle for the per-cluster window.
+    Singleton clusters (the overwhelming majority of a web corpus)
+    cost one window row each; no skew concern because the window state is
+    a row counter, not a buffer: row_number streams within each partition.
+    """
+    from pyspark.sql.window import Window
+
+    from fuzzycat_spark.functions.text import quality_score_cols
+
+    if quality_col is None:
+        q = F.round(quality_score_cols(text_col)["quality"], 6)
+    else:
+        q = F.round(F.col(quality_col).cast("double"), 6)
+    scored = pages.select(F.col(id_col).alias("id"), q.alias("quality")).join(
+        assignments, on="id"
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.col("quality").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("canonical_id"),
+            "n_members",
+            "quality",
+        )
+    )
+
+
+def dedup_corpus(
+    pages: DataFrame, cfg: DedupConfig = DedupConfig()
+) -> DataFrame:
+    """End-to-end corpus dedup: run the flagship pipeline, keep one
+    best-quality page per cluster, return the kept pages with their
+    cluster metadata (original schema + cluster_id + n_members). The
+    left-semi shape keeps the full-width page payload out of every
+    shuffle except the final keep join."""
+    _, assignments = dedup_pages(pages, cfg)
+    keep = select_canonical(pages, assignments, cfg.id_col, cfg.text_col)
+    return pages.join(
+        keep.select(
+            F.col("canonical_id").alias(cfg.id_col), "cluster_id", "n_members"
+        ),
+        on=cfg.id_col,
+    )
