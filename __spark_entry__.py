@@ -501,6 +501,49 @@ FROM (
         FROM (SELECT doc_id, text, {_SLUG} AS slug FROM documents))
 )"""
 
+def _rep_grams(n: int) -> str:
+    """Ordered word n-grams over `rep_toks(doc_id, ws)` mirroring
+    `word_shingles_ordered`: empty → no rows, fewer than n tokens → the
+    whole token run as one gram, else every start position."""
+    return f"""(SELECT doc_id, unnest(
+        CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+             WHEN len(ws) <= {n} THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - {n} + 2),
+                                 i -> array_to_string(ws[i:i+{n - 1}], ' '))
+        END) AS gram FROM rep_toks)"""
+
+
+def _rep_frac(n: int, kind: str) -> str:
+    """Per-doc char fraction over n-grams: kind='top' = most frequent
+    gram's occurrence chars / all occurrence chars; kind='dup' = chars of
+    beyond-first occurrences / all occurrence chars."""
+    num = "max(cnt * l)" if kind == "top" else "sum((cnt - 1) * l)"
+    return f"""(SELECT doc_id,
+        CAST({num} AS DOUBLE) / CAST(sum(cnt * l) AS DOUBLE) AS frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS l
+            FROM {_rep_grams(n)} GROUP BY doc_id, gram)
+      GROUP BY doc_id)"""
+
+
+_REPETITION_SQL = f"""
+WITH rep_toks AS (
+  SELECT doc_id,
+    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)
+),
+f2 AS {_rep_frac(2, "top")},
+f3 AS {_rep_frac(3, "top")},
+f5 AS {_rep_frac(5, "dup")}
+SELECT t.doc_id,
+  round(coalesce(f2.frac, 0.0), 6) AS top_2gram_char_frac,
+  round(coalesce(f3.frac, 0.0), 6) AS top_3gram_char_frac,
+  round(coalesce(f5.frac, 0.0), 6) AS dup_5gram_char_frac,
+  (coalesce(f2.frac, 0.0) <= 0.10 AND coalesce(f3.frac, 0.0) <= 0.10
+   AND coalesce(f5.frac, 0.0) <= 0.15) AS keep
+FROM rep_toks t
+LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+LEFT JOIN f5 USING (doc_id)"""
+
 _SIMHASH_SQL = """
 WITH tk AS (
   SELECT doc_id,
@@ -619,6 +662,30 @@ def q_quality(spark, sf_dir):
         F.round(cols["stop_ratio"], 6).alias("stop_ratio"),
         F.round(cols["mean_tok_len"], 6).alias("mean_tok_len"),
         F.round(cols["quality"], 6).alias("quality"),
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition panel (MassiveText A1): top-2/3-gram and
+    duplicate-5-gram character fractions, computed as a single sorted-array
+    fold per document — pure Catalyst, zero shuffles (functions/
+    repetition.py). The keep thresholds here (0.10/0.10/0.15) are tighter
+    than Gopher's published 0.20/0.18/0.15 so the verdict is non-vacuous
+    on this corpus (28/500 sf0.01 docs exceed 0.10 on top-2)."""
+    from fuzzycat_spark.functions.repetition import (
+        repetition_cols,
+        repetition_keep,
+    )
+
+    cols = repetition_cols("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(cols["top_2gram_char_frac"], 6).alias("top_2gram_char_frac"),
+        F.round(cols["top_3gram_char_frac"], 6).alias("top_3gram_char_frac"),
+        F.round(cols["dup_5gram_char_frac"], 6).alias("dup_5gram_char_frac"),
+        repetition_keep(
+            cols=cols, max_top2=0.10, max_top3=0.10, max_dup5=0.15
+        ).alias("keep"),
     )
 
 
@@ -2339,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -2420,6 +2488,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)""",
         "lang_id": _lang_vote_sql(),
         "quality": _QUALITY_SQL,
+        "repetition": _REPETITION_SQL,
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,
