@@ -544,6 +544,64 @@ FROM rep_toks t
 LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
 LEFT JOIN f5 USING (doc_id)"""
 
+_LINE_FIXTURE_SQL = "/root/repo/fixtures/line_docs.parquet"
+
+_LINE_STATS_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM '{_LINE_FIXTURE_SQL}'),
+ls AS (SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS l
+       FROM d),
+lr AS (SELECT doc_id, unnest(l) AS line FROM ls),
+cf AS (SELECT doc_id,
+         CAST(sum((cnt - 1) * ln) AS DOUBLE) / CAST(sum(cnt * ln) AS DOUBLE) AS f
+       FROM (SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+             FROM lr GROUP BY doc_id, line)
+       GROUP BY doc_id),
+rep_toks AS (
+  SELECT doc_id,
+    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT doc_id, {_SLUG} AS slug FROM d)
+),
+f5 AS {_rep_frac(5, "dup")}
+SELECT ls.doc_id,
+  CAST(len(ls.l) AS BIGINT) AS n_lines,
+  round(CASE WHEN len(ls.l) = 0 THEN 0.0
+        ELSE (len(ls.l) - len(list_distinct(ls.l))) / CAST(len(ls.l) AS DOUBLE)
+        END, 6) AS dup_line_frac,
+  round(coalesce(cf.f, 0.0), 6) AS dup_line_char_frac,
+  round(coalesce(f5.frac, 0.0), 6) AS dup_5gram_char_frac
+FROM ls LEFT JOIN cf USING (doc_id) LEFT JOIN f5 USING (doc_id)"""
+
+_COMMON_LINES_SQL = f"""
+SELECT line, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id,
+        unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+      FROM '{_LINE_FIXTURE_SQL}')
+GROUP BY line HAVING count(DISTINCT doc_id) >= 3"""
+
+_LINE_DEDUP_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM '{_LINE_FIXTURE_SQL}'),
+l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+      FROM (SELECT doc_id,
+              list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+            FROM d)),
+freq AS (SELECT line FROM l GROUP BY line
+         HAVING count(DISTINCT doc_id) >= 3),
+flagged AS (SELECT l.doc_id, l.pos, l.line,
+              (freq.line IS NOT NULL) AS common
+            FROM l LEFT JOIN freq ON l.line = freq.line),
+clean AS (SELECT doc_id,
+            string_agg(line, chr(10) ORDER BY pos) AS t,
+            count(*) AS n_kept
+          FROM flagged WHERE NOT common GROUP BY doc_id),
+rem AS (SELECT doc_id, count(*) AS n_removed
+        FROM flagged WHERE common GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(clean.t, '') AS text_clean,
+  coalesce(rem.n_removed, 0) AS n_removed,
+  coalesce(clean.n_kept, 0) AS n_kept
+FROM d LEFT JOIN clean USING (doc_id) LEFT JOIN rem USING (doc_id)"""
+
 _SIMHASH_SQL = """
 WITH tk AS (
   SELECT doc_id,
@@ -686,6 +744,55 @@ def q_repetition(spark, sf_dir):
         repetition_keep(
             cols=cols, max_top2=0.10, max_top3=0.10, max_dup5=0.15
         ).alias("keep"),
+    )
+
+
+_LINE_FIXTURE = "/root/repo/fixtures/line_docs.parquet"
+
+
+def q_line_stats(spark, sf_dir):
+    """Line-granularity repetition panel (Gopher A1 duplicate-line
+    signals + the duplicate-5-gram fraction, which the single-line sf
+    corpus can't exercise) over the committed multi-line fixture. Pure
+    Catalyst: one projection, zero shuffles (operators/lines.py)."""
+    from fuzzycat_spark.functions.normalize import tokens_col
+    from fuzzycat_spark.functions.repetition import dup_ngram_char_frac
+    from fuzzycat_spark.operators.lines import line_stats
+
+    df = spark.read.parquet(_LINE_FIXTURE)
+    st = line_stats(df).select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+    )
+    g5 = df.select(
+        "doc_id",
+        F.round(dup_ngram_char_frac(tokens_col("text"), 5), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+    )
+    return st.join(g5, on="doc_id")
+
+
+def q_common_lines(spark, sf_dir):
+    """Corpus-common exact lines (>= 3 distinct docs) — the discovery
+    half of C4-style line dedup. The (line, doc) distinct is map-side
+    combinable; lines shuffle by 64-bit hash, not text."""
+    from fuzzycat_spark.operators.lines import common_lines
+
+    return common_lines(spark.read.parquet(_LINE_FIXTURE), min_docs=3)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/CCNet cross-document line removal: every line occurring in >= 3
+    distinct docs is stripped from all of them, original order preserved,
+    within-doc repeats of rare lines kept."""
+    from fuzzycat_spark.operators.lines import strip_common_lines
+
+    out = strip_common_lines(spark.read.parquet(_LINE_FIXTURE), min_docs=3)
+    return out.select(
+        "doc_id", F.col("text").alias("text_clean"), "n_removed", "n_kept"
     )
 
 
@@ -2407,6 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "repetition": q_repetition,
+        "line_stats": q_line_stats,
+        "common_lines": q_common_lines,
+        "line_dedup": q_line_dedup,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -2489,6 +2599,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_vote_sql(),
         "quality": _QUALITY_SQL,
         "repetition": _REPETITION_SQL,
+        "line_stats": _LINE_STATS_SQL,
+        "common_lines": _COMMON_LINES_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

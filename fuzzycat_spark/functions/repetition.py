@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from fuzzycat_spark.functions.normalize import tokens_col, word_shingles_ordered
 
 __all__ = [
+    "top_char_frac_of",
+    "dup_char_frac_of",
     "top_ngram_char_frac",
     "dup_ngram_char_frac",
     "repetition_cols",
@@ -83,22 +85,35 @@ def _run_fold(grams: Column) -> Column:
     return F.aggregate(F.array_sort(grams), zero, step)
 
 
-def top_ngram_char_frac(toks: Column, n: int) -> Column:
-    """Character fraction of the most frequent word n-gram (double; 0.0
-    for documents with no grams)."""
-    st = _run_fold(word_shingles_ordered(toks, n))
+def top_char_frac_of(arr: Column) -> Column:
+    """Character fraction of the most frequent element of an arbitrary
+    string array (double; 0.0 for empty arrays). Lines, paragraphs, and
+    shingles all route through this one fold."""
+    st = _run_fold(arr)
     return F.when(
         st["total"] > 0, st["best"].cast("double") / st["total"].cast("double")
     ).otherwise(F.lit(0.0))
 
 
-def dup_ngram_char_frac(toks: Column, n: int) -> Column:
-    """Character fraction contributed by repeat occurrences of word
-    n-grams (double; 0.0 for documents with no grams)."""
-    st = _run_fold(word_shingles_ordered(toks, n))
+def dup_char_frac_of(arr: Column) -> Column:
+    """Character fraction contributed by repeat occurrences of elements
+    of an arbitrary string array (double; 0.0 for empty arrays)."""
+    st = _run_fold(arr)
     return F.when(
         st["total"] > 0, st["dup"].cast("double") / st["total"].cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Character fraction of the most frequent word n-gram (double; 0.0
+    for documents with no grams)."""
+    return top_char_frac_of(word_shingles_ordered(toks, n))
+
+
+def dup_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Character fraction contributed by repeat occurrences of word
+    n-grams (double; 0.0 for documents with no grams)."""
+    return dup_char_frac_of(word_shingles_ordered(toks, n))
 
 
 def repetition_cols(col: Column | str) -> dict[str, Column]:
