@@ -602,6 +602,34 @@ SELECT d.doc_id,
   coalesce(clean.n_kept, 0) AS n_kept
 FROM d LEFT JOIN clean USING (doc_id) LEFT JOIN rem USING (doc_id)"""
 
+_EVAL_FIXTURE_SQL = "/root/repo/fixtures/eval_docs.parquet"
+
+_DECONTAMINATE_SQL = f"""
+WITH ev_toks AS (
+  SELECT CASE WHEN slug = '' THEN []::VARCHAR[]
+         ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT {_SLUG} AS slug
+        FROM (SELECT text FROM '{_EVAL_FIXTURE_SQL}'))
+),
+eg AS (SELECT DISTINCT unnest(
+        CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+             WHEN len(ws) <= 5 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 5 + 2),
+                                 i -> array_to_string(ws[i:i+4], ' '))
+        END) AS gram FROM ev_toks),
+rep_toks AS (
+  SELECT doc_id,
+    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)}),
+hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN eg USING (gram)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_eval_grams_hit,
+  coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)"""
+
 _SIMHASH_SQL = """
 WITH tk AS (
   SELECT doc_id,
@@ -793,6 +821,22 @@ def q_line_dedup(spark, sf_dir):
     out = strip_common_lines(spark.read.parquet(_LINE_FIXTURE), min_docs=3)
     return out.select(
         "doc_id", F.col("text").alias("text_clean"), "n_removed", "n_kept"
+    )
+
+
+_EVAL_FIXTURE = "/root/repo/fixtures/eval_docs.parquet"
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count of distinct eval
+    n-grams leaked (operators/decontaminate.py — eval grams broadcast,
+    corpus never shuffles). n=5 so exact overlaps exist in this
+    vocabulary; the committed eval fixture plants 5-grams that occur in
+    BOTH sf corpora plus clean prompts with zero hits."""
+    from fuzzycat_spark.operators.decontaminate import decontaminate
+
+    return decontaminate(
+        _docs(spark, sf_dir), spark.read.parquet(_EVAL_FIXTURE), n=5
     )
 
 
@@ -2517,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "common_lines": q_common_lines,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -2602,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "line_stats": _LINE_STATS_SQL,
         "common_lines": _COMMON_LINES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

@@ -1,0 +1,76 @@
+"""Decontamination (`operators/decontaminate.py`): exact n-gram leak
+detection against a broadcast eval suite — semantics plus the
+no-corpus-shuffle plan property."""
+
+from __future__ import annotations
+
+from fuzzycat_spark.operators.decontaminate import decontaminate, eval_ngrams
+
+
+def _dfs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The QUICK, brown fox JUMPS over nothing at all"),  # leak, case/punct
+            (3, "completely unrelated text about tidal records"),
+            (4, "fox jumps over the lazy"),  # exactly one 5-gram, leaked
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over a fence"), (1, "short one")],
+        "eval_id long, text string",
+    )
+    return docs, ev
+
+
+def test_decontaminate_counts_distinct_leaked_grams(spark):
+    docs, ev = _dfs(spark)
+    out = {r.doc_id: r for r in decontaminate(docs, ev, n=5).collect()}
+    # doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps
+    # over" with eval prompt 0
+    assert out[1].n_eval_grams_hit == 2 and out[1].contaminated
+    # slug tokenization: case and punctuation do not hide the leak
+    assert out[2].n_eval_grams_hit == 2 and out[2].contaminated
+    assert out[3].n_eval_grams_hit == 0 and not out[3].contaminated
+    # doc 4 has a single whole-run gram "fox jumps over the lazy",
+    # which eval prompt 0 does NOT contain as a 5-gram
+    assert out[4].n_eval_grams_hit == 0
+    assert out[5].n_eval_grams_hit == 0
+    assert len(out) == 5
+
+
+def test_short_eval_prompt_matches_whole_run(spark):
+    docs = spark.createDataFrame(
+        [(1, "prefix short one suffix")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(0, "short one")], "eval_id long, text string")
+    # eval prompt shorter than n becomes a whole-run gram; the doc's
+    # 5-grams never equal a 2-token gram -> no hit (exact n-gram match,
+    # not substring)
+    out = decontaminate(docs, ev, n=5).collect()[0]
+    assert out.n_eval_grams_hit == 0
+    # but a doc that IS that short matches
+    tiny = spark.createDataFrame([(2, "short one")], "doc_id long, text string")
+    assert decontaminate(tiny, ev, n=5).collect()[0].contaminated
+
+
+def test_eval_grams_distinct(spark):
+    ev = spark.createDataFrame(
+        [(0, "a b c d e a b c d e")], "eval_id long, text string"
+    )
+    grams = {r.gram for r in eval_ngrams(ev, n=5).collect()}
+    assert "a b c d e" in grams
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    docs, ev = _dfs(spark)
+    plan = (
+        decontaminate(docs, ev, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
