@@ -630,6 +630,16 @@ SELECT d.doc_id,
   coalesce(hits.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits USING (doc_id)"""
 
+_DOMAIN_CAP_SQL = f"""
+WITH q AS ({_QUALITY_SQL})
+SELECT doc_id, source, quality, rank FROM (
+  SELECT d.doc_id, d.source, q.quality,
+    CAST(row_number() OVER (
+      PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC
+    ) AS INT) AS rank
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+) WHERE rank <= 10"""
+
 _SIMHASH_SQL = """
 WITH tk AS (
   SELECT doc_id,
@@ -837,6 +847,26 @@ def q_decontaminate(spark, sf_dir):
 
     return decontaminate(
         _docs(spark, sf_dir), spark.read.parquet(_EVAL_FIXTURE), n=5
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Source-diversity cap: top-10 docs per source domain by the native
+    quality blend (operators/domains.py — exact two-stage salted top-k,
+    so a mega-domain never lands in one sort task)."""
+    from fuzzycat_spark.operators.domains import domain_cap
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_q", F.round(quality_score_cols("text")["quality"], 6)
+    )
+    # rank on the ROUNDED score so Spark and the oracle sort identical
+    # keys (the quality gate proves the rounded values bit-match)
+    out = domain_cap(docs, "source", max_per_domain=10, quality_col="_q")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("domain").alias("source"),
+        F.col("quality"),
+        "rank",
     )
 
 
@@ -2562,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_lines": q_common_lines,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "domain_cap": q_domain_cap,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -2648,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "common_lines": _COMMON_LINES_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "domain_cap": _DOMAIN_CAP_SQL,
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,
