@@ -640,6 +640,41 @@ SELECT doc_id, source, quality, rank FROM (
   FROM documents d JOIN q ON d.doc_id = q.doc_id
 ) WHERE rank <= 10"""
 
+_URL_FIXTURE_SQL = "/root/repo/fixtures/url_docs.parquet"
+
+_SURT_CTE = rf"""
+parts AS (
+  SELECT url_id,
+    lower(regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)) AS host0,
+    regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(t, '^[^?#]*\?([^#]*)', 1) AS query0
+  FROM (SELECT url_id, trim(url) AS t FROM '{_URL_FIXTURE_SQL}')),
+surts AS (
+  SELECT url_id,
+    array_to_string(list_reverse(string_split(
+      regexp_replace(host1, ':[0-9]+$', ''), '.')), ',')
+    || regexp_extract(host1, '(:[0-9]+)$', 1)
+    || ')'
+    || regexp_replace(regexp_replace(path0, '/index\.(html?|php)$', ''), '/+$', '')
+    || CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END AS surt
+  FROM (SELECT url_id,
+          regexp_replace(regexp_replace(host0, '^www\.', ''),
+                         ':(80|443)$', '') AS host1,
+          path0,
+          list_sort(list_filter(string_split(query0, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$')))
+          AS params
+        FROM parts))"""
+
+_URL_CANONICAL_SQL = f"WITH {_SURT_CTE} SELECT url_id, surt FROM surts"
+
+_URL_DUP_PAIRS_SQL = f"""
+WITH {_SURT_CTE}
+SELECT a.url_id AS id_a, b.url_id AS id_b, a.surt
+FROM surts a JOIN surts b ON a.surt = b.surt AND a.url_id < b.url_id"""
+
 _SIMHASH_SQL = """
 WITH tk AS (
   SELECT doc_id,
@@ -867,6 +902,31 @@ def q_domain_cap(spark, sf_dir):
         F.col("domain").alias("source"),
         F.col("quality"),
         "rank",
+    )
+
+
+_URL_FIXTURE = "/root/repo/fixtures/url_docs.parquet"
+
+
+def q_url_canonical(spark, sf_dir):
+    """SURT-style URL canonicalization (functions/urls.py): scheme/www/
+    default-port/fragment/tracking-param/index-page variants collapse to
+    one sort-friendly key; lookalikes (subdomains, param values, path
+    case, non-default ports) stay distinct. Pure Catalyst regexp work."""
+    from fuzzycat_spark.functions.urls import surt_key
+
+    return spark.read.parquet(_URL_FIXTURE).select(
+        "url_id", surt_key("url").alias("surt")
+    )
+
+
+def q_url_dup_pairs(spark, sf_dir):
+    """URL-level exact dedup pairs: ids sharing a canonical SURT key —
+    the zero-text first pass of web-crawl dedup."""
+    from fuzzycat_spark.functions.urls import url_dup_pairs
+
+    return url_dup_pairs(
+        spark.read.parquet(_URL_FIXTURE), id_col="url_id", url_col="url"
     )
 
 
@@ -2593,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
+        "url_canonical": q_url_canonical,
+        "url_dup_pairs": q_url_dup_pairs,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -2680,6 +2742,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "domain_cap": _DOMAIN_CAP_SQL,
+        "url_canonical": _URL_CANONICAL_SQL,
+        "url_dup_pairs": _URL_DUP_PAIRS_SQL,
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

@@ -1,0 +1,104 @@
+"""URL canonicalization — SURT-style keys for URL-level dedup.
+
+The first dedup pass over a web crawl is free: pages fetched from the
+same resource under cosmetically different URLs (scheme, www, default
+port, tracking params, fragments, index pages, trailing slashes) are
+exact duplicates before any text ever loads. Web archives canonicalize
+with SURT (Sort-friendly URI Reordering Transform): host labels
+reversed and comma-joined, so `https://www.example.com/a?b=1` becomes
+`com,example)/a?b=1`. SURT keys sort hierarchically by registered
+domain, which at cluster scale means a range-partition or bucket on the
+key co-locates each site's pages — per-site caps, robots joins, and
+host-level stats all become shuffle-free follow-ups.
+
+Everything here is pure Catalyst (regexp_extract + array ops over the
+query string), identical Java-regex/RE2-safe patterns on both engines:
+no lookbehind, no backreferences. Normalizations applied:
+
+- scheme dropped (http/https/ftp duplicates collapse), fragment dropped;
+- host lowercased, leading `www.` stripped, default ports (:80, :443)
+  stripped, labels reversed: `a.b.com` -> `com,b,a`;
+- path: trailing `/index.html|htm|php` stripped, then trailing slashes
+  stripped (root collapses to empty — `com,example)/` vs `com,example)`
+  is the same resource);
+- query: split on `&`, tracking params dropped (utm_*, fbclid, gclid,
+  msclkid, igshid, mc_cid, mc_eid, ref, ref_src), remaining params
+  SORTED bytewise and rejoined, empty query dropped.
+
+Not a validator: garbage in, deterministic garbage key out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["surt_host", "surt_key", "url_dup_pairs", "TRACKING_PARAM_RE"]
+
+# one pattern per URL part — group 1 is always the payload
+_HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)"
+_PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$"
+)
+
+
+def surt_host(col: Column | str) -> Column:
+    """Reversed-label canonical host of a URL column: lowercased, www.
+    and default ports stripped, labels joined with commas
+    (`news.example.co.uk` -> `uk,co,example,news`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.regexp_extract(F.trim(c), _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    # a surviving non-default port belongs AFTER the reversed labels
+    # (com,example:8080), not riding the last label through the reversal
+    port = F.regexp_extract(host, r"(:\d+)$", 1)
+    name = F.regexp_replace(host, r":\d+$", "")
+    return F.concat(
+        F.array_join(F.reverse(F.split(name, r"\.")), ","), port
+    )
+
+
+def surt_key(col: Column | str) -> Column:
+    """Full SURT-style canonical key: `reversed,host)/path?sortedquery`."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    path = F.regexp_extract(t, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/index\.(html?|php)$", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(t, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        surt_host(c),
+        F.lit(")"),
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def url_dup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Unordered id pairs sharing a canonical URL key: (id_a, id_b, surt).
+    One shuffle on the key; within-key pair expansion uses the same
+    in-bucket pattern as every other blocking strategy (sorted ids,
+    id_a < id_b)."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"), surt_key(url_col).alias("surt")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, on="surt")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "surt"
+        )
+    )

@@ -1,0 +1,47 @@
+"""SURT canonicalization (`functions/urls.py`): hand-pinned keys for
+every normalization rule, and the rules that must NOT fire."""
+
+from __future__ import annotations
+
+from fuzzycat_spark.functions.urls import surt_key, url_dup_pairs
+
+CASES = [
+    ("https://www.Example.com:443/a/b?x=1#frag", "com,example)/a/b?x=1"),
+    ("http://example.com:80/a/b/", "com,example)/a/b"),
+    ("example.com/a/b", "com,example)/a/b"),  # scheme-less
+    ("https://news.example.co.uk/x", "uk,co,example,news)/x"),
+    ("https://library.org/catalog/index.html", "org,library)/catalog"),
+    ("https://library.org/catalog///", "org,library)/catalog"),
+    # query normalization: tracking dropped, rest sorted, '?' dropped
+    # when nothing survives
+    ("https://s.com/p?b=2&utm_source=m&a=1", "com,s)/p?a=1&b=2"),
+    ("https://s.com/p?fbclid=X", "com,s)/p"),
+    ("https://example.com", "com,example)"),
+    ("http://192.168.0.1/status", "1,0,168,192)/status"),
+    # must NOT collapse
+    ("https://example.com:8080/a", "com,example:8080)/a"),
+    ("https://example.com/A", "com,example)/A"),  # path case kept
+]
+
+
+def test_surt_key_hand_pinned(spark):
+    df = spark.createDataFrame(CASES, "url string, want string")
+    rows = df.select("url", "want", surt_key("url").alias("got")).collect()
+    bad = [(r.url, r.want, r.got) for r in rows if r.got != r.want]
+    assert not bad, bad
+
+
+def test_url_dup_pairs_groups_variants(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.com/x"),
+            (2, "https://www.a.com/x/"),
+            (3, "https://a.com/x?utm_source=z"),
+            (4, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    pairs = sorted(
+        (r.id_a, r.id_b) for r in url_dup_pairs(docs).collect()
+    )
+    assert pairs == [(1, 2), (1, 3), (2, 3)]
