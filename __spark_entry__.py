@@ -2297,6 +2297,114 @@ def q_extract_text(spark, sf_dir):
     )
 
 
+_PII_FIXTURE = "/root/repo/fixtures/pii_docs.parquet"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction + per-class counts (functions/pii.py): email/IPv4/
+    phone as ONE whole-stage-codegen regexp chain — zero shuffles, zero
+    UDFs. The oracle runs the IDENTICAL patterns through DuckDB's RE2
+    (patterns live in the Java-regex ∩ RE2 common subset), a true
+    two-engine cross-check over the planted fixture (digit-heavy emails,
+    version-string IP lookalikes, a 16-digit card run both engines must
+    split identically)."""
+    from fuzzycat_spark.functions.pii import pii_counts, redact_pii
+
+    return spark.read.parquet(_PII_FIXTURE).select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        *pii_counts("text"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from fuzzycat_spark.functions.pii import PII_RULES
+
+    redacted = "text"
+    for _, pattern, token in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    counts = ",\n              ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS INT) AS n_{name}"
+        for name, pattern, _ in PII_RULES
+    )
+    return f"""
+            SELECT doc_id, {redacted} AS redacted,
+              {counts}
+            FROM '{_PII_FIXTURE}'"""
+
+
+_WARC_FIXTURE = "/root/repo/fixtures/sample.warc.gz"
+_WARC_EXPECTED = "/root/repo/fixtures/warc_expected.parquet"
+
+
+def q_warc_scan(spark, sf_dir):
+    """Common-Crawl WARC ingestion (sources/warc.py): paths-only
+    binaryFile listing → pyarrow.fs-streamed, Content-Length-driven
+    record parsing in mapInPandas (per-record gzip members, the CC
+    layout). The oracle is the golden table built from the SAME literals
+    the committed archive was generated from (tools/make_warc_fixture.py)
+    — url/timestamp/status/content-type plus a sha256 over every parsed
+    payload, so a single shifted byte anywhere fails the gate."""
+    from fuzzycat_spark.sources.warc import read_warc
+
+    return (
+        read_warc(spark, _WARC_FIXTURE)
+        .select(
+            "url",
+            "warc_ts",
+            "http_status",
+            "content_type",
+            F.sha2(F.col("html"), 256).alias("payload_sha"),
+            "n_bytes",
+        )
+    )
+
+
+_MIX_BUDGETS = {"en": 30000.0, "de": 10000.0, "es": 100000.0, "zh": 5000.0}
+_MIX_SEED = 7
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic budget-driven corpus mixing (operators/mixing.py):
+    per-lang keep rate = min(1, char_budget / total_chars) from ONE tiny
+    partial-aggregated groupBy, applied back via a BROADCAST join and a
+    pure-hash Bernoulli (md5(id:seed) 48-bit grid) — the corpus is never
+    reshuffled and every keep/drop decision is replayable bit-for-bit.
+    Budgets exercise all arms: en/de/zh partial rates, es clipped to 1.0,
+    fr absent → rate 0 (excluded). Oracle reproduces the identical md5
+    grid and rate arithmetic in DuckDB."""
+    from fuzzycat_spark.operators.mixing import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir),
+        _MIX_BUDGETS,
+        weight_col="n_chars",
+        id_col="doc_id",
+        key_col="lang",
+        seed=_MIX_SEED,
+    ).select("doc_id", "lang", "rate")
+
+
+def _corpus_mix_sql() -> str:
+    values = ", ".join(f"('{k}', {v!r})" for k, v in _MIX_BUDGETS.items())
+    return f"""
+            WITH budgets(lang, budget) AS (VALUES {values}),
+            totals AS (
+              SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS total
+              FROM documents GROUP BY lang
+            ),
+            rates AS (
+              SELECT t.lang,
+                     CASE WHEN b.budget IS NULL THEN 0.0
+                          ELSE LEAST(1.0, b.budget / t.total) END AS rate
+              FROM totals t LEFT JOIN budgets b ON t.lang = b.lang
+            )
+            SELECT d.doc_id, d.lang, r.rate
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 12))::BIGINT
+                  / 281474976710656.0 < r.rate"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -2694,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_seen": q_streaming_first_seen,
         "script_id": q_script_id,
         "extract_text": q_extract_text,
+        "warc_scan": q_warc_scan,
+        "pii_scrub": q_pii_scrub,
+        "corpus_mix": q_corpus_mix,
         "components_embedding_ivf": q_components_embedding_ivf,
         "denylist_pairs": q_denylist_pairs,
         "components_denylist": q_components_denylist,
@@ -2860,6 +2971,12 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_UNICODE_FIXTURE}'""",
         "extract_text": f"""
             SELECT doc_id, etext FROM '{_HTML_FIXTURE}'""",
+        "warc_scan": f"""
+            SELECT url, warc_ts, http_status, content_type, payload_sha,
+                   n_bytes
+            FROM '{_WARC_EXPECTED}'""",
+        "pii_scrub": _pii_scrub_sql(),
+        "corpus_mix": _corpus_mix_sql(),
         "components_embedding_ivf": _components_embedding_ivf_sql(),
         "denylist_pairs": _denylist_pairs_sql(),
         "components_denylist": _components_denylist_sql(),

@@ -1,0 +1,103 @@
+"""Corpus mixing (operators/mixing.py): deterministic budget sampling.
+
+The properties that matter at cluster scale: the keep/drop decision is a
+pure function of (id, seed) — invariant under repartitioning and retries
+— rates clip to [0,1], keys without a budget are excluded, and the
+sampled weight tracks the budget. Plan: rates return via broadcast join,
+the corpus side is never exchanged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.operators.mixing import (
+    budget_rates,
+    mix_corpus,
+    sample_corpus,
+    sample_uniform,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, lang, 100 + (i % 7) * 10)
+        for i, lang in enumerate(
+            ["en"] * 400 + ["de"] * 200 + ["zh"] * 100 + ["fr"] * 50
+        )
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+BUDGETS = {"en": 20000.0, "de": 5000.0, "zh": 1_000_000.0}
+
+
+class TestRates:
+    def test_rates_clip_and_exclude(self, spark, corpus):
+        rates = {
+            r["lang"]: r["rate"]
+            for r in budget_rates(corpus, BUDGETS, "n_chars").collect()
+        }
+        assert rates["zh"] == 1.0  # budget >> total → clipped
+        assert rates["fr"] == 0.0  # no budget → excluded
+        assert 0.0 < rates["en"] < 1.0
+        assert 0.0 < rates["de"] < 1.0
+        # rate is exactly budget/total for the partial keys
+        total_en = sum(100 + (i % 7) * 10 for i in range(400))
+        assert rates["en"] == pytest.approx(20000.0 / total_en, abs=0)
+
+
+class TestSampling:
+    def test_deterministic_and_partition_invariant(self, spark, corpus):
+        rates = budget_rates(corpus, BUDGETS, "n_chars")
+        a = sorted(
+            r["doc_id"] for r in sample_corpus(corpus, rates, seed=3).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in sample_corpus(corpus.repartition(13), rates, seed=3).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_budget_adherence(self, spark, corpus):
+        out = mix_corpus(corpus, BUDGETS, "n_chars", seed=0)
+        kept = {
+            r["lang"]: r["w"]
+            for r in out.groupBy("lang").agg(F.sum("n_chars").alias("w")).collect()
+        }
+        # zh clipped: everything kept
+        assert kept["zh"] == sum(100 + (i % 7) * 10 for i in range(600, 700))
+        assert "fr" not in kept
+        # Bernoulli at n=400/200 docs: expect within ~25% of budget
+        assert kept["en"] == pytest.approx(20000.0, rel=0.25)
+        assert kept["de"] == pytest.approx(5000.0, rel=0.25)
+
+    def test_seed_changes_sample_not_size_class(self, spark, corpus):
+        rates = budget_rates(corpus, BUDGETS, "n_chars")
+        s0 = {r["doc_id"] for r in sample_corpus(corpus, rates, seed=0).collect()}
+        s1 = {r["doc_id"] for r in sample_corpus(corpus, rates, seed=1).collect()}
+        assert s0 != s1
+
+    def test_uniform_matches_python_md5(self, spark):
+        import hashlib
+
+        df = spark.range(20).select(
+            F.col("id").alias("doc_id"), sample_uniform("doc_id", seed=9).alias("u")
+        )
+        for r in df.collect():
+            h = int(
+                hashlib.md5(f"{r['doc_id']}:9".encode()).hexdigest()[:12], 16
+            )
+            assert r["u"] == h / float(1 << 48)
+
+
+class TestPlan:
+    def test_rates_join_is_broadcast_no_corpus_exchange(self, spark, corpus):
+        rates = budget_rates(corpus, BUDGETS, "n_chars")
+        plan = sample_corpus(corpus, rates)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the only exchanges feed the tiny rates aggregate / broadcast,
+        # never a full-corpus shuffle: no SortMergeJoin anywhere
+        assert "SortMergeJoin" not in plan
