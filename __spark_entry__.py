@@ -2405,6 +2405,40 @@ def _corpus_mix_sql() -> str:
                   / 281474976710656.0 < r.rate"""
 
 
+_SHARD_N = 8
+_SHARD_SEED = 5
+
+
+def q_training_shards(spark, sf_dir):
+    """Reproducible training-shard layout (operators/sharding.py): shard
+    and within-shard position are two independent 48-bit fields of ONE
+    md5(id:seed) — no RNG, no global sort, partition/retry-invariant;
+    materializing positions costs one shuffle (the per-shard row_number
+    window). Oracle recomputes both hash fields and the window in DuckDB,
+    so every row's (shard, position) is pinned bit-for-bit."""
+    from fuzzycat_spark.operators.sharding import shard_table
+
+    return shard_table(
+        _docs(spark, sf_dir), _SHARD_N, id_col="doc_id", seed=_SHARD_SEED
+    ).select("doc_id", "shard", "shard_pos")
+
+
+def _training_shards_sql() -> str:
+    h = f"md5(doc_id::VARCHAR || ':{_SHARD_SEED}')"
+    return f"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST((('0x' || substr({h}, 1, 12))::BIGINT % {_SHARD_N}) AS INT) AS shard,
+                     ('0x' || substr({h}, 13, 12))::BIGINT AS order_key
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY shard ORDER BY order_key, doc_id
+                   ) - 1 AS INT) AS shard_pos
+            FROM keyed"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -2805,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": q_warc_scan,
         "pii_scrub": q_pii_scrub,
         "corpus_mix": q_corpus_mix,
+        "training_shards": q_training_shards,
         "components_embedding_ivf": q_components_embedding_ivf,
         "denylist_pairs": q_denylist_pairs,
         "components_denylist": q_components_denylist,
@@ -2977,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_WARC_EXPECTED}'""",
         "pii_scrub": _pii_scrub_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "training_shards": _training_shards_sql(),
         "components_embedding_ivf": _components_embedding_ivf_sql(),
         "denylist_pairs": _denylist_pairs_sql(),
         "components_denylist": _components_denylist_sql(),

@@ -1,0 +1,93 @@
+"""Training-shard emission: the step after dedup + mixing that turns a
+kept corpus into N reproducibly-shuffled shards for sequential training
+readers.
+
+Reference analog: fuzzycat ends at sorted cluster slabs on one machine
+(notes/old_pipeline.md's GNU-sort output); a training pipeline instead
+needs the corpus *unsorted* — an order decorrelated from crawl/domain
+locality — split into equal files.
+
+Scale design:
+- Shard id and within-shard order are pure hashes of (id, seed) — the
+  same discipline as operators/mixing.py: no RNG state, no global sort,
+  no `orderBy(rand())` (whose sample-based range partitioner is neither
+  stable under retries nor cheap at 100 TB). Re-running any subset of
+  tasks reproduces the same placement, and the assignment is a property
+  of the ROW, not of the partitioning it arrived in.
+- Two independent 48-bit fields of one md5 supply shard and order — one
+  hash computation per row, both fields reproducible in DuckDB for the
+  oracle.
+- Materializing the shard layout costs exactly ONE shuffle (by shard id);
+  within-shard order is a sort-within-partition, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 48)
+
+
+def _md5_field(c: Column, seed: int, start: int) -> Column:
+    """48-bit integer from md5(id ':' seed) hex chars [start, start+12)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), start, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def shard_columns(
+    id_col: str | Column, n_shards: int, seed: int = 0
+) -> tuple[Column, Column]:
+    """(shard, order_key): shard uniform over [0, n_shards) from the md5
+    low field, order_key the independent high field — the reproducible
+    global shuffle."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        (_md5_field(c, seed, 1) % n_shards).cast("int"),
+        _md5_field(c, seed, 13),
+    )
+
+
+def shard_table(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """`df` + (shard, shard_pos): shard_pos is the row's 0-based position
+    in its shard's deterministic order (order_key, then id for total
+    order). One shuffle — the row_number window partitions by shard."""
+    shard, order_key = shard_columns(id_col, n_shards, seed)
+    out = df.withColumn("shard", shard).withColumn("_order_key", order_key)
+    w = Window.partitionBy("shard").orderBy("_order_key", id_col)
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w) - F.lit(1))
+        .drop("_order_key")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Write `<path>/shard=K/` parquet, rows inside each shard in the
+    deterministic shuffled order. One repartition(n_shards, shard) — the
+    sort is within-partition only. (Integer-hash partitioning may co-host
+    two shards in one task; partitionBy still splits the files per shard,
+    so layout is exact and only task balance is approximate.)"""
+    shard, order_key = shard_columns(id_col, n_shards, seed)
+    (
+        df.withColumn("shard", shard)
+        .withColumn("_order_key", order_key)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_order_key", id_col)
+        .drop("_order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
