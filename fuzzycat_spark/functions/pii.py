@@ -1,5 +1,5 @@
-"""PII scrubbing for training corpora: email / IPv4 / phone-number
-redaction and counting as pure Catalyst regexp work.
+"""PII scrubbing for training corpora: email / credit-card / IPv6 /
+IPv4 / phone-number redaction and counting as pure Catalyst regexp work.
 
 Reference scope analog: fuzzycat normalizes away noise fields before
 keying (sandcrawler slug, DOI cleanup); a web-text pipeline additionally
@@ -17,9 +17,9 @@ Pattern constraints (load-bearing):
 - Counts are computed per-pattern on the RAW text, independently of
   redaction order (a phone-shaped digit run inside an email counts as
   both; documented, deterministic in both engines).
-- Redaction order is fixed email → IPv4 → phone: the earlier classes
-  are structurally more specific, so their digits are consumed before
-  the looser phone pattern can bite into them.
+- Redaction order is fixed email → card → IPv6 → IPv4 → phone: the
+  earlier classes are structurally more specific, so their digits are
+  consumed before the looser phone pattern can bite into them.
 """
 
 from __future__ import annotations
@@ -34,14 +34,29 @@ IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PHONE_RE = (
     r"(?:\+?[0-9]{1,2}[ .\-]?)?\(?[0-9]{3}\)?[ .\-]?[0-9]{3}[ .\-]?[0-9]{4}\b"
 )
+# 13-16 digits as three 4-digit groups + 1-4 more, optional space/dash
+# separators: spaced, dashed, and bare card numbers; a 10-digit phone run
+# cannot reach the 13-digit minimum, and IPv4/phone groups are ≤3 digits
+CARD_RE = r"\b(?:[0-9]{4}[ \-]?){3}[0-9]{1,4}\b"
+# full-form IPv6 only (8 hex groups); compressed `::` forms are a
+# documented non-goal — expanding them needs alternation RE2 allows but
+# that Java's \b semantics around ':' make order-sensitive, and crawl
+# text overwhelmingly carries the full form in server logs
+IPV6_RE = r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP_ADDRESS>"
+IPV6_TOKEN = "<IP_ADDRESS>"
 PHONE_TOKEN = "<PHONE_NUMBER>"
+CARD_TOKEN = "<CREDIT_CARD>"
 
-# (name, pattern, replacement) in redaction order
+# (name, pattern, replacement) in redaction order: more-structured
+# classes first so their digits are consumed before looser patterns
+# (a 16-digit card contains a phone-shaped suffix; emails carry digits)
 PII_RULES = (
     ("email", EMAIL_RE, EMAIL_TOKEN),
+    ("card", CARD_RE, CARD_TOKEN),
+    ("ipv6", IPV6_RE, IPV6_TOKEN),
     ("ipv4", IPV4_RE, IPV4_TOKEN),
     ("phone", PHONE_RE, PHONE_TOKEN),
 )

@@ -9,8 +9,10 @@ import pandas as pd
 import pytest
 
 from fuzzycat_spark.functions.pii import (
+    CARD_RE,
     EMAIL_RE,
     IPV4_RE,
+    IPV6_RE,
     PHONE_RE,
     PII_RULES,
     has_pii,
@@ -55,6 +57,29 @@ class TestPatterns:
     def test_clean_text_untouched(self):
         t = "No identifiers here, just prose."
         assert _chain(t) == t
+
+    def test_card_forms(self):
+        for s in [
+            "4111 1111 1111 1111",
+            "5500-0000-0000-0004",
+            "4111111111111111",
+            "378282246310005",  # 15-digit amex
+            "4222222222222",  # 13-digit visa
+        ]:
+            assert re.fullmatch(CARD_RE, s), s
+
+    def test_card_needs_13_digits(self):
+        assert not re.search(CARD_RE, "Order #123456789012 is")  # 12
+        assert not re.search(CARD_RE, "call 5551234567 now")  # 10
+
+    def test_card_redacts_before_phone(self):
+        assert _chain("pay 4111111111111111 now") == "pay <CREDIT_CARD> now"
+
+    def test_ipv6_full_form_only(self):
+        assert re.fullmatch(IPV6_RE, "2001:0db8:85a3:0000:0000:8a2e:0370:7334")
+        assert re.fullmatch(IPV6_RE, "fe80:1:2:3:4:5:6:7")
+        assert not re.search(IPV6_RE, "time 12:34:56 plus dead:beef")
+        assert not re.search(IPV6_RE, "::1")  # compressed: documented non-goal
 
 
 class TestSparkPath:

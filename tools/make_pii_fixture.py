@@ -19,7 +19,13 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fuzzycat_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+from fuzzycat_spark.functions.pii import (  # noqa: E402
+    CARD_RE,
+    EMAIL_RE,
+    IPV4_RE,
+    IPV6_RE,
+    PHONE_RE,
+)
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -42,6 +48,11 @@ DOCS = [
     ("p12", "Another clean document. Nothing to redact at all."),
     ("p13", "Emails back to back: a@b.io,c@d.io;e@f.io done."),
     ("p14", "Trailing phone 5559876543"),
+    ("p15", "Pay with 4111 1111 1111 1111 or 5500-0000-0000-0004 today."),
+    ("p16", "Amex 378282246310005 has 15 digits; 13-digit 4222222222222 too."),
+    ("p17", "Order #123456789012 is 12 digits and must NOT redact as a card."),
+    ("p18", "Node 2001:0db8:85a3:0000:0000:8a2e:0370:7334 answered."),
+    ("p19", "fe80:1:2:3:4:5:6:7 and the time 12:34:56 plus dead:beef stay apart."),
 ]
 
 
@@ -61,8 +72,18 @@ def main() -> None:
     assert re.search(IPV4_RE, "version 1.2.3.4"), "lookalike arm"
     assert any(len(re.findall(EMAIL_RE, t)) >= 3 for _, t in DOCS), "multi-email arm"
 
+    cards = sum(len(re.findall(CARD_RE, t)) for _, t in DOCS)
+    ipv6s = sum(len(re.findall(IPV6_RE, t)) for _, t in DOCS)
+    assert cards >= 4, cards  # spaced, dashed, 15-digit, 13-digit, bare-16
+    assert ipv6s == 2, ipv6s  # full forms only
+    assert not re.search(CARD_RE, "Order #123456789012 is"), "12-digit control"
+    assert not re.search(IPV6_RE, "time 12:34:56 plus dead:beef"), "colon control"
+
     pd.DataFrame(DOCS, columns=["doc_id", "text"]).to_parquet(OUT, index=False)
-    print(f"wrote {len(DOCS)} docs: {emails} emails, {ips} ips, {phones} phones, {clean} clean")
+    print(
+        f"wrote {len(DOCS)} docs: {emails} emails, {ips} ips, {phones} phones, "
+        f"{cards} cards, {ipv6s} ipv6, {clean} clean"
+    )
 
 
 if __name__ == "__main__":
