@@ -5,11 +5,11 @@ This module provides the Spark-side plumbing — schemas, Arrow-batched
 `mapInPandas` transforms, partition-size guidance — with the codec step
 behind a clear seam: `decode=` accepts an injectable codec. `real_decoder`
 is a genuine pure-byte codec for the formats that need no external
-library (uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV);
-COMPRESSED formats (PNG/JPEG/MP4) still require PIL/ffmpeg, which are not
-in this container — `strict_decoder` and `real_decoder`'s
-unknown-magic branch raise NotImplementedError to mark that integration
-point. `deterministic_fake_decoder` derives reproducible pseudo-content
+library (uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV, and 8-bit
+non-interlaced PNG — zlib inflate + scanline unfiltering, stdlib only);
+JPEG/MP4 still require PIL/ffmpeg, which are not in this container —
+`strict_decoder` and `real_decoder`'s unknown-magic branch raise
+NotImplementedError to mark that integration point. `deterministic_fake_decoder` derives reproducible pseudo-content
 from the bytes so tests can exercise the distributed path on arbitrary
 payloads.
 
@@ -170,20 +170,119 @@ def _decode_wav(raw: bytes) -> np.ndarray:
     raise NotImplementedError(f"unsupported WAV bit depth {bits}")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(data: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (types 0-4). Sequential by
+    spec — Sub/Average/Paeth reference the reconstructed left neighbor —
+    so this is a plain byte loop; fixture/thumbnail-sized images in this
+    container, swap a C codec in via `decode=` for full-size corpora."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = data[pos]
+        line = data[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        row_off = y * stride
+        prev_off = row_off - stride
+        for x in range(stride):
+            a = out[row_off + x - bpp] if x >= bpp else 0  # left
+            b = out[prev_off + x] if y > 0 else 0  # up
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + a
+            elif ftype == 2:
+                v = line[x] + b
+            elif ftype == 3:
+                v = line[x] + ((a + b) >> 1)
+            elif ftype == 4:
+                c = out[prev_off + x - bpp] if (x >= bpp and y > 0) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            else:
+                raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+            out[row_off + x] = v & 0xFF
+    return out
+
+
+def _decode_png(raw: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfiltering) →
+    flat float32 samples 0..255. Supports bit depth 8, color types
+    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), non-interlaced —
+    the shapes crawl thumbnails actually take. Palette indices expand
+    through PLTE to RGB so the sample contract matches the other image
+    codecs."""
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(raw):
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError(f"PNG truncated inside {ctype!r} chunk")
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={bit_depth} color={color_type} interlace={interlace}"
+            " unsupported (8-bit non-interlaced gray/RGB/palette/alpha only)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data {len(data)}B != {height}x(1+{stride})B"
+        )
+    flat = _png_unfilter(data, height, stride, bpp=channels)
+    arr = np.frombuffer(bytes(flat), dtype=np.uint8)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/odd PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        arr = pal[arr].reshape(-1)
+    return arr.astype(np.float32)
+
+
 def real_decoder(raw: bytes, kind: str) -> np.ndarray:
-    """Real deterministic codec for the container formats that need no
-    external library — uncompressed BMP, binary PPM/PGM, PCM WAV — chosen
-    by magic bytes. Compressed formats (PNG/JPEG/MP4/...) still raise
-    NotImplementedError: THAT remains the PIL/ffmpeg integration seam, but
-    the decode step itself is no longer a stub. Output is always a flat
-    float32 array of 0..255 samples, the contract the feature histogram
-    consumes."""
+    """Real deterministic codec for the formats decodable without any
+    external library — uncompressed BMP, binary PPM/PGM, PCM WAV, and
+    8-bit non-interlaced PNG (zlib is stdlib) — chosen by magic bytes.
+    JPEG/MP4/... still raise NotImplementedError: THAT remains the
+    PIL/ffmpeg integration seam, but the decode step itself is no longer
+    a stub. Output is always a flat float32 array of 0..255 samples, the
+    contract the feature histogram consumes."""
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _decode_wav(raw)
+    if raw[:8] == _PNG_SIG:
+        return _decode_png(raw)
     raise NotImplementedError(
         f"no built-in codec for this payload (kind={kind}, "
         f"magic={raw[:4]!r}); plug PIL/ffmpeg via "

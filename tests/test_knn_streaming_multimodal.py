@@ -221,8 +221,23 @@ def test_real_decoder_round_trips_committed_fixture():
 def test_real_decoder_rejects_what_it_cannot_parse():
     from fuzzycat_spark.sources.multimodal import real_decoder
 
-    with pytest.raises(NotImplementedError):  # compressed formats = the seam
+    with pytest.raises(NotImplementedError):  # JPEG = the remaining seam
+        real_decoder(b"\xff\xd8\xff\xe0rest-of-jpeg", "image")
+    with pytest.raises(ValueError):  # PNG signature but no chunks
         real_decoder(b"\x89PNG\r\n\x1a\nrest", "image")
+    with pytest.raises(NotImplementedError):  # 16-bit PNG unsupported
+        import struct as _s
+        import zlib as _z
+
+        ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _s.pack(
+            ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        body = _z.compress(b"\x00\x00\x00")
+        idat = _s.pack(">I", len(body)) + b"IDAT" + body + _s.pack(
+            ">I", _z.crc32(b"IDAT" + body) & 0xFFFFFFFF
+        )
+        real_decoder(b"\x89PNG\r\n\x1a\n" + chunk + idat, "image")
     with pytest.raises(NotImplementedError):  # 32bpp BMP unsupported
         bad = bytearray(60)
         bad[:2] = b"BM"

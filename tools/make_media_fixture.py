@@ -58,6 +58,69 @@ def encode_pgm(gray: np.ndarray) -> bytes:
     return f"P5\n{w} {h}\n255\n".encode() + gray.tobytes()
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    samples: np.ndarray,
+    color_type: int,
+    row_filters: list[int],
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """(h, w, channels) uint8 → 8-bit non-interlaced PNG, forward-filtering
+    each scanline with the requested filter type (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) so the decoder's unfilter path is pinned per type."""
+    import zlib
+
+    assert samples.dtype == np.uint8
+    h, w = samples.shape[:2]
+    ch = 1 if samples.ndim == 2 else samples.shape[2]
+    flat = samples.reshape(h, w * ch).astype(np.int16)
+    bpp = ch
+    raw = bytearray()
+    for y, ftype in zip(range(h), row_filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if ftype == 0:
+            out = cur
+        elif ftype == 1:
+            out = cur - left
+        elif ftype == 2:
+            out = cur - prev
+        elif ftype == 3:
+            out = cur - ((left + prev) >> 1)
+        elif ftype == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(ftype)
+        raw.append(ftype)
+        raw += (out % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    # split IDAT in two to pin multi-chunk concatenation
+    z = zlib.compress(bytes(raw), 6)
+    png += _png_chunk(b"IDAT", z[: len(z) // 2])
+    png += _png_chunk(b"IDAT", z[len(z) // 2 :])
+    return png + _png_chunk(b"IEND", b"")
+
+
 def encode_wav(samples: np.ndarray, bits: int, rate: int = 8000) -> bytes:
     if bits == 16:
         data = samples.astype("<i2").tobytes()
@@ -112,6 +175,27 @@ def main() -> None:
     # P5 PGM grayscale
     p2 = rng.randint(0, 256, size=(1, 4), dtype=np.uint8)
     add("pgm_gray", "image", "image/x-portable-graymap", encode_pgm(p2), p2.reshape(-1), 4, 1)
+    # PNG: every filter type across the rows of one RGB image
+    png_rgb = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    add("png_rgb_allfilters", "image", "image/png",
+        encode_png(png_rgb, 2, [0, 1, 2, 3, 4]), png_rgb.reshape(-1), 4, 5)
+    # grayscale with Sub/Up/Paeth
+    png_g = rng.randint(0, 256, size=(3, 6), dtype=np.uint8)
+    add("png_gray", "image", "image/png",
+        encode_png(png_g, 0, [1, 2, 4]), png_g.reshape(-1), 6, 3)
+    # RGBA (alpha kept as a 4th sample per pixel)
+    png_a = rng.randint(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    add("png_rgba", "image", "image/png",
+        encode_png(png_a, 6, [4, 3]), png_a.reshape(-1), 3, 2)
+    # palette: expected samples are the PLTE-expanded RGB triples
+    pal = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.randint(0, 7, size=(3, 5), dtype=np.uint8)
+    add("png_palette", "image", "image/png",
+        encode_png(idx, 3, [0, 1, 2], palette=pal), pal[idx].reshape(-1), 5, 3)
+    # gray+alpha (color type 4)
+    png_ga = rng.randint(0, 256, size=(2, 4, 2), dtype=np.uint8)
+    add("png_gray_alpha", "image", "image/png",
+        encode_png(png_ga, 4, [2, 4]), png_ga.reshape(-1), 4, 2)
     # 16-bit PCM WAV: expected samples go through the documented
     # (x + 32768) >> 8 mapping to the 0..255 histogram range
     s16 = (np.sin(np.arange(64) / 4.0) * 20000).astype(np.int16)
