@@ -1,0 +1,224 @@
+"""spark-submit entrypoint for the FULL training-corpus pipeline: crawl
+pages in, training shards out. Composes the engine end to end —
+
+    ingest (parquet/Iceberg/jsonl or raw WARC + html→text extraction)
+    → admission filter (tokens/quality/repetition/denylist, script-aware)
+    → optional PII redaction, optional cross-doc line dedup
+    → dedup (full multi-strategy blocking + verify + components)
+    → canonical selection (one best page per cluster)
+    → optional eval-suite decontamination
+    → optional per-domain caps
+    → optional per-language budget mixing
+    → reproducible training shards
+
+Usage:
+    spark-submit --py-files dist/fuzzycat_spark.zip jobs/corpus_job.py \
+        --input <pages parquet/table/warc glob> --output <shards dir> \
+        --checkpoint <resumable stage dir> [--input-format warc] \
+        [--mix-budgets '{"en": 2.5e9}'] [--max-per-domain 1000] \
+        [--eval-path <eval parquet>] [--pii] [--strip-common-lines]
+
+Every stage checkpoints via StageCheckpointer (per-partition lineage +
+counters in the manifest); re-running with the same --checkpoint resumes
+after the last completed stage. The dedup core is the SAME
+`dedup_stages` composition the flagship and `jobs/dedup_job.py` run.
+
+Reference analog: fuzzycat's cluster → verify CLI steps end at verified
+cluster slabs (`notes/old_pipeline.md`); this job continues to what a
+training run actually consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def admission_filter(
+    pages: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    min_chars_non_latin: int = 20,
+    repetition: bool = True,
+) -> DataFrame:
+    """Script-aware keep decision, all pure Catalyst: Latin-script docs
+    pass token/quality/repetition thresholds; non-Latin docs (the quality
+    blend is Latin-trained) pass a codepoint-length screen + repetition;
+    denylisted boilerplate slugs drop regardless."""
+    from fuzzycat_spark.functions.denylist import WEB_BOILERPLATE_DENYLIST
+    from fuzzycat_spark.functions.normalize import slug_text
+    from fuzzycat_spark.functions.repetition import repetition_keep
+    from fuzzycat_spark.functions.text import NON_LATIN_SCRIPTS, script_of
+    from fuzzycat_spark.functions.text import quality_score_cols
+
+    q = quality_score_cols(text_col)
+    script = script_of(F.col(text_col))
+    latin_ok = (q["n_tokens"] >= min_tokens) & (q["quality"] >= min_quality)
+    non_latin_ok = script.isin(*NON_LATIN_SCRIPTS) & (
+        F.length(text_col) >= min_chars_non_latin
+    )
+    keep = (latin_ok | non_latin_ok) & ~slug_text(text_col).isin(
+        *WEB_BOILERPLATE_DENYLIST
+    )
+    if repetition:
+        keep = keep & repetition_keep(text_col)
+    return pages.filter(keep)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument(
+        "--input-format", default="table", choices=("table", "warc"),
+        help="table: parquet/Iceberg/jsonl of pages; warc: raw crawl "
+        "archives, html→text extracted here",
+    )
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--strategies", default="exact,slug,minhash")
+    p.add_argument("--slug-mode", default="auto",
+                   choices=("ascii", "unicode", "auto"))
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--no-repetition-filter", action="store_true")
+    p.add_argument("--pii", action="store_true",
+                   help="redact email/card/IPv6/IPv4/phone in the text")
+    p.add_argument("--strip-common-lines", action="store_true",
+                   help="C4-style cross-document boilerplate line removal")
+    p.add_argument("--min-line-docs", type=int, default=2)
+    p.add_argument("--eval-path", default=None,
+                   help="eval-suite parquet (text col) to decontaminate against")
+    p.add_argument("--eval-ngram", type=int, default=8)
+    p.add_argument("--max-per-domain", type=int, default=0,
+                   help="0 = no per-domain cap")
+    p.add_argument("--mix-budgets", default=None,
+                   help='JSON {"lang": char_budget}; requires a lang column')
+    p.add_argument("--mix-seed", type=int, default=0)
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--shard-seed", type=int, default=0)
+    args = p.parse_args()
+
+    from fuzzycat_spark.functions.pii import redact_pii
+    from fuzzycat_spark.operators.dedup import DedupConfig, select_canonical
+    from fuzzycat_spark.operators.decontaminate import decontaminate
+    from fuzzycat_spark.operators.domains import domain_cap
+    from fuzzycat_spark.operators.lines import strip_common_lines
+    from fuzzycat_spark.operators.mixing import mix_corpus
+    from fuzzycat_spark.operators.sharding import write_training_shards
+    from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+    from fuzzycat_spark.plans.pipeline import run_dedup_pipeline
+    from fuzzycat_spark.sources.tables import read_pages
+
+    spark = SparkSession.builder.appName("fuzzycat-spark-corpus").getOrCreate()
+    ck = StageCheckpointer(spark, args.checkpoint)
+    idc, txt = args.id_col, args.text_col
+
+    def ingest() -> DataFrame:
+        if args.input_format == "warc":
+            from fuzzycat_spark.sources.html_extract import extract_text_udf
+            from fuzzycat_spark.sources.warc import warc_pages
+
+            raw = warc_pages(spark, args.input)
+            return raw.select(
+                "url", "warc_ts", "html",
+                extract_text_udf(F.col("html").cast("string")).alias(txt),
+            )
+        return read_pages(spark, args.input)
+
+    # 1. ingest + admission (+ optional hygiene) — one checkpointed table
+    def filtered() -> DataFrame:
+        pages = admission_filter(
+            ingest(), txt,
+            min_tokens=args.min_tokens,
+            min_quality=args.min_quality,
+            repetition=not args.no_repetition_filter,
+        )
+        if args.strip_common_lines:
+            pages = strip_common_lines(
+                pages, id_col=idc, text_col=txt, min_docs=args.min_line_docs
+            )
+        if args.pii:
+            pages = pages.withColumn(txt, redact_pii(txt))
+        return pages
+
+    pages = ck.stage("filtered", filtered)
+
+    # 2. dedup core (its own named stages inside the same checkpointer)
+    cfg = DedupConfig(
+        id_col=idc,
+        text_col=txt,
+        strategies=tuple(s for s in args.strategies.split(",") if s),
+        slug_mode=args.slug_mode,
+    )
+    out = run_dedup_pipeline(pages, ck, cfg)
+
+    # 3. one best page per cluster, full payload joined back once
+    def corpus() -> DataFrame:
+        keep = select_canonical(pages, out["assignments"], idc, txt)
+        return pages.join(
+            keep.select(
+                F.col("canonical_id").alias(idc), "cluster_id", "n_members"
+            ),
+            on=idc,
+        )
+
+    docs = ck.stage("corpus", corpus)
+
+    # 4. optional decontamination / domain caps / mixing
+    if args.eval_path:
+        def decontaminated() -> DataFrame:
+            verdict = decontaminate(
+                docs, spark.read.parquet(args.eval_path),
+                id_col=idc, text_col=txt, n=args.eval_ngram,
+            )
+            clean = verdict.filter(~F.col("contaminated")).select(idc)
+            return docs.join(clean, on=idc, how="left_semi")
+
+        docs = ck.stage("decontaminated", decontaminated)
+
+    if args.max_per_domain > 0:
+        from fuzzycat_spark.functions.urls import surt_host
+
+        def capped() -> DataFrame:
+            with_dom = docs.withColumn("_domain", surt_host(F.col(idc)))
+            kept = domain_cap(
+                with_dom, "_domain", id_col=idc, text_col=txt,
+                max_per_domain=args.max_per_domain,
+            ).select(F.col("id").alias(idc))
+            return with_dom.join(kept, on=idc, how="left_semi").drop("_domain")
+
+        docs = ck.stage("capped", capped)
+
+    if args.mix_budgets:
+        budgets = {k: float(v) for k, v in json.loads(args.mix_budgets).items()}
+
+        def mixed() -> DataFrame:
+            weighted = docs.withColumn("_nchars", F.length(txt).cast("long"))
+            return mix_corpus(
+                weighted, budgets, weight_col="_nchars",
+                id_col=idc, key_col="lang", seed=args.mix_seed,
+            ).drop("_nchars")
+
+        docs = ck.stage("mixed", mixed)
+
+    # 5. training shards
+    write_training_shards(
+        docs, args.output, args.n_shards, id_col=idc, seed=args.shard_seed
+    )
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "stages": list(ck._manifest),
+        "docs_out": n_out,
+        "n_shards": args.n_shards,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

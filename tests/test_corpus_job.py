@@ -1,0 +1,133 @@
+"""jobs/corpus_job.py — the composed crawl→training-shards pipeline.
+
+Runs main() in-process (same code spark-submit executes; the submit
+mechanics themselves are pinned by tests/test_spark_submit.py) over the
+synthetic corpus with every optional stage enabled, then proves resume:
+a second run with the same checkpoint loads every stage instead of
+recomputing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.sources import synth_pages
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus_in")
+    synth_pages(spark, 80, 40).write.mode("overwrite").parquet(str(d / "pages"))
+    return str(d / "pages")
+
+
+@pytest.fixture(scope="module")
+def eval_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("evalfx")
+    # plant an eval prompt sharing an 8-gram with the synth template text
+    some = synth_pages(spark, 3, 0).select("text").limit(1).collect()[0]["text"]
+    leak = " ".join(some.split()[:12])
+    spark.createDataFrame(
+        [("e0", leak), ("e1", "completely unrelated benchmark prompt nothing")],
+        "eval_id string, text string",
+    ).write.mode("overwrite").parquet(str(d / "eval"))
+    return str(d / "eval")
+
+
+def _run(argv: list[str], capsys) -> dict:
+    from jobs import corpus_job
+
+    old = sys.argv
+    sys.argv = ["corpus_job.py"] + argv
+    try:
+        corpus_job.main()
+    finally:
+        sys.argv = old
+    out = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith('{"stages"')
+    ]
+    return json.loads(out[-1])
+
+
+def test_end_to_end_all_stages_and_resume(
+    spark, corpus_dir, eval_dir, tmp_path, capsys, monkeypatch
+):
+    # main() calls spark.stop(); keep the shared session alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out_dir, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    argv = [
+        "--input", corpus_dir,
+        "--output", out_dir,
+        "--checkpoint", ckpt,
+        "--strategies", "exact,slug,minhash",
+        "--pii",
+        "--eval-path", eval_dir,
+        "--max-per-domain", "50",
+        "--mix-budgets", json.dumps({"en": 1e9, "de": 1e9, "fr": 1e9,
+                                     "es": 1e9, "zh": 1e9}),
+        "--n-shards", "4",
+    ]
+    rec = _run(argv, capsys)
+    stages = rec["stages"]
+    for name in ("filtered", "corpus", "decontaminated", "capped", "mixed"):
+        assert name in stages, stages
+    assert rec["docs_out"] > 0
+
+    shards = spark.read.parquet(out_dir)
+    n_in = spark.read.parquet(corpus_dir).count()
+    # dedup + filters must have removed something on a 33% dup-rate corpus
+    assert 0 < rec["docs_out"] < n_in
+    assert shards.select("shard").distinct().count() == 4
+    # canonical metadata survives to the shard files
+    assert {"url", "cluster_id", "n_members"} <= set(shards.columns)
+    # kept docs are unique cluster representatives
+    assert shards.select("cluster_id").distinct().count() == rec["docs_out"]
+
+    # contaminated docs are gone: re-judging the kept corpus against the
+    # same eval suite finds zero leaks
+    from fuzzycat_spark.operators.decontaminate import decontaminate
+
+    verdict = decontaminate(
+        shards, spark.read.parquet(eval_dir), id_col="url", text_col="text"
+    )
+    assert verdict.filter(F.col("contaminated")).count() == 0
+    # and the leak was real: the raw input DOES contain contaminated docs
+    raw_verdict = decontaminate(
+        spark.read.parquet(corpus_dir), spark.read.parquet(eval_dir),
+        id_col="url", text_col="text",
+    )
+    assert raw_verdict.filter(F.col("contaminated")).count() > 0
+
+    # resume: second run loads all stages (manifest unchanged, fast path)
+    rec2 = _run(argv, capsys)
+    assert rec2["docs_out"] == rec["docs_out"]
+    assert set(rec2["stages"]) == set(stages)
+
+
+def test_pii_redaction_applies(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (f"u{i}", f"contact me at agent{i}@mail.example.org about the "
+                      f"quarterly report volume twelve section {i} thanks")
+            for i in range(30)
+        ],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--pii", "--no-repetition-filter",
+         "--min-quality", "0", "--min-tokens", "1", "--n-shards", "2"],
+        capsys,
+    )
+    assert rec["docs_out"] == 30
+    kept = spark.read.parquet(out_dir)
+    assert kept.filter(F.col("text").contains("@")).count() == 0
+    assert kept.filter(F.col("text").contains("<EMAIL>")).count() == 30
