@@ -125,9 +125,16 @@ def main() -> None:
             from fuzzycat_spark.sources.warc import warc_pages
 
             raw = warc_pages(spark, args.input)
-            return raw.select(
+            # only markup reaches the extractor (images/octet-streams are
+            # the multimodal path); bytes decode INSIDE the pandas UDF —
+            # a JVM binary→string cast can emit strings Arrow refuses to
+            # convert back for non-UTF-8 payloads
+            return raw.filter(
+                F.col("content_type").startswith("text/html")
+                | F.col("content_type").startswith("application/xhtml")
+            ).select(
                 "url", "warc_ts", "html",
-                extract_text_udf(F.col("html").cast("string")).alias(txt),
+                extract_text_udf(F.col("html")).alias(txt),
             )
         return read_pages(spark, args.input)
 

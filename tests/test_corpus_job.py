@@ -109,6 +109,26 @@ def test_end_to_end_all_stages_and_resume(
     assert set(rec2["stages"]) == set(stages)
 
 
+def test_warc_input_arm(spark, tmp_path, capsys, monkeypatch):
+    """--input-format warc: raw crawl archive → extracted text → shards.
+    The committed fixture's 200-HTML pages flow through the same stages."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", "/root/repo/fixtures/sample.warc.gz",
+         "--output", out_dir, "--checkpoint", ckpt,
+         "--input-format", "warc", "--strategies", "exact,slug",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert rec["docs_out"] > 0
+    kept = spark.read.parquet(out_dir)
+    assert {"url", "text", "cluster_id", "shard"} <= set(kept.columns)
+    # extraction happened: kept text is html-free
+    assert kept.filter(F.col("text").contains("<")).count() == 0
+
+
 def test_pii_redaction_applies(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     src = str(tmp_path / "in")
