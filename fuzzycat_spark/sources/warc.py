@@ -254,7 +254,13 @@ def read_warc(
     )
     n = parallelism or spark.sparkContext.defaultParallelism
     listing = listing.repartition(n)
-    types = tuple(record_types or ())
+    parse = _parse_paths_fn(tuple(record_types or ()), batch_rows)
+    return listing.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def _parse_paths_fn(types: tuple[str, ...], batch_rows: int):
+    """mapInPandas closure: path batches → parsed-record batches, shared
+    by the batch and streaming readers."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyarrow import fs as pafs
@@ -276,6 +282,39 @@ def read_warc(
                     if rows:
                         yield pd.DataFrame(rows, columns=cols)
 
+    return parse
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    batch_rows: int = 256,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of `read_warc`: new `.warc(.gz)` segments landing
+    under `path` become micro-batches of parsed records — the ingestion
+    front of the incremental dedup path (feed `warc_pages`-shaped rows to
+    `streaming.dedup_stream.run_incremental_dedup`'s source).
+
+    The binaryFile file-stream source tracks seen files in the query
+    checkpoint, so each segment is parsed exactly once per checkpoint;
+    `max_files_per_trigger` bounds per-batch work the same way crawl
+    deliveries are paced. Paths-only projection + per-task pyarrow.fs
+    streaming as in the batch reader."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # file streaming sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    listing = reader.load(path).select("path")
+    parse = _parse_paths_fn(tuple(record_types or ()), batch_rows)
     return listing.mapInPandas(parse, schema=WARC_SCHEMA)
 
 

@@ -144,5 +144,60 @@ class TestSparkPath:
             "https://example.org/cs",
         }
 
+    def test_stream_warc_incremental_segments(self, spark, tmp_path):
+        """Two segments drained at maxFilesPerTrigger=1 → two batches,
+        union == batch read; a restart with the same checkpoint re-parses
+        nothing (file-source exactly-once)."""
+        import gzip as _gz
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        from make_warc_fixture import http_block, warc_record
+
+        from fuzzycat_spark.sources.warc import read_warc, stream_warc
+
+        seg_dir = tmp_path / "segments"
+        seg_dir.mkdir()
+        for i in range(2):
+            recs = b"".join(
+                warc_record(
+                    "response", f"s{i}r{j}", "2026-01-01T00:00:00Z",
+                    http_block(
+                        b"HTTP/1.1 200 OK", [b"Content-Type: text/html"],
+                        f"<p>seg{i} page{j}</p>".encode(),
+                    ),
+                    url=f"https://ex.org/{i}/{j}",
+                )
+                for j in range(3)
+            )
+            (seg_dir / f"seg{i}.warc.gz").write_bytes(_gz.compress(recs))
+
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                stream_warc(spark, str(seg_dir), max_files_per_trigger=1)
+                .select("url", "record_id", "warc_path")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 6
+        assert got.select("warc_path").distinct().count() == 2
+        batch_urls = {
+            r["url"] for r in read_warc(spark, str(seg_dir)).select("url").collect()
+        }
+        assert {r["url"] for r in got.select("url").collect()} == batch_urls
+
+        drain()  # nothing new: exactly-once per checkpoint
+        assert spark.read.parquet(out_dir).count() == 6
+
     def test_plain_warc_through_spark(self, spark):
         assert read_warc(spark, PLAIN).count() == 7
