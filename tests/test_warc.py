@@ -199,5 +199,70 @@ class TestSparkPath:
         drain()  # nothing new: exactly-once per checkpoint
         assert spark.read.parquet(out_dir).count() == 6
 
+    def test_stream_warc_feeds_incremental_dedup(self, spark, tmp_path):
+        """The full online story: crawl segments stream in, html is
+        extracted in-flight, and the incremental dedup state links a
+        cross-SEGMENT duplicate (seg1 repeats a seg0 page body)."""
+        import gzip as _gz
+        import sys
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        sys.path.insert(0, "/root/repo/tools")
+        from make_warc_fixture import http_block, warc_record
+
+        from fuzzycat_spark.operators.dedup import DedupConfig
+        from fuzzycat_spark.sources.html_extract import extract_text_udf
+        from fuzzycat_spark.sources.warc import stream_warc
+        from fuzzycat_spark.streaming.dedup_stream import run_incremental_dedup
+
+        body = (
+            "<html><body><p>the quick brown fox jumps over the lazy dog "
+            "and keeps going through the long boilerplate paragraph of "
+            "unique words here</p></body></html>"
+        )
+        seg_dir = tmp_path / "segments"
+        seg_dir.mkdir()
+        pages = {
+            0: [("dup-a", body), ("solo-0", "<p>completely different words "
+                                            "about maritime navigation beacons</p>")],
+            1: [("dup-b", body), ("solo-1", "<p>unrelated treatise on alpine "
+                                            "soil chemistry and lichens</p>")],
+        }
+        for i, recs in pages.items():
+            blob = b"".join(
+                warc_record(
+                    "response", f"s{i}{slug}", "2026-01-01T00:00:00Z",
+                    http_block(b"HTTP/1.1 200 OK",
+                               [b"Content-Type: text/html"], html.encode()),
+                    url=f"https://ex.org/{slug}",
+                )
+                for slug, html in recs
+            )
+            (seg_dir / f"seg{i}.warc.gz").write_bytes(_gz.compress(blob))
+
+        idx, pairs, ckpt = (
+            str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+        )
+        stream = (
+            stream_warc(spark, str(seg_dir), max_files_per_trigger=1)
+            .filter(F.col("http_status") == 200)
+            .select(
+                "url", extract_text_udf(F.col("html")).alias("text")
+            )
+        )
+        q = run_incremental_dedup(
+            stream, idx, pairs, ckpt, DedupConfig(strategies=("exact", "minhash"))
+        )
+        q.awaitTermination(180)
+
+        got = pq.read_table(pairs).to_pylist()
+        linked = {(r["id_a"], r["id_b"]) for r in got}
+        assert ("https://ex.org/dup-a", "https://ex.org/dup-b") in linked
+        solos = {a for ab in linked for a in ab}
+        assert "https://ex.org/solo-0" not in solos
+        assert "https://ex.org/solo-1" not in solos
+
     def test_plain_warc_through_spark(self, spark):
         assert read_warc(spark, PLAIN).count() == 7
