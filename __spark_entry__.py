@@ -2405,6 +2405,41 @@ def _corpus_mix_sql() -> str:
                   / 281474976710656.0 < r.rate"""
 
 
+_MOJIBAKE_FIXTURE = "/root/repo/fixtures/mojibake_docs.parquet"
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Encoding repair (functions/encoding.py): UTF-8-as-cp1252 mojibake
+    rewritten by an ordered literal-replace chain whose pairs are
+    CONSTRUCTED from the encode/decode round trip (not hand-typed), plus
+    a raw-text double-encoding marker count. Pure codegen — zero
+    shuffles, zero UDFs. The oracle applies the IDENTICAL ordered pairs
+    through DuckDB replace(), so both engines must agree on every
+    planted mangled/clean/control row."""
+    from fuzzycat_spark.functions.encoding import fix_mojibake, mojibake_score
+
+    return spark.read.parquet(_MOJIBAKE_FIXTURE).select(
+        "doc_id",
+        fix_mojibake("text").alias("fixed"),
+        mojibake_score("text").alias("n_moji"),
+    )
+
+
+def _fix_mojibake_sql() -> str:
+    from fuzzycat_spark.functions.encoding import MOJIBAKE_MAP, MOJIBAKE_MARKERS
+
+    fixed = "text"
+    for bad, good in MOJIBAKE_MAP:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    score = " + ".join(
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS INT)"
+        for m in MOJIBAKE_MARKERS
+    )
+    return f"""
+            SELECT doc_id, {fixed} AS fixed, CAST({score} AS INT) AS n_moji
+            FROM '{_MOJIBAKE_FIXTURE}'"""
+
+
 _SHARD_N = 8
 _SHARD_SEED = 5
 
@@ -2840,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_mix": q_corpus_mix,
         "training_shards": q_training_shards,
+        "fix_mojibake": q_fix_mojibake,
         "components_embedding_ivf": q_components_embedding_ivf,
         "denylist_pairs": q_denylist_pairs,
         "components_denylist": q_components_denylist,
@@ -3013,6 +3049,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "training_shards": _training_shards_sql(),
+        "fix_mojibake": _fix_mojibake_sql(),
         "components_embedding_ivf": _components_embedding_ivf_sql(),
         "denylist_pairs": _denylist_pairs_sql(),
         "components_denylist": _components_denylist_sql(),
