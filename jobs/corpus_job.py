@@ -89,6 +89,9 @@ def main() -> None:
     p.add_argument("--no-repetition-filter", action="store_true")
     p.add_argument("--pii", action="store_true",
                    help="redact email/card/IPv6/IPv4/phone in the text")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-as-cp1252 mojibake before anything "
+                   "keys or filters on the text")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -140,8 +143,15 @@ def main() -> None:
 
     # 1. ingest + admission (+ optional hygiene) — one checkpointed table
     def filtered() -> DataFrame:
+        raw = ingest()
+        if args.fix_encoding:
+            from fuzzycat_spark.functions.encoding import fix_mojibake
+
+            # repair FIRST: damaged bytes would otherwise fragment slugs,
+            # shingles, and the admission scores
+            raw = raw.withColumn(txt, fix_mojibake(txt))
         pages = admission_filter(
-            ingest(), txt,
+            raw, txt,
             min_tokens=args.min_tokens,
             min_quality=args.min_quality,
             repetition=not args.no_repetition_filter,
