@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis) over the pure-byte kernels — the
+parsers whose input space is too adversarial for example tests alone.
+No Spark session: every property checks the scalar path the executors
+run inside mapInPandas.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+# ---------------------------------------------------------------- WARC
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        # adversarial bodies: CRLFCRLF, fake record starts, NULs, high bytes
+        st.binary(min_size=0, max_size=300).map(
+            lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 7 == 0 else b
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_content_length_discipline_recovers_exact_payloads(payloads):
+    """Whatever bytes a body holds — including blank lines and embedded
+    'WARC/1.0' — Content-Length-driven parsing returns them exactly."""
+    from make_warc_fixture import warc_record
+
+    from fuzzycat_spark.sources.warc import iter_warc_records
+
+    archive = b"".join(
+        warc_record("response", f"r{i}", "2026-01-01T00:00:00Z", body,
+                    url=f"https://x.org/{i}")
+        for i, body in enumerate(payloads)
+    )
+    got = list(iter_warc_records(io.BytesIO(archive)))
+    assert [r["block"] for r in got] == payloads
+    assert [r["headers"]["warc-target-uri"] for r in got] == [
+        f"https://x.org/{i}" for i in range(len(payloads))
+    ]
+
+
+# ------------------------------------------------------------- mojibake
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abc XYZ09.,!?’‘“”„–—…·€éèêëàáâäåçíìîïñòóôöùúûüýßÉÈÀÁÇÑÖÜ\xa0")
+        ),
+        max_size=80,
+    )
+)
+def test_mojibake_repair_inverts_mangle(text):
+    """fix(mangle(x)) == x for any text over ascii + the repaired set."""
+    from fuzzycat_spark.functions.encoding import (
+        MOJIBAKE_MAP,
+        mangle_utf8_as_cp1252,
+    )
+
+    mangled = mangle_utf8_as_cp1252(text)
+    for bad, good in MOJIBAKE_MAP:
+        mangled = mangled.replace(bad, good)
+    assert mangled == text
+
+
+# ------------------------------------------------------------------ PNG
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    color_type=st.sampled_from([0, 2, 6]),
+)
+def test_png_decode_inverts_encode_for_any_filter_sequence(data, w, h, color_type):
+    from make_media_fixture import encode_png
+
+    from fuzzycat_spark.sources.multimodal import _decode_png
+
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    decoded = _decode_png(encode_png(px, color_type, filters))
+    assert decoded.dtype == np.float32
+    np.testing.assert_array_equal(decoded.astype(np.uint8), px.reshape(-1))
+
+
+# ------------------------------------------------------------- html text
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "div", "nav", "script", "li"]),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="<>&", blacklist_categories=("Cs",)
+                ),
+                min_size=0,
+                max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_extractor_never_leaks_markup_or_dropped_content(parts):
+    """For any nesting-free tag soup: the extraction contains no tags and
+    no text from inside script/nav subtrees."""
+    from fuzzycat_spark.sources.html_extract import extract_text
+
+    html = "".join(f"<{t}>{body}</{t}>" for t, body in parts)
+    out = extract_text(f"<html><body>{html}</body></html>") or ""
+    assert "<" not in out and ">" not in out
+    for tag, body in parts:
+        token = body.strip()
+        if tag in ("script", "nav") and len(token) >= 8:
+            # long-enough unique-ish runs from dropped subtrees must not
+            # surface (short strings can legitimately recur elsewhere)
+            others = [b for t2, b in parts if t2 not in ("script", "nav")]
+            if not any(token in b for b in others):
+                assert token not in out
