@@ -2405,6 +2405,94 @@ def _corpus_mix_sql() -> str:
                   / 281474976710656.0 < r.rate"""
 
 
+def q_corpus_report(spark, sf_dir):
+    """The corpus auditor: ONE partial-aggregated groupBy rolling up the
+    hygiene signals per language — doc counts, PII hit totals and
+    affected-doc counts (functions/pii.py), mojibake marker totals and
+    affected docs (functions/encoding.py), and mean quality. What an
+    operator reads before deciding filter thresholds for a new crawl.
+    The audited corpus is documents UNION the committed PII and mojibake
+    fixtures (tagged pseudo-langs) so every column of the report is
+    exercised non-vacuously — the driver corpus alone is PII- and
+    mojibake-free, and a gate that only ever agrees on zero proves
+    nothing."""
+    from fuzzycat_spark.functions.encoding import mojibake_score
+    from fuzzycat_spark.functions.pii import PII_RULES, pii_counts
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+    )
+    for lang_tag, path in (("pii_fx", _PII_FIXTURE), ("moji_fx", _MOJIBAKE_FIXTURE)):
+        docs = docs.unionByName(
+            spark.read.parquet(path).select(
+                "doc_id", F.lit(lang_tag).alias("lang"), "text"
+            )
+        )
+    pii_total = None
+    for c in pii_counts("text"):
+        pii_total = c if pii_total is None else pii_total + c
+    moji = mojibake_score("text")
+    q = quality_score_cols("text")["quality"]
+    per_doc = docs.select(
+        "lang",
+        pii_total.alias("_pii"),
+        moji.alias("_moji"),
+        F.round(q, 6).alias("_q"),
+    )
+    assert len(PII_RULES) == 5  # keep the oracle mirror honest
+    # quality is averaged over REAL corpus rows only: the score is
+    # ascii/Latin-trained and its Spark/DuckDB mirrors are only pinned
+    # equal on that domain (the `quality` gate's corpus) — fixture
+    # pseudo-langs report NULL rather than a number the two engines
+    # would disagree on
+    corpus_q = F.when(~F.col("lang").isin("pii_fx", "moji_fx"), F.col("_q"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_pii").cast("long").alias("pii_hits"),
+        F.sum((F.col("_pii") > 0).cast("int")).cast("long").alias("n_pii_docs"),
+        F.sum("_moji").cast("long").alias("moji_hits"),
+        F.sum((F.col("_moji") > 0).cast("int")).cast("long").alias("n_moji_docs"),
+        F.round(F.avg(corpus_q), 6).alias("avg_quality"),
+    )
+
+
+def _corpus_report_sql() -> str:
+    from fuzzycat_spark.functions.encoding import MOJIBAKE_MARKERS
+    from fuzzycat_spark.functions.pii import PII_RULES
+
+    pii = " + ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS INT)"
+        for _, pattern, _ in PII_RULES
+    )
+    moji = " + ".join(
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS INT)"
+        for m in MOJIBAKE_MARKERS
+    )
+    rdocs = f"""
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, text FROM documents
+              UNION ALL
+              SELECT doc_id, 'pii_fx' AS lang, text FROM '{_PII_FIXTURE}'
+              UNION ALL
+              SELECT doc_id, 'moji_fx' AS lang, text FROM '{_MOJIBAKE_FIXTURE}'"""
+    qsql = _QUALITY_SQL.replace("FROM documents", "FROM rdocs")
+    return f"""
+            WITH rdocs AS ({rdocs}),
+            q AS ({qsql}),
+            per_doc AS (
+              SELECT d.lang, ({pii}) AS pii, ({moji}) AS moji, q.quality
+              FROM rdocs d JOIN q ON d.doc_id = q.doc_id
+            )
+            SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(pii) AS BIGINT) AS pii_hits,
+              CAST(SUM(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+              CAST(SUM(moji) AS BIGINT) AS moji_hits,
+              CAST(SUM(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moji_docs,
+              ROUND(AVG(CASE WHEN lang NOT IN ('pii_fx', 'moji_fx')
+                            THEN quality END), 6) AS avg_quality
+            FROM per_doc GROUP BY lang"""
+
+
 _MOJIBAKE_FIXTURE = "/root/repo/fixtures/mojibake_docs.parquet"
 
 
@@ -2876,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "training_shards": q_training_shards,
         "fix_mojibake": q_fix_mojibake,
+        "corpus_report": q_corpus_report,
         "components_embedding_ivf": q_components_embedding_ivf,
         "denylist_pairs": q_denylist_pairs,
         "components_denylist": q_components_denylist,
@@ -3050,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _corpus_mix_sql(),
         "training_shards": _training_shards_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
+        "corpus_report": _corpus_report_sql(),
         "components_embedding_ivf": _components_embedding_ivf_sql(),
         "denylist_pairs": _denylist_pairs_sql(),
         "components_denylist": _components_denylist_sql(),
