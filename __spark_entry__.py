@@ -113,8 +113,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB SQL fragments mirroring the Spark kernels
 # ---------------------------------------------------------------------------
 
+# mirrors functions.normalize.slug_text INCLUDING the latin_fold translate
+# (the fold map is import-time NFKD-derived, identical literals both
+# engines; identity on pure-ASCII corpora, so this widens the oracle's
+# domain to folded-Latin text without moving any existing gate)
+from fuzzycat_spark.functions.normalize import _FOLD_DST, _FOLD_SRC  # noqa: E402
+
 _SLUG = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    f"trim(regexp_replace(regexp_replace(lower(translate(text,"
+    f" '{_FOLD_SRC}', '{_FOLD_DST}')), '[^a-z0-9]+', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
 
@@ -2440,19 +2447,17 @@ def q_corpus_report(spark, sf_dir):
         F.round(q, 6).alias("_q"),
     )
     assert len(PII_RULES) == 5  # keep the oracle mirror honest
-    # quality is averaged over REAL corpus rows only: the score is
-    # ascii/Latin-trained and its Spark/DuckDB mirrors are only pinned
-    # equal on that domain (the `quality` gate's corpus) — fixture
-    # pseudo-langs report NULL rather than a number the two engines
-    # would disagree on
-    corpus_q = F.when(~F.col("lang").isin("pii_fx", "moji_fx"), F.col("_q"))
+    # quality averages over EVERY row, fixture pseudo-langs included:
+    # probing them exposed that the oracle's slug lacked the latin_fold
+    # translate, so _SLUG now mirrors it and the two engines agree on
+    # accented/mangled text too (verified per-doc on the mojibake rows)
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_pii").cast("long").alias("pii_hits"),
         F.sum((F.col("_pii") > 0).cast("int")).cast("long").alias("n_pii_docs"),
         F.sum("_moji").cast("long").alias("moji_hits"),
         F.sum((F.col("_moji") > 0).cast("int")).cast("long").alias("n_moji_docs"),
-        F.round(F.avg(corpus_q), 6).alias("avg_quality"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
     )
 
 
@@ -2488,8 +2493,7 @@ def _corpus_report_sql() -> str:
               CAST(SUM(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
               CAST(SUM(moji) AS BIGINT) AS moji_hits,
               CAST(SUM(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moji_docs,
-              ROUND(AVG(CASE WHEN lang NOT IN ('pii_fx', 'moji_fx')
-                            THEN quality END), 6) AS avg_quality
+              ROUND(AVG(quality), 6) AS avg_quality
             FROM per_doc GROUP BY lang"""
 
 
