@@ -129,6 +129,34 @@ def test_warc_input_arm(spark, tmp_path, capsys, monkeypatch):
     assert kept.filter(F.col("text").contains("<")).count() == 0
 
 
+def test_strip_common_lines_arm(spark, tmp_path, capsys, monkeypatch):
+    """--strip-common-lines removes the cross-document cookie banner
+    while each doc's unique body lines survive to the shards."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    banner = "This website uses cookies to improve your experience"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (f"u{i}", f"{banner}\nunique prose number {i} about topic "
+                      f"{i * 7} with several plain words\nfooter {i}")
+            for i in range(20)
+        ],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--strip-common-lines",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert rec["docs_out"] == 20
+    kept = spark.read.parquet(out_dir)
+    assert kept.filter(F.col("text").contains("cookies")).count() == 0
+    assert kept.filter(F.col("text").contains("unique prose")).count() == 20
+
+
 def test_pii_redaction_applies(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     src = str(tmp_path / "in")
