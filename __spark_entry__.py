@@ -2518,11 +2518,19 @@ def q_fix_mojibake(spark, sf_dir):
 
 
 def _fix_mojibake_sql() -> str:
-    from fuzzycat_spark.functions.encoding import MOJIBAKE_MAP, MOJIBAKE_MARKERS
+    from fuzzycat_spark.functions.encoding import (
+        _PLACEHOLDERS,
+        MOJIBAKE_MAP,
+        MOJIBAKE_MARKERS,
+    )
 
     fixed = "text"
-    for bad, good in MOJIBAKE_MAP:
-        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    # the same two-pass (LHS→private-use placeholder, placeholder→RHS)
+    # chain fix_mojibake builds — confluent regardless of rule order
+    for (bad, _), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        fixed = f"replace({fixed}, '{bad}', '{ph}')"
+    for (_, good), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        fixed = f"replace({fixed}, '{ph}', '{good}')"
     score = " + ".join(
         f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(m)} AS INT)"
         for m in MOJIBAKE_MARKERS

@@ -63,13 +63,38 @@ MOJIBAKE_MARKERS: tuple[str, ...] = tuple(
 )
 
 
+# pass-1 placeholders: one private-use codepoint per rule. A direct
+# LHS→RHS chain is NOT confluent — an early rule's clean output can
+# complete a later rule's LHS (e.g. 'Ã' + mangled-'‘' repairs to 'Ã‘',
+# which the Ñ rule then rewrites into a character never present). PUA
+# chars occur in no LHS and no RHS, so LHS→PUA then PUA→RHS is
+# order-safe by construction. (Input text already containing U+E0xx is
+# sacrificed — private-use codepoints in crawl text are garbage.)
+_PLACEHOLDERS: tuple[str, ...] = tuple(
+    chr(0xE000 + i) for i in range(len(MOJIBAKE_MAP))
+)
+
+
 def fix_mojibake(col: str | Column) -> Column:
     """Text with every mapped mojibake sequence replaced by its intended
-    character — ordered literal replaces, one codegen chain."""
+    character — two ordered literal-replace passes (LHS→placeholder,
+    placeholder→RHS), one codegen chain, confluent regardless of rule
+    interactions."""
     out = F.col(col) if isinstance(col, str) else col
-    for bad, good in MOJIBAKE_MAP:
-        out = F.replace(out, F.lit(bad), F.lit(good))
+    for (bad, _), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        out = F.replace(out, F.lit(bad), F.lit(ph))
+    for (_, good), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        out = F.replace(out, F.lit(ph), F.lit(good))
     return out
+
+
+def fix_mojibake_py(text: str) -> str:
+    """Pure-Python reference of the exact two-pass chain (tests/fixtures)."""
+    for (bad, _), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        text = text.replace(bad, ph)
+    for (_, good), ph in zip(MOJIBAKE_MAP, _PLACEHOLDERS):
+        text = text.replace(ph, good)
+    return text
 
 
 def mojibake_score(col: str | Column) -> Column:

@@ -151,6 +151,21 @@ def md5_h64(col: Column) -> Column:
     )
 
 
+def md5_field48(col: Column | str, seed: int, start: int = 1) -> Column:
+    """48-bit non-negative integer from md5(col ':' seed) hex chars
+    [start, start+12) — the shared seeded-decision grid (mixing keep/drop,
+    shard placement, within-shard order). Chars 1-12 and 13-24 of one md5
+    give two independent fields for one hash computation. DuckDB mirror:
+    ``('0x' || substr(md5(x::VARCHAR || ':<seed>'), <start>, 12))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), start, 12),
+        16,
+        10,
+    ).cast("long")
+
+
 def minhash_from_h64_udf(k: int = 16, seed: int = 42):
     """Vectorized MinHash over a pre-hashed array<long> column (base hashes
     from `md5_h64`, computed JVM-side inside whole-stage codegen).

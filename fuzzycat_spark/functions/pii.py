@@ -72,8 +72,10 @@ def redact_pii(col: str | Column) -> Column:
 
 
 def pii_counts(col: str | Column) -> list[Column]:
-    """[n_email, n_ipv4, n_phone] match counts over the raw text (aliased
-    n_<class>); feed to select(*pii_counts("text"))."""
+    """One count column per PII_RULES entry in redaction order —
+    currently [n_email, n_card, n_ipv6, n_ipv4, n_phone] — over the raw
+    text; feed to select(*pii_counts("text")). Consumers should key on
+    the aliases, not positions."""
     c = F.col(col) if isinstance(col, str) else col
     return [
         F.regexp_count(c, F.lit(pattern)).alias(f"n_{name}")

@@ -21,22 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fuzzycat_spark.functions.hashing import md5_field48
+
 # 12 hex chars = 48 bits of md5 → uniform grid fine enough for any
 # realistic rate; fits signed 64 with headroom
 _DENOM = float(1 << 48)
 
 
 def sample_uniform(id_col: str | Column, seed: int = 0) -> Column:
-    """Deterministic uniform [0,1) from (id, seed): the first 12 hex
-    chars of md5(id || ':' || seed). Identical expression exists in
+    """Deterministic uniform [0,1) from (id, seed): the first 48-bit md5
+    field (functions.hashing.md5_field48). Identical expression exists in
     DuckDB ('0x'||substr(md5(..),1,12))::BIGINT — oracle parity."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
-        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), 1, 12),
-        16,
-        10,
-    ).cast("long")
-    return h / F.lit(_DENOM)
+    return md5_field48(id_col, seed) / F.lit(_DENOM)
 
 
 def budget_rates(

@@ -26,18 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DENOM = float(1 << 48)
-
-
-def _md5_field(c: Column, seed: int, start: int) -> Column:
-    """48-bit integer from md5(id ':' seed) hex chars [start, start+12)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(c.cast("string"), F.lit(f":{seed}"))), start, 12
-        ),
-        16,
-        10,
-    ).cast("long")
+from fuzzycat_spark.functions.hashing import md5_field48
 
 
 def shard_columns(
@@ -46,10 +35,9 @@ def shard_columns(
     """(shard, order_key): shard uniform over [0, n_shards) from the md5
     low field, order_key the independent high field — the reproducible
     global shuffle."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (
-        (_md5_field(c, seed, 1) % n_shards).cast("int"),
-        _md5_field(c, seed, 13),
+        (md5_field48(id_col, seed, 1) % n_shards).cast("int"),
+        md5_field48(id_col, seed, 13),
     )
 
 

@@ -163,11 +163,17 @@ def split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     """
     if not block.startswith(b"HTTP/"):
         return None, None, block
-    for sep in (_CRLF2, b"\n\n"):
-        idx = block.find(sep)
-        if idx != -1:
-            head, body = block[:idx], block[idx + len(sep) :]
-            break
+    # the head ends at the EARLIEST blank line of either flavor — a
+    # bare-LF head followed by a body containing \r\n\r\n must split at
+    # the \n\n, not at the first CRLFCRLF inside the body
+    candidates = [
+        (idx, sep)
+        for sep in (_CRLF2, b"\n\n")
+        if (idx := block.find(sep)) != -1
+    ]
+    if candidates:
+        idx, sep = min(candidates)
+        head, body = block[:idx], block[idx + len(sep) :]
     else:
         head, body = block, b""
     lines = head.split(b"\n")
@@ -184,10 +190,10 @@ def _ts(value: str | None):
     if not value:
         return None
     try:
-        return pd.Timestamp(value).tz_convert(None) if pd.Timestamp(value).tzinfo \
-            else pd.Timestamp(value)
+        ts = pd.Timestamp(value)
     except ValueError:
         return None
+    return ts.tz_convert(None) if ts.tzinfo else ts
 
 
 def parse_warc_file(raw: io.BufferedIOBase, path: str,
@@ -195,7 +201,14 @@ def parse_warc_file(raw: io.BufferedIOBase, path: str,
     """Row dicts (WARC_SCHEMA keys) for one WARC file stream. `.gz` paths
     are wrapped with GzipFile, which reads Common Crawl's concatenated
     per-record members transparently."""
-    stream = gzip.GzipFile(fileobj=raw) if path.endswith(".gz") else raw
+    # gz: GzipFile's internal buffer amortizes the byte-wise header reads;
+    # plain warc: buffer explicitly — an unbuffered pyarrow stream would
+    # pay one FFI (and possibly one filesystem) call per header BYTE
+    stream = (
+        gzip.GzipFile(fileobj=raw)
+        if path.endswith(".gz")
+        else io.BufferedReader(raw, buffer_size=1 << 20)
+    )
     records = iter_warc_records(stream)
     while True:
         try:

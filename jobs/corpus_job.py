@@ -136,7 +136,8 @@ def main() -> None:
                 F.col("content_type").startswith("text/html")
                 | F.col("content_type").startswith("application/xhtml")
             ).select(
-                "url", "warc_ts", "html",
+                F.col("url").alias(idc),  # the record URL is the id
+                "warc_ts", "html",
                 extract_text_udf(F.col("html")).alias(txt),
             )
         return read_pages(spark, args.input)

@@ -71,7 +71,7 @@ def main() -> None:
                 | F.col("content_type").startswith("application/xhtml")
             )
             .select(
-                "url",
+                F.col("url").alias(args.id_col),  # the record URL is the id
                 extract_text_udf(F.col("html")).alias(args.text_col),
             )
         )

@@ -7,17 +7,12 @@ from pyspark.sql import functions as F
 from fuzzycat_spark.functions.encoding import (
     MOJIBAKE_MAP,
     fix_mojibake,
+    fix_mojibake_py as _fix_py,
     mangle_utf8_as_cp1252,
     mojibake_score,
 )
 
 FIXTURE = "/root/repo/fixtures/mojibake_docs.parquet"
-
-
-def _fix_py(text: str) -> str:
-    for bad, good in MOJIBAKE_MAP:
-        text = text.replace(bad, good)
-    return text
 
 
 class TestMangleModel:
@@ -40,6 +35,23 @@ class TestMangleModel:
         lens = [len(b) for b, _ in MOJIBAKE_MAP]
         assert lens == sorted(lens, reverse=True)
         assert all(any(ord(ch) > 127 for ch in bad) for bad, _ in MOJIBAKE_MAP)
+
+    def test_chain_is_confluent_no_synthesized_chars(self):
+        # a bare Ã followed by mangled-'‘': a naive LHS→RHS chain first
+        # repairs the quote, creating 'Ã‘' which the Ñ rule then eats —
+        # synthesizing a character never present. The two-pass placeholder
+        # chain must leave the Ã alone and repair only the quote.
+        assert _fix_py("Ã" + mangle_utf8_as_cp1252("‘")) == "Ã" + "‘"
+        # adjacent truncated + full punctuation renderings must not merge:
+        # 'â€' + repaired '“' spells the mangled form of '–', but pass 2
+        # only rewrites placeholders, so it stays as written
+        truncated = mangle_utf8_as_cp1252("—")[:2]
+        assert (
+            _fix_py(truncated + mangle_utf8_as_cp1252("“")) == truncated + "“"
+        )
+        # and LHS occurrences never chain into each other's outputs
+        for bad, good in MOJIBAKE_MAP:
+            assert _fix_py(bad) == good
 
 
 class TestSparkPath:

@@ -64,14 +64,11 @@ def test_warc_content_length_discipline_recovers_exact_payloads(payloads):
 def test_mojibake_repair_inverts_mangle(text):
     """fix(mangle(x)) == x for any text over ascii + the repaired set."""
     from fuzzycat_spark.functions.encoding import (
-        MOJIBAKE_MAP,
+        fix_mojibake_py,
         mangle_utf8_as_cp1252,
     )
 
-    mangled = mangle_utf8_as_cp1252(text)
-    for bad, good in MOJIBAKE_MAP:
-        mangled = mangled.replace(bad, good)
-    assert mangled == text
+    assert fix_mojibake_py(mangle_utf8_as_cp1252(text)) == text
 
 
 # ------------------------------------------------------------------ PNG

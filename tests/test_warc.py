@@ -68,6 +68,18 @@ class TestParser:
         rows = {r["url"]: r for r in _rows(GZ)}
         assert rows["https://example.com/noct"]["content_type"] is None
 
+    def test_bare_lf_head_with_crlf_blank_line_in_body(self):
+        """The head terminator is the EARLIEST blank line of either
+        flavor: a bare-LF head followed by a body containing \\r\\n\\r\\n
+        must split at the \\n\\n, keeping the whole body intact."""
+        from fuzzycat_spark.sources.warc import split_http_response
+
+        body = b"bodystart\r\n\r\nbodyend"
+        block = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n" + body
+        status, ctype, got = split_http_response(block)
+        assert (status, ctype) == (200, "text/plain")
+        assert got == body
+
     def test_bare_lf_http_head(self):
         status, ctype, body = split_http_response(
             b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nhello"

@@ -18,7 +18,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 from fuzzycat_spark.functions.encoding import (  # noqa: E402
-    MOJIBAKE_MAP,
+    fix_mojibake_py as _fix,
     mangle_utf8_as_cp1252,
 )
 
@@ -29,12 +29,6 @@ CLEAN = [
     ("m03", "“Smart quotes” and ‘apostrophes’ aren’t plain"),
     ("m04", "price\xa0list: 10\xa0€ per item — été"),
 ]
-
-
-def _fix(text: str) -> str:
-    for bad, good in MOJIBAKE_MAP:
-        text = text.replace(bad, good)
-    return text
 
 
 def main() -> None:
