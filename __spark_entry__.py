@@ -2497,6 +2497,43 @@ def _corpus_report_sql() -> str:
             FROM per_doc GROUP BY lang"""
 
 
+_REVISIT_FIXTURE = "/root/repo/fixtures/revisit_docs.parquet"
+
+
+def q_latest_revision(spark, sf_dir):
+    """Crawl-revisit collapse (functions/urls.latest_revision): one kept
+    row per canonical SURT key — the newest snapshot, timestamp ties to
+    the lowest id — with the revision count. One per-key window shuffle
+    over (id, surt, ts) only. Fixture plants multi-spelling revisits, a
+    timestamp tie, and a single-fetch page; the oracle reuses the SURT
+    CTE plus the identical window."""
+    from fuzzycat_spark.functions.urls import latest_revision
+
+    return latest_revision(
+        spark.read.parquet(_REVISIT_FIXTURE), "url", "warc_ts", "url_id"
+    ).select(F.col("id").alias("url_id"), "surt", "warc_ts", "n_revisions")
+
+
+def _latest_revision_sql() -> str:
+    surt_cte = _SURT_CTE.replace(_URL_FIXTURE_SQL, _REVISIT_FIXTURE)
+    return f"""
+            WITH {surt_cte},
+            keyed AS (
+              SELECT s.url_id, s.surt, r.warc_ts
+              FROM surts s JOIN '{_REVISIT_FIXTURE}' r USING (url_id)
+            )
+            SELECT url_id, surt, warc_ts,
+                   CAST(n_revisions AS BIGINT) AS n_revisions
+            FROM (
+              SELECT url_id, surt, warc_ts,
+                row_number() OVER (
+                  PARTITION BY surt ORDER BY warc_ts DESC, url_id ASC
+                ) AS rn,
+                count(*) OVER (PARTITION BY surt) AS n_revisions
+              FROM keyed
+            ) WHERE rn = 1"""
+
+
 _MOJIBAKE_FIXTURE = "/root/repo/fixtures/mojibake_docs.parquet"
 
 
@@ -2976,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "training_shards": q_training_shards,
         "fix_mojibake": q_fix_mojibake,
+        "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
         "components_embedding_ivf": q_components_embedding_ivf,
         "denylist_pairs": q_denylist_pairs,
@@ -3151,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _corpus_mix_sql(),
         "training_shards": _training_shards_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
+        "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),
         "components_embedding_ivf": _components_embedding_ivf_sql(),
         "denylist_pairs": _denylist_pairs_sql(),
