@@ -2611,6 +2611,129 @@ def _training_shards_sql() -> str:
             FROM keyed"""
 
 
+# dup-span removal: k=5 at gate scale so the synthetic corpus's repeated
+# passages actually trip it (57-71 docs of 500 carry a duplicated 5-gram;
+# production default is k=50 per Lee et al.)
+_SPAN_K = 5
+_PACK_LEN = 256
+
+# the raw-whitespace tokenizer (spans.raw_tokens) in DuckDB: explicit
+# char class, identical under Java regex and RE2 (\s differs on \x0B)
+_RAW_TOKS = (
+    "list_filter(string_split_regex(text, '[ \t\r\n]+'), x -> x <> '')"
+)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate-span removal (operators/spans.py) — the
+    ExactSubstr operation of Lee et al. 2022: every token covered by a
+    corpus-duplicated k-gram is removed from the rewritten text. One
+    partial-aggregated count on 8-byte gram hashes, one semi join, one
+    range-frame window per doc (no token-level join), one rebuild
+    groupBy. Oracle recomputes the full coverage pipeline in DuckDB over
+    exact gram text."""
+    from fuzzycat_spark.operators.spans import strip_dup_spans
+
+    return strip_dup_spans(_docs(spark, sf_dir), k=_SPAN_K).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.col("text").alias("clean_text"),
+    )
+
+
+def _dup_spans_sql() -> str:
+    k = _SPAN_K
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_RAW_TOKS} AS toks FROM documents
+        ),
+        tok_rows AS (
+          SELECT doc_id, u.i AS pos, toks[u.i+1] AS tok, 0 AS d
+          FROM t, UNNEST(range(0, len(toks))) AS u(i)
+        ),
+        g AS (
+          SELECT doc_id, i AS gpos,
+                 md5(array_to_string(toks[i+1:i+{k}], ' ')) AS gh
+          FROM t, UNNEST(range(0, greatest(len(toks)-{k}+1, 0))) AS u(i)
+        ),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        ev AS (
+          SELECT doc_id, pos, tok, d FROM tok_rows
+          UNION ALL
+          SELECT doc_id, gpos, NULL, 1 FROM g
+          WHERE gh IN (SELECT gh FROM dup)
+        ),
+        cov AS (
+          SELECT doc_id, pos, tok,
+                 max(d) OVER (PARTITION BY doc_id ORDER BY pos
+                              RANGE BETWEEN {k-1} PRECEDING AND CURRENT ROW) AS c
+          FROM ev
+        ),
+        res AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(CASE WHEN c=1 THEN 1 END), 0) AS BIGINT)
+                   AS n_removed,
+                 coalesce(string_agg(tok, ' ' ORDER BY pos)
+                          FILTER (WHERE c=0), '') AS clean
+          FROM cov WHERE tok IS NOT NULL GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+               coalesce(r.clean, '') AS clean_text
+        FROM documents d LEFT JOIN res r USING (doc_id)"""
+
+
+def q_packed_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (operators/sharding.py
+    pack_shard_sequences): each shard's reproducible order becomes one
+    token stream cut into fixed {seq_len}-token training sequences; per
+    doc the stream offset and first/last sequence index. ONE shuffle
+    (the per-shard window; the cumsum reuses its exchange + sort).
+    Oracle mirrors the md5 shard fields, the token count, and both
+    windows."""
+    from fuzzycat_spark.operators.sharding import pack_shard_sequences
+
+    return pack_shard_sequences(
+        _docs(spark, sf_dir),
+        seq_len=_PACK_LEN,
+        n_shards=_SHARD_N,
+        seed=_SHARD_SEED,
+    )
+
+
+def _packed_sequences_sql() -> str:
+    h = f"md5(doc_id::VARCHAR || ':{_SHARD_SEED}')"
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 CAST((('0x' || substr({h}, 1, 12))::BIGINT % {_SHARD_N}) AS INT)
+                   AS shard,
+                 ('0x' || substr({h}, 13, 12))::BIGINT AS order_key,
+                 CAST(len({_RAW_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(ROW_NUMBER() OVER w - 1 AS INT) AS shard_pos,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY order_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS start_off
+          FROM keyed
+          WINDOW w AS (PARTITION BY shard ORDER BY order_key, doc_id)
+        )
+        SELECT doc_id, shard, shard_pos, n_tokens, start_off,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(start_off // {_PACK_LEN} AS BIGINT) END AS start_seq,
+               CASE WHEN n_tokens > 0
+                    THEN CAST((start_off + n_tokens - 1) // {_PACK_LEN} AS BIGINT)
+               END AS end_seq
+        FROM pos"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -3012,6 +3135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_mix": q_corpus_mix,
         "training_shards": q_training_shards,
+        "dup_spans": q_dup_spans,
+        "packed_sequences": q_packed_sequences,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3188,6 +3313,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "training_shards": _training_shards_sql(),
+        "dup_spans": _dup_spans_sql(),
+        "packed_sequences": _packed_sequences_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

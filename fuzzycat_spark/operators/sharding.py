@@ -56,6 +56,62 @@ def shard_table(
     )
 
 
+def pack_shard_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: each shard's documents,
+    in the reproducible shard order, form one token stream split into
+    fixed `seq_len` training sequences (documents may straddle a
+    boundary, GPT-style packing — no padding, no waste).
+
+    Per document: (shard, shard_pos, n_tokens, start_off, start_seq,
+    end_seq) where start_off is the document's first-token offset in
+    its shard's stream and start_seq/end_seq = the sequence indices of
+    its first/last token (both NULL for empty documents, which occupy
+    no slot). Token counts come from `count_col` when given, else from
+    whitespace-tokenizing `text_col` (`spans.raw_tokens`).
+
+    Scale shape: ONE shuffle — the per-shard window; the running offset
+    is a cumulative sum over rows already sorted by the shard_pos
+    window, so Catalyst reuses the exchange. No global sort, no
+    driver-side packing loop; placement is a pure function of
+    (id, seed) so retries and re-runs reproduce the same layout."""
+    if count_col is None:
+        from fuzzycat_spark.operators.spans import raw_tokens
+
+        n = F.size(raw_tokens(text_col)).cast("long")
+    else:
+        n = F.col(count_col).cast("long")
+    st = shard_table(
+        docs.select(F.col(id_col), n.alias("n_tokens")),
+        n_shards,
+        id_col=id_col,
+        seed=seed,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shard_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    nt = F.col("n_tokens")
+    return st.select(
+        id_col,
+        "shard",
+        "shard_pos",
+        "n_tokens",
+        start.alias("start_off"),
+        F.when(nt > 0, F.floor(start / seq_len)).alias("start_seq"),
+        F.when(nt > 0, F.floor((start + nt - 1) / seq_len)).alias("end_seq"),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -95,6 +95,16 @@ def main() -> None:
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
+    p.add_argument("--strip-dup-spans", type=int, default=0, metavar="K",
+                   help="remove corpus-duplicated token spans of length "
+                   ">= K from the kept corpus (Lee et al. ExactSubstr); "
+                   "0 = off. Runs AFTER canonical selection — before it, "
+                   "whole-document duplicates would erase each other's "
+                   "entire text")
+    p.add_argument("--pack-seq-len", type=int, default=0, metavar="B",
+                   help="annotate each doc with its concatenate-and-chunk "
+                   "packing layout (start_off/start_seq/end_seq per "
+                   "B-token training sequence, per shard); 0 = off")
     p.add_argument("--eval-path", default=None,
                    help="eval-suite parquet (text col) to decontaminate against")
     p.add_argument("--eval-ngram", type=int, default=8)
@@ -188,6 +198,20 @@ def main() -> None:
 
     docs = ck.stage("corpus", corpus)
 
+    if args.strip_dup_spans > 0:
+        from fuzzycat_spark.operators.spans import strip_dup_spans
+
+        def span_stripped() -> DataFrame:
+            return (
+                strip_dup_spans(
+                    docs, k=args.strip_dup_spans, id_col=idc, text_col=txt
+                )
+                .withColumnRenamed("n_removed", "dupspan_removed")
+                .drop("n_tokens")
+            )
+
+        docs = ck.stage("span_stripped", span_stripped)
+
     # 4. optional decontamination / domain caps / mixing
     if args.eval_path:
         def decontaminated() -> DataFrame:
@@ -225,7 +249,21 @@ def main() -> None:
 
         docs = ck.stage("mixed", mixed)
 
-    # 5. training shards
+    # 5. training shards (optionally annotated with the packing layout —
+    # pack_shard_sequences uses the same (id, seed) hash fields, so the
+    # offsets land in exactly the shard/order write_training_shards emits)
+    if args.pack_seq_len > 0:
+        from fuzzycat_spark.operators.sharding import pack_shard_sequences
+
+        def packed() -> DataFrame:
+            layout = pack_shard_sequences(
+                docs, seq_len=args.pack_seq_len, n_shards=args.n_shards,
+                id_col=idc, text_col=txt, seed=args.shard_seed,
+            ).select(idc, "n_tokens", "start_off", "start_seq", "end_seq")
+            return docs.join(layout, on=idc)
+
+        docs = ck.stage("packed", packed)
+
     write_training_shards(
         docs, args.output, args.n_shards, id_col=idc, seed=args.shard_seed
     )

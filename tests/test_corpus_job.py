@@ -179,3 +179,46 @@ def test_pii_redaction_applies(spark, tmp_path, capsys, monkeypatch):
     kept = spark.read.parquet(out_dir)
     assert kept.filter(F.col("text").contains("@")).count() == 0
     assert kept.filter(F.col("text").contains("<EMAIL>")).count() == 30
+
+
+def test_dup_span_and_packing_arms(spark, tmp_path, capsys, monkeypatch):
+    """--strip-dup-spans removes a license passage stamped across docs
+    (after canonical selection, so distinct docs keep distinct prose);
+    --pack-seq-len annotates every shard row with its packing layout."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    license_ = "released under the creative commons attribution license"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (f"u{i}", f"distinct article body number {i} covering subject "
+                      f"{i * 13} in plain prose {license_}")
+            for i in range(20)
+        ],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--strip-dup-spans", "5",
+         "--pack-seq-len", "16", "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "span_stripped" in rec["stages"] and "packed" in rec["stages"]
+    assert rec["docs_out"] == 20
+    kept = spark.read.parquet(out_dir)
+    assert kept.filter(F.col("text").contains("creative commons")).count() == 0
+    assert kept.filter(F.col("text").contains("distinct article")).count() == 20
+    assert kept.filter(F.col("dupspan_removed") <= 0).count() == 0
+    # packing layout: per shard, offsets are the cumulative token stream
+    rows = sorted(
+        kept.select("shard", "start_off", "n_tokens", "start_seq",
+                    "end_seq").collect(),
+        key=lambda r: (r["shard"], r["start_off"]),
+    )
+    off = {}
+    for r in rows:
+        assert r["start_off"] == off.get(r["shard"], 0)
+        assert r["start_seq"] == r["start_off"] // 16
+        assert r["end_seq"] == (r["start_off"] + r["n_tokens"] - 1) // 16
+        off[r["shard"]] = r["start_off"] + r["n_tokens"]
