@@ -1845,6 +1845,20 @@ def q_media_decode(spark, sf_dir):
     return decode_media_stats(media)
 
 
+def q_media_resize(spark, sf_dir):
+    """Image resize over the media fixture: decode each committed payload
+    (BMP/PPM/PGM/PNG via `real_decoder`), reshape the flat samples with
+    the TABLE's width/height metadata, nearest-neighbor resize to 8x8
+    (integer floor grid — no half-pixel centers, so the fixture generator
+    pins the result from source arrays), and emit count/sum/sha of the
+    resized samples. Gates decode → metadata reshape → resize end to end;
+    audio rows are excluded (no 2-D grid)."""
+    from fuzzycat_spark.sources.multimodal import resize_media
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return resize_media(media, out_h=8, out_w=8)
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -3124,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
         "streaming_pairs": q_streaming_pairs,
@@ -3335,6 +3350,10 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": f"""
             SELECT media_id, px_count, px_sum, px_sha
             FROM '{_MEDIA_FIXTURE}'""",
+        "media_resize": f"""
+            SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
+                   rs8_sha AS rs_sha
+            FROM '{_MEDIA_FIXTURE}' WHERE kind = 'image'""",
         "ann_similar_pairs": _ann_similar_pairs_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,

@@ -444,3 +444,84 @@ def sample_video_frames(
         "media_id", "duration_ms", "bytes"
     )
     return vids.mapInPandas(run, out_schema)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("rs_count", LongType(), False),
+        StructField("rs_sum", LongType(), False),
+        StructField("rs_sha", StringType(), False),
+    ]
+)
+
+
+def resize_nearest(
+    samples: "np.ndarray", src_h: int, src_w: int, out_h: int, out_w: int
+) -> "np.ndarray":
+    """Nearest-neighbor resize of a FLAT uint8 sample array (the decoder
+    contract) to (out_h, out_w), channels inferred from the sample count.
+    Index map is the floor grid yi = y*src_h // out_h — deterministic,
+    integer-only, no half-pixel centers, so the fixture generator can pin
+    the result from source arrays. Raises when the sample count is not an
+    exact multiple of src_h*src_w (bad table metadata must fail loudly,
+    not silently misinterpret pixels)."""
+    a = np.asarray(samples).astype(np.uint8).reshape(-1)
+    if src_h <= 0 or src_w <= 0:
+        raise ValueError(f"degenerate source dims {src_w}x{src_h}")
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"degenerate target dims {out_w}x{out_h}")
+    if a.size % (src_h * src_w):
+        raise ValueError(
+            f"{a.size} samples do not tile {src_w}x{src_h}: metadata and "
+            "payload disagree"
+        )
+    ch = a.size // (src_h * src_w)
+    img = a.reshape(src_h, src_w, ch)
+    yi = (np.arange(out_h, dtype=np.int64) * src_h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * src_w) // out_w
+    return img[yi][:, xi].reshape(-1)
+
+
+def resize_media(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    decode: Callable[[bytes, str], "np.ndarray"] = real_decoder,
+) -> DataFrame:
+    """Distributed image resize audit: decode each image payload, reshape
+    the flat samples with the TABLE's width/height metadata, resize
+    nearest-neighbor to (out_h, out_w), and emit scalar invariants
+    (count/sum/sha of the resized uint8 samples). The driver gate compares
+    these against scalars precomputed from the SOURCE pixel arrays at
+    fixture-generation time, pinning decode → metadata reshape → resize
+    end to end. Images only (audio/video have no 2-D grid); bytes never
+    cross a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, b, k, w, h in zip(
+                pdf["media_id"], pdf["bytes"], pdf["kind"],
+                pdf["width"], pdf["height"],
+            ):
+                px = decode(bytes(b) if b is not None else b"", k)
+                rs = resize_nearest(px, int(h), int(w), out_h, out_w)
+                out.append(
+                    (
+                        mid,
+                        int(rs.size),
+                        int(rs.astype(np.int64).sum()),
+                        hashlib.sha256(rs.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "bytes", "width", "height"
+    )
+    return imgs.mapInPandas(run, RESIZE_SCHEMA)

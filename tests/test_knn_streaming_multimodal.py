@@ -277,6 +277,51 @@ def test_decode_media_stats_distributed_matches_fixture(spark):
     assert got == want
 
 
+def test_resize_nearest_kernel():
+    from fuzzycat_spark.sources.multimodal import resize_nearest
+
+    # identity: same dims returns the samples unchanged
+    img = np.arange(2 * 3 * 3, dtype=np.uint8)
+    assert np.array_equal(resize_nearest(img, 2, 3, 2, 3), img)
+    # 2x upscale duplicates each pixel into a 2x2 block (floor grid)
+    tiny = np.array([[1, 2], [3, 4]], dtype=np.uint8).reshape(-1)
+    up = resize_nearest(tiny, 2, 2, 4, 4).reshape(4, 4)
+    assert np.array_equal(
+        up,
+        np.array([[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]]),
+    )
+    # downsample picks the floor-mapped source pixels: yi = y*4 // 2 = 0,2
+    big = np.arange(16, dtype=np.uint8)
+    down = resize_nearest(big, 4, 4, 2, 2)
+    assert np.array_equal(down, np.array([0, 2, 8, 10]))
+    # metadata that does not tile the payload fails loudly
+    with pytest.raises(ValueError, match="do not tile"):
+        resize_nearest(np.zeros(10, np.uint8), 3, 3, 2, 2)
+    with pytest.raises(ValueError, match="degenerate"):
+        resize_nearest(tiny, 0, 2, 2, 2)
+
+
+def test_resize_media_distributed_matches_fixture(spark):
+    """resize_media over the committed fixture reproduces the
+    generation-time 8x8 scalars (the media_resize driver gate) and
+    excludes audio rows."""
+    from fuzzycat_spark.sources.multimodal import resize_media
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    want = {
+        r.media_id: (r.rs8_count, r.rs8_sum, r.rs8_sha)
+        for r in media.filter(F.col("kind") == "image")
+        .select("media_id", "rs8_count", "rs8_sum", "rs8_sha")
+        .collect()
+    }
+    got = {
+        r.media_id: (r.rs_count, r.rs_sum, r.rs_sha)
+        for r in resize_media(media, 8, 8).collect()
+    }
+    assert got == want
+    assert "wav_pcm16" not in got and len(got) == 10
+
+
 def test_incremental_equals_batch_dedup(spark):
     """Three micro-batches through the incremental path must surface the
     SAME exact/strong pair set as one batch dedup over the union — the

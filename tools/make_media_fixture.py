@@ -139,8 +139,19 @@ def main() -> None:
     rng = np.random.RandomState(20260817)
     rows = []
 
+    # rs8 scalars pin decode → metadata reshape → 8x8 nearest resize; the
+    # resize kernel is shared with the Spark op, the decode round trip is
+    # NOT — these are computed from the SOURCE arrays
+    from fuzzycat_spark.sources.multimodal import resize_nearest
+
     def add(mid, kind, mime, raw, expected_u8, width=None, height=None, dur=None):
         e = expected_u8.astype(np.uint8)
+        rs_count = rs_sum = rs_sha = None
+        if kind == "image":
+            rs = resize_nearest(e, height, width, 8, 8)
+            rs_count = int(rs.size)
+            rs_sum = int(rs.astype(np.int64).sum())
+            rs_sha = hashlib.sha256(rs.tobytes()).hexdigest()
         rows.append(
             {
                 "media_id": mid,
@@ -153,6 +164,9 @@ def main() -> None:
                 "px_count": int(e.size),
                 "px_sum": int(e.astype(np.int64).sum()),
                 "px_sha": hashlib.sha256(e.tobytes()).hexdigest(),
+                "rs8_count": rs_count,
+                "rs8_sum": rs_sum,
+                "rs8_sha": rs_sha,
             }
         )
 
@@ -217,6 +231,9 @@ def main() -> None:
             "px_count": pa.array([r["px_count"] for r in rows], pa.int64()),
             "px_sum": pa.array([r["px_sum"] for r in rows], pa.int64()),
             "px_sha": pa.array([r["px_sha"] for r in rows], pa.string()),
+            "rs8_count": pa.array([r["rs8_count"] for r in rows], pa.int64()),
+            "rs8_sum": pa.array([r["rs8_sum"] for r in rows], pa.int64()),
+            "rs8_sha": pa.array([r["rs8_sha"] for r in rows], pa.string()),
         }
     )
     pq.write_table(table, "/root/repo/fixtures/media_docs.parquet")
