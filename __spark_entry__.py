@@ -2748,6 +2748,46 @@ def _packed_sequences_sql() -> str:
         FROM pos"""
 
 
+_VOCAB_K = 100
+_BIGRAM_K = 50
+
+
+def q_vocab_top(spark, sf_dir):
+    """Corpus vocabulary (operators/vocab.py): token occurrence counts
+    over the raw whitespace stream, deterministic top-k ((count DESC,
+    gram ASC) tiebreak). One partial-aggregated shuffle; the top-k is
+    TakeOrderedAndProject (per-partition k-heaps + driver merge), never
+    a global sort."""
+    from fuzzycat_spark.operators.vocab import token_ngram_counts
+
+    return token_ngram_counts(_docs(spark, sf_dir), n=1, top_k=_VOCAB_K)
+
+
+def q_bigram_top(spark, sf_dir):
+    """Word-bigram frequency table (n=2, min_count=2, top 50) — the
+    n-gram generalization of the vocab pass, same single-shuffle plan."""
+    from fuzzycat_spark.operators.vocab import token_ngram_counts
+
+    return token_ngram_counts(
+        _docs(spark, sf_dir), n=2, top_k=_BIGRAM_K, min_count=2
+    )
+
+
+def _vocab_sql(n: int, k: int, min_count: int) -> str:
+    if n == 1:
+        gram_src = f"SELECT unnest({_RAW_TOKS}) AS gram FROM documents"
+    else:
+        gram_src = f"""
+            SELECT array_to_string(toks[i+1:i+{n}], ' ') AS gram
+            FROM (SELECT {_RAW_TOKS} AS toks FROM documents),
+                 UNNEST(range(0, greatest(len(toks)-{n}+1, 0))) AS u(i)"""
+    return f"""
+        SELECT gram, CAST(count(*) AS BIGINT) AS occurrences
+        FROM ({gram_src}) GROUP BY gram
+        HAVING count(*) >= {min_count}
+        ORDER BY occurrences DESC, gram LIMIT {k}"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -3152,6 +3192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "dup_spans": q_dup_spans,
         "packed_sequences": q_packed_sequences,
+        "vocab_top": q_vocab_top,
+        "bigram_top": q_bigram_top,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3330,6 +3372,8 @@ def oracle_sql() -> dict[str, str]:
         "training_shards": _training_shards_sql(),
         "dup_spans": _dup_spans_sql(),
         "packed_sequences": _packed_sequences_sql(),
+        "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
+        "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

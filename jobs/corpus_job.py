@@ -105,6 +105,9 @@ def main() -> None:
                    help="annotate each doc with its concatenate-and-chunk "
                    "packing layout (start_off/start_seq/end_seq per "
                    "B-token training sequence, per shard); 0 = off")
+    p.add_argument("--vocab-top-k", type=int, default=0, metavar="K",
+                   help="emit the kept corpus's K most frequent tokens "
+                   "as a side table under the checkpoint dir; 0 = off")
     p.add_argument("--eval-path", default=None,
                    help="eval-suite parquet (text col) to decontaminate against")
     p.add_argument("--eval-ngram", type=int, default=8)
@@ -248,6 +251,15 @@ def main() -> None:
             ).drop("_nchars")
 
         docs = ck.stage("mixed", mixed)
+
+    if args.vocab_top_k > 0:
+        from fuzzycat_spark.operators.vocab import token_ngram_counts
+
+        def vocab() -> DataFrame:
+            return token_ngram_counts(docs, n=1, top_k=args.vocab_top_k,
+                                      text_col=txt)
+
+        ck.stage("vocab", vocab)  # side artifact; docs flow on unchanged
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

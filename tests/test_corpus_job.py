@@ -222,3 +222,24 @@ def test_dup_span_and_packing_arms(spark, tmp_path, capsys, monkeypatch):
         assert r["start_seq"] == r["start_off"] // 16
         assert r["end_seq"] == (r["start_off"] + r["n_tokens"] - 1) // 16
         off[r["shard"]] = r["start_off"] + r["n_tokens"]
+
+
+def test_vocab_arm_emits_side_table(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"u{i}", f"common common rare{i} filler words here") for i in range(10)],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--vocab-top-k", "3",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "vocab" in rec["stages"]
+    vocab = spark.read.parquet(f"{ckpt}/vocab")
+    rows = {r["gram"]: r["occurrences"] for r in vocab.collect()}
+    assert len(rows) == 3 and rows["common"] == 20
