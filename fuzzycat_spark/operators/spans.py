@@ -41,6 +41,12 @@ Scale shape:
 - The rebuild groups each document once (hash partitioning by id is
   reused from the window exchange where possible) and the page payload
   joins back only at the end, keyed by id.
+
+Batch-only by design: an incremental variant is ill-defined — a gram
+arriving in epoch N can flip earlier epochs' removal decisions, and the
+already-emitted corpus cannot be retracted. Run it over the kept corpus
+per training-set build (as Lee et al. do), not inside the streaming
+path.
 """
 
 from __future__ import annotations

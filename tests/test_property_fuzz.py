@@ -134,3 +134,49 @@ def test_extractor_never_leaks_markup_or_dropped_content(parts):
             others = [b for t2, b in parts if t2 not in ("script", "nav")]
             if not any(token in b for b in others):
                 assert token not in out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), max_size=12).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_strip_dup_spans_matches_bruteforce(spark, texts, k):
+    """strip_dup_spans == the O(corpus * k) brute-force coverage model on
+    arbitrary tiny corpora (single-char tokens force heavy gram
+    collisions, self-repeats, and all-removed documents). The session
+    fixture is shared state hypothesis never mutates, so the
+    function-scoped-fixture caveat does not apply."""
+    from collections import Counter
+
+    from fuzzycat_spark.operators.spans import strip_dup_spans
+    docs = {f"d{i}": t for i, t in enumerate(texts)}
+    toks = {d: [t for t in t_.split(" ") if t] for d, t_ in docs.items()}
+    counts = Counter(
+        " ".join(ts[i : i + k])
+        for ts in toks.values()
+        for i in range(len(ts) - k + 1)
+    )
+    want = {}
+    for d, ts in toks.items():
+        cov = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if counts[" ".join(ts[i : i + k])] >= 2:
+                cov[i : i + k] = [True] * k
+        want[d] = (
+            " ".join(t for t, c in zip(ts, cov) if not c),
+            len(ts),
+            sum(cov),
+        )
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in strip_dup_spans(df, k=k).collect()
+    }
+    assert got == want
