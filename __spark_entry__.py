@@ -2788,6 +2788,57 @@ def _vocab_sql(n: int, k: int, min_count: int) -> str:
         ORDER BY occurrences DESC, gram LIMIT {k}"""
 
 
+_LM_SCALE = 1_000_000_000
+
+
+def q_lm_scores(spark, sf_dir):
+    """CCNet-style corpus bigram-LM fluency scores (operators/lm.py):
+    add-one-smoothed P(w2|w1) per token position in integer fixed point
+    (exact, order-free — hash-matchable where float log-prob sums are
+    not), rolled up per document with a hapax-bigram novelty count.
+    Model estimation is one partial-agg shuffle on 8-byte bigram hash
+    pairs; scoring joins the token stream back to the model by the same
+    hashes (AQE broadcasts small models); token text never shuffles."""
+    from fuzzycat_spark.operators.lm import doc_lm_scores
+
+    return doc_lm_scores(_docs(spark, sf_dir), scale=_LM_SCALE)
+
+
+def _lm_scores_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+        big AS (
+          SELECT doc_id, toks[i+1] AS w1,
+                 array_to_string(toks[i+1:i+2], ' ') AS bg
+          FROM t, UNNEST(range(0, greatest(len(toks)-1, 0))) AS u(i)
+        ),
+        c2 AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS c
+               FROM big GROUP BY w1, bg),
+        c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        v AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS vocab
+              FROM (SELECT unnest(toks) AS gram FROM t)),
+        scored AS (
+          SELECT b.doc_id, c2.c,
+                 (c2.c + 1) * {_LM_SCALE} // (c1.ctx + v.vocab) AS p_fp
+          FROM big b JOIN c2 USING (w1, bg) JOIN c1 USING (w1) CROSS JOIN v
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_bigrams,
+                 CAST(sum(p_fp) AS BIGINT) AS sum_p_fp
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.hapax_bigrams, 0) AS hapax_bigrams,
+               COALESCE(a.sum_p_fp, 0) AS sum_p_fp,
+               CASE WHEN a.n_bigrams > 0 THEN a.sum_p_fp // a.n_bigrams END
+                 AS mean_p_fp
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -3194,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "vocab_top": q_vocab_top,
         "bigram_top": q_bigram_top,
+        "lm_scores": q_lm_scores,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3374,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequences": _packed_sequences_sql(),
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
+        "lm_scores": _lm_scores_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),
