@@ -2788,6 +2788,121 @@ def _vocab_sql(n: int, k: int, min_count: int) -> str:
         ORDER BY occurrences DESC, gram LIMIT {k}"""
 
 
+_LINK_FIXTURE = "/root/repo/fixtures/link_docs.parquet"
+_PR_ITERS = 8
+_PR_SCALE = 1_000_000_000
+
+
+def q_host_links(spark, sf_dir):
+    """Weighted host link digraph (operators/linkgraph.py) over the
+    committed link fixture: href targets via one Catalyst
+    regexp_extract_all (Java/RE2-shared pattern), absolute http(s) only,
+    SURT reversed-label hosts, self loops dropped, ONE partial-agg
+    shuffle on the host pair. www./:80/uppercase spellings collapse."""
+    from fuzzycat_spark.operators.linkgraph import extract_links, host_graph
+
+    return host_graph(extract_links(spark.read.parquet(_LINK_FIXTURE)))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the fixture host graph — the
+    crawl-centrality quality prior (Common Crawl publishes exactly this
+    per-host ranking). Integer mass (scale units/node, fused-division
+    edge contributions) makes 8 power iterations exact and order-free —
+    hash-matchable where float PageRank never is. One score-to-edges
+    join + one partial-agg groupBy per iteration; only (host, int64)
+    rows ride the loop's shuffles."""
+    from fuzzycat_spark.operators.linkgraph import (
+        extract_links,
+        host_graph,
+        pagerank_fp,
+    )
+
+    g = host_graph(extract_links(spark.read.parquet(_LINK_FIXTURE)))
+    return pagerank_fp(g, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+_HOST_HRE = r"'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)'"
+
+
+def _surt_host_col_sql(h1: str) -> str:
+    """DuckDB SURT host from a cleaned (lowercased, www/default-port
+    stripped) host expression — mirrors functions/urls.surt_host, same
+    shape as _SURT_CTE."""
+    return (
+        f"array_to_string(list_reverse(string_split("
+        f"regexp_replace({h1}, ':[0-9]+$', ''), '.')), ',')"
+        f" || regexp_extract({h1}, '(:[0-9]+)$', 1)"
+    )
+
+
+_HOST_GRAPH_CTE = rf"""
+raw AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html,
+           '(?i)<a\s[^>]*?href\s*=\s*"([^"]+)"', 1)) AS dst_url
+  FROM '{_LINK_FIXTURE}'
+),
+links AS (
+  SELECT * FROM raw WHERE regexp_matches(dst_url, '^(?i)https?://')
+),
+h1 AS (
+  SELECT
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(trim(src_url), {_HOST_HRE}, 1)),
+      '^www\.', ''), ':(80|443)$', '') AS sh1,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(trim(dst_url), {_HOST_HRE}, 1)),
+      '^www\.', ''), ':(80|443)$', '') AS dh1
+  FROM links
+),
+hosts AS (
+  SELECT {_surt_host_col_sql('sh1')} AS src_host,
+         {_surt_host_col_sql('dh1')} AS dst_host
+  FROM h1
+),
+edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight
+  FROM hosts
+  WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+  GROUP BY src_host, dst_host
+)"""
+
+_HOST_LINKS_SQL = f"WITH {_HOST_GRAPH_CTE} SELECT * FROM edges"
+
+
+def _host_pagerank_sql(
+    iters: int = _PR_ITERS,
+    scale: int = _PR_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> str:
+    base = (scale * (d_den - d_num)) // d_den
+    parts = [
+        _HOST_GRAPH_CTE,
+        "nodes AS (SELECT DISTINCT src_host AS host FROM edges"
+        " UNION SELECT DISTINCT dst_host FROM edges)",
+        "outw AS (SELECT src_host, CAST(sum(weight) AS BIGINT) AS ow"
+        " FROM edges GROUP BY src_host)",
+        f"s0 AS (SELECT host, CAST({scale} AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(f"""s{i + 1} AS (
+          SELECT n.host, CAST({base} + COALESCE(c.tot, 0) AS BIGINT) AS s
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst_host AS host,
+                   CAST(sum(p.s * {d_num} * e.weight
+                            // ({d_den} * o.ow)) AS BIGINT) AS tot
+            FROM edges e JOIN s{i} p ON p.host = e.src_host
+                         JOIN outw o ON o.src_host = e.src_host
+            GROUP BY e.dst_host) c USING (host))""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT host, s AS score_fp FROM s{iters}"
+    )
+
+
 _LM_SCALE = 1_000_000_000
 
 
@@ -3246,6 +3361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "bigram_top": q_bigram_top,
         "lm_scores": q_lm_scores,
+        "host_links": q_host_links,
+        "host_pagerank": q_host_pagerank,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3427,6 +3544,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "lm_scores": _lm_scores_sql(),
+        "host_links": _HOST_LINKS_SQL,
+        "host_pagerank": _host_pagerank_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

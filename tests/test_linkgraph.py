@@ -1,0 +1,83 @@
+"""Link extraction, host graph, and fixed-point PageRank
+(operators/linkgraph.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.operators.linkgraph import (
+    extract_links,
+    host_graph,
+    pagerank_fp,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "fixtures", "link_docs.parquet")
+
+SCALE = 1_000_000_000
+BASE = 150_000_000  # scale * 15 // 100
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src_host string, dst_host string, weight bigint")
+
+
+def test_extract_links_filters_and_case(spark):
+    pages = spark.read.parquet(FIXTURE)
+    links = extract_links(pages).collect()
+    dsts = [r.dst_url for r in links]
+    # absolute http(s) only: no relative/fragment/mailto/single-quoted
+    assert all(d.lower().startswith(("http://", "https://")) for d in dsts)
+    assert not any("relative" in d or "frag" in d or "mailto" in d for d in dsts)
+    # uppercase <A HREF> captured
+    assert "HTTPS://docs.gamma.io/B" in dsts
+    # single-quoted href is a documented non-goal
+    assert "https://news.beta.net/sq" not in dsts
+
+
+def test_host_graph_collapses_spellings_and_self_loops(spark):
+    pages = spark.read.parquet(FIXTURE)
+    g = {(r.src_host, r.dst_host): r.weight for r in host_graph(extract_links(pages)).collect()}
+    # www. / :80 / uppercase spellings all collapse onto the SURT host
+    assert g[("com,example,portal", "org,alpha,blog")] == 3
+    assert g[("com,example,portal", "net,beta,news")] == 2
+    assert g[("com,example,portal", "io,gamma,docs")] == 2
+    # nav self-links dropped
+    assert all(s != d for (s, d) in g)
+
+
+def test_pagerank_single_edge_hand_computed(spark):
+    e = _edges(spark, [("a", "b", 1)])
+    got = {r.host: r.score_fp for r in pagerank_fp(e, iters=3, scale=SCALE).collect()}
+    # A never receives mass: base from iter 1 on. B's fixed point:
+    # base + (base * 85 // 100) = 150M + 127.5M
+    assert got["a"] == BASE
+    assert got["b"] == BASE + (BASE * 85) // 100 == 277_500_000
+
+
+def test_pagerank_two_cycle_conserves_mass_exactly(spark):
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 1)])
+    got = {r.host: r.score_fp for r in pagerank_fp(e, iters=6, scale=SCALE).collect()}
+    # symmetric cycle: s = base + 85% * s has fixed point exactly scale
+    assert got == {"a": SCALE, "b": SCALE}
+
+
+def test_pagerank_fixture_graph_ordering(spark):
+    pages = spark.read.parquet(FIXTURE)
+    scores = {
+        r.host: r.score_fp
+        for r in pagerank_fp(host_graph(extract_links(pages)), iters=8).collect()
+    }
+    # the everyone-links-to-it CDN sink outranks every content host;
+    # the no-inlink host sits exactly at the teleport base
+    assert scores["com,cdn,static"] == max(scores.values())
+    assert scores["me,zeta,lonely"] == BASE
+    # hub portal outranks the cycle members it links to
+    assert scores["com,example,portal"] > scores["uk,co,delta,shop"]
+
+
+def test_pagerank_weights_split_proportionally(spark):
+    # a -> b weight 3, a -> c weight 1: b gets 3x c's inbound mass
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1)])
+    got = {r.host: r.score_fp for r in pagerank_fp(e, iters=1, scale=SCALE).collect()}
+    assert got["b"] - BASE == 3 * (got["c"] - BASE)
