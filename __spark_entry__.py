@@ -2822,6 +2822,37 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank_fp(g, iters=_PR_ITERS, scale=_PR_SCALE)
 
 
+def q_anchor_texts(spark, sf_dir):
+    """(src_url, dst_url, anchor) web-supervision pairs
+    (operators/linkgraph.anchor_texts): whole-anchor regexp_extract_all
+    + per-element extracts inside a transform — zero shuffles, pure
+    codegen; inner markup stripped, whitespace collapsed with the
+    explicit [ \\t\\r\\n] class (Java \\s and RE2 \\s diverge on
+    \\x0B), entities left as written."""
+    from fuzzycat_spark.operators.linkgraph import anchor_texts
+
+    return anchor_texts(spark.read.parquet(_LINK_FIXTURE))
+
+
+_ANCHOR_TEXTS_SQL = rf"""
+WITH tags AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*?href\s*=\s*"([^"]+)"[^>]*>(.*?)</a\s*>', 0)) AS t
+  FROM '{_LINK_FIXTURE}'
+),
+x AS (
+  SELECT src_url,
+         regexp_extract(t, '(?i)<a\s[^>]*?href\s*=\s*"([^"]+)"', 1) AS dst_url,
+         trim(regexp_replace(regexp_replace(
+             regexp_extract(t, '(?is)^<a\b[^>]*>(.*)</a\s*>$', 1),
+             '<[^>]+>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')) AS anchor
+  FROM tags
+)
+SELECT src_url, dst_url, anchor FROM x
+WHERE regexp_matches(dst_url, '^(?i)https?://') AND anchor <> ''"""
+
+
 _HOST_HRE = r"'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)'"
 
 
@@ -3363,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": q_lm_scores,
         "host_links": q_host_links,
         "host_pagerank": q_host_pagerank,
+        "anchor_texts": q_anchor_texts,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3546,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_scores": _lm_scores_sql(),
         "host_links": _HOST_LINKS_SQL,
         "host_pagerank": _host_pagerank_sql(),
+        "anchor_texts": _ANCHOR_TEXTS_SQL,
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

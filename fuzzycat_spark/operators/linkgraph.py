@@ -57,7 +57,14 @@ from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.urls import surt_host
 
-__all__ = ["HREF_RE", "extract_links", "host_graph", "pagerank_fp"]
+__all__ = [
+    "HREF_RE",
+    "ANCHOR_RE",
+    "extract_links",
+    "anchor_texts",
+    "host_graph",
+    "pagerank_fp",
+]
 
 # lazy [^>]*? so the FIRST href attribute of each anchor wins; identical
 # leftmost + lazy semantics under Java regex and RE2. Double-quoted
@@ -76,6 +83,54 @@ def extract_links(
             F.col(url_col).alias("src_url"), F.explode(dsts).alias("dst_url")
         )
         .filter(F.col("dst_url").rlike(r"^(?i)https?://"))
+    )
+
+
+# whole <a ...>...</a> elements; (?s) so anchors spanning lines match,
+# lazy body so nested-anchor-free markup stops at the first close tag
+ANCHOR_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]+)"[^>]*>(.*?)</a\s*>'
+_WS = r"[ \t\r\n]+"  # explicit class: Java \s includes \x0B, RE2 does not
+
+
+def anchor_texts(
+    pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor) per absolute-http(s) anchor with
+    non-empty link text — the classic web-supervision pairs (anchor
+    text describes the TARGET page; search/retrieval training data is
+    built from exactly this table).
+
+    Inner markup is stripped to spaces and whitespace collapsed; HTML
+    entities are left as written (decode downstream with
+    `sources/html_extract` if needed). Pure Catalyst: one
+    regexp_extract_all over the page plus per-element extracts inside
+    a `transform` — no shuffle at all until a consumer aggregates."""
+    tag = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+    pairs = F.transform(
+        tag,
+        lambda t: F.struct(
+            F.regexp_extract(t, HREF_RE, 1).alias("dst_url"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(
+                            t, r"(?is)^<a\b[^>]*>(.*)</a\s*>$", 1
+                        ),
+                        r"<[^>]+>",
+                        " ",
+                    ),
+                    _WS,
+                    " ",
+                )
+            ).alias("anchor"),
+        ),
+    )
+    return (
+        pages.select(F.col(url_col).alias("src_url"), F.explode(pairs).alias("p"))
+        .select("src_url", "p.dst_url", "p.anchor")
+        .filter(
+            F.col("dst_url").rlike(r"^(?i)https?://") & (F.col("anchor") != "")
+        )
     )
 
 

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fuzzycat_spark.operators.linkgraph import (
+    anchor_texts,
     extract_links,
     host_graph,
     pagerank_fp,
@@ -74,6 +75,33 @@ def test_pagerank_fixture_graph_ordering(spark):
     assert scores["me,zeta,lonely"] == BASE
     # hub portal outranks the cycle members it links to
     assert scores["com,example,portal"] > scores["uk,co,delta,shop"]
+
+
+def test_anchor_texts_strip_markup_and_collapse(spark):
+    html = (
+        '<p><a href="http://x.com/a"><b>Bold</b>\n\t link</a>'
+        '<a href="/rel">rel</a>'
+        '<a href="https://y.org/b" class="z">R&amp;D</a>'
+        '<a href="http://x.com/c"><img src="i.png"/></a></p>'
+    )
+    df = spark.createDataFrame([("http://s.com/", html)], "url string, html string")
+    got = {(r.dst_url, r.anchor) for r in anchor_texts(df).collect()}
+    # markup stripped, whitespace collapsed, entities left as written,
+    # relative targets and empty anchors (image-only) dropped
+    assert got == {
+        ("http://x.com/a", "Bold link"),
+        ("https://y.org/b", "R&amp;D"),
+    }
+
+
+def test_anchor_texts_fixture_pairs(spark):
+    pages = spark.read.parquet(FIXTURE)
+    rows = anchor_texts(pages).collect()
+    assert all(r.anchor != "" for r in rows)
+    # the uppercase <A HREF> anchor survives with its text
+    assert ("HTTPS://docs.gamma.io/B", "caps") in {
+        (r.dst_url, r.anchor) for r in rows
+    }
 
 
 def test_pagerank_weights_split_proportionally(spark):
