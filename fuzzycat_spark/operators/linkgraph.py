@@ -64,7 +64,17 @@ __all__ = [
     "anchor_texts",
     "host_graph",
     "pagerank_fp",
+    "teleport_base",
 ]
+
+
+def teleport_base(
+    scale: int = 1_000_000_000, d_num: int = 85, d_den: int = 100
+) -> int:
+    """Fixed-point score of a node with no inlinks — and the score to
+    impute for hosts absent from the graph entirely (a host nobody
+    links to and that links to nobody is exactly the no-inlink case)."""
+    return (scale * (d_den - d_num)) // d_den
 
 # lazy [^>]*? so the FIRST href attribute of each anchor wins; identical
 # leftmost + lazy semantics under Java regex and RE2. Double-quoted
@@ -76,8 +86,14 @@ HREF_RE = r'(?i)<a\s[^>]*?href\s*=\s*"([^"]+)"'
 def extract_links(
     pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """(src_url, dst_url) per absolute http(s) href occurrence."""
-    dsts = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))
+    """(src_url, dst_url) per absolute http(s) href occurrence.
+
+    Accepts a string or binary html column (WARC payloads): the JVM-side
+    cast decodes invalid UTF-8 to replacement chars, which is harmless
+    for href scraping and never crosses an Arrow boundary."""
+    dsts = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_RE), F.lit(1)
+    )
     return (
         pages.select(
             F.col(url_col).alias("src_url"), F.explode(dsts).alias("dst_url")
@@ -105,7 +121,9 @@ def anchor_texts(
     `sources/html_extract` if needed). Pure Catalyst: one
     regexp_extract_all over the page plus per-element extracts inside
     a `transform` — no shuffle at all until a consumer aggregates."""
-    tag = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(0))
+    tag = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(ANCHOR_RE), F.lit(0)
+    )
     pairs = F.transform(
         tag,
         lambda t: F.struct(
@@ -182,7 +200,7 @@ def pagerank_fp(
         .distinct()
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    base = (scale * (d_den - d_num)) // d_den
+    base = teleport_base(scale, d_num, d_den)
     scores = nodes.select("host", F.lit(scale).cast("long").alias("s"))
     for i in range(iters):
         contribs = (

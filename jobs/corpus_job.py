@@ -92,6 +92,12 @@ def main() -> None:
     p.add_argument("--fix-encoding", action="store_true",
                    help="repair UTF-8-as-cp1252 mojibake before anything "
                    "keys or filters on the text")
+    p.add_argument("--min-host-centrality", type=int, default=0, metavar="FP",
+                   help="compute fixed-point PageRank over the crawl's own "
+                        "host link graph (scale 1e9; a host nobody links to "
+                        "scores the teleport base 150000000) and drop pages "
+                        "whose host scores below FP; kept pages gain a "
+                        "host_centrality column (0 disables)")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -179,6 +185,48 @@ def main() -> None:
         return pages
 
     pages = ck.stage("filtered", filtered)
+
+    # 1b. optional host-centrality screen: PageRank over the crawl's own
+    # link graph, BEFORE dedup — spam farms leave both the corpus and the
+    # candidate space. Hosts absent from the graph score the teleport
+    # base (exactly the no-inlink fixed point), never NULL.
+    if args.min_host_centrality > 0:
+        from fuzzycat_spark.functions.urls import surt_host
+        from fuzzycat_spark.operators.linkgraph import (
+            extract_links,
+            host_graph,
+            pagerank_fp,
+            teleport_base,
+        )
+
+        if "html" not in pages.columns:
+            raise SystemExit(
+                "--min-host-centrality needs an html column in the input "
+                "(links are extracted from markup, not extracted text)"
+            )
+
+        def host_scores() -> DataFrame:
+            return pagerank_fp(host_graph(extract_links(pages, url_col=idc)))
+
+        hs = ck.stage("host_scores", host_scores)
+
+        def host_filtered() -> DataFrame:
+            return (
+                pages.withColumn("_host", surt_host(F.col(idc)))
+                .join(
+                    hs.select(F.col("host").alias("_host"), "score_fp"),
+                    on="_host",
+                    how="left",
+                )
+                .withColumn(
+                    "host_centrality",
+                    F.coalesce("score_fp", F.lit(teleport_base())),
+                )
+                .drop("_host", "score_fp")
+                .filter(F.col("host_centrality") >= args.min_host_centrality)
+            )
+
+        pages = ck.stage("host_filtered", host_filtered)
 
     # 2. dedup core (its own named stages inside the same checkpointer)
     cfg = DedupConfig(

@@ -224,6 +224,49 @@ def test_dup_span_and_packing_arms(spark, tmp_path, capsys, monkeypatch):
         off[r["shard"]] = r["start_off"] + r["n_tokens"]
 
 
+def test_host_centrality_arm_drops_unlinked_hosts(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--min-host-centrality: PageRank over the crawl's own link graph
+    screens hosts nobody links to; kept pages carry host_centrality."""
+    from fuzzycat_spark.operators.linkgraph import teleport_base
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def pg(host, i, dst):
+        url = f"https://{host}/p{i}"
+        html = (f'<html><body><a href="{dst}">out</a>'
+                f"<p>article {host} {i} body prose</p></body></html>")
+        return (url, html, f"article body from {host} number {i} in prose")
+
+    rows = (
+        [pg("hub.example", i, "https://good.example/") for i in range(5)]
+        + [pg("good.example", i, "https://hub.example/") for i in range(10)]
+        + [pg("spam.example", i, "https://good.example/") for i in range(5)]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, html string, text string"
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact",
+         "--min-host-centrality", str(teleport_base() + 1),
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "host_scores" in rec["stages"] and "host_filtered" in rec["stages"]
+    kept = spark.read.parquet(out_dir)
+    urls = [r.url for r in kept.select("url").collect()]
+    # spam.example has no inlinks -> teleport base -> screened out
+    assert not any("spam.example" in u for u in urls)
+    assert sum("good.example" in u for u in urls) == 10
+    assert sum("hub.example" in u for u in urls) == 5
+    assert kept.filter(F.col("host_centrality") <= teleport_base()).count() == 0
+
+
 def test_vocab_arm_emits_side_table(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     src = str(tmp_path / "in")
