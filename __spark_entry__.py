@@ -2934,6 +2934,80 @@ def _host_pagerank_sql(
     )
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Fixed-point Lloyd k-means over the embeddings table
+    (operators/kmeans.py) — the SemDeDup-style clustering pass.
+    Components quantized once to int64; distances, centroid sums, and
+    truncated means are pure integer arithmetic (exact under any
+    reduction order — float centroid means could never hash-match).
+    Assignment is a broadcast k-row join reduced in codegen (no
+    shuffle); each update is ONE partial-agg shuffle keyed by
+    (cluster, component). Seeds = smallest-md5(id) prefix, planned as
+    TakeOrderedAndProject."""
+    from fuzzycat_spark.operators.kmeans import kmeans_fit
+
+    assign, _ = kmeans_fit(
+        _emb(spark, sf_dir), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    return assign
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE) -> str:
+    def assign(src: str, cent: str, out: str) -> str:
+        return f"""{out} AS (
+          SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM (
+              SELECT v.vec_id, c.cid AS cluster,
+                     CAST(list_sum(list_transform(range(1, len(v.qv)+1),
+                       j -> (v.qv[j]-c.cv[j])*(v.qv[j]-c.cv[j])))
+                       AS BIGINT) AS dist
+              FROM {src} v CROSS JOIN {cent} c))
+          WHERE rn = 1)"""
+
+    parts = [
+        f"""q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT))
+                   AS qv
+          FROM embeddings)""",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cid,
+                 qv AS cv
+          FROM (SELECT * FROM q
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        parts.append(assign("q", f"c{i}", f"a{i}"))
+        parts.append(f"""u{i} AS (
+          SELECT cluster, list(m ORDER BY pos) AS cv_new FROM (
+            SELECT a.cluster, j AS pos,
+                   CAST(sum(v.qv[j]) AS BIGINT)
+                     // CAST(count(*) AS BIGINT) AS m
+            FROM a{i} a JOIN q v USING (vec_id),
+                 UNNEST(range(1, len(v.qv)+1)) AS r(j)
+            GROUP BY a.cluster, j)
+          GROUP BY cluster)""")
+        parts.append(f"""c{i + 1} AS (
+          SELECT c.cid, COALESCE(u.cv_new, c.cv) AS cv
+          FROM c{i} c LEFT JOIN u{i} u ON u.cluster = c.cid)""")
+    parts.append(assign("q", f"c{iters}", "afinal"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT vec_id, cluster, dist FROM afinal"
+    )
+
+
 _LM_SCALE = 1_000_000_000
 
 
@@ -3395,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_links": q_host_links,
         "host_pagerank": q_host_pagerank,
         "anchor_texts": q_anchor_texts,
+        "kmeans_assign": q_kmeans_assign,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3579,6 +3654,7 @@ def oracle_sql() -> dict[str, str]:
         "host_links": _HOST_LINKS_SQL,
         "host_pagerank": _host_pagerank_sql(),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
+        "kmeans_assign": _kmeans_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),
