@@ -2957,7 +2957,12 @@ def q_kmeans_assign(spark, sf_dir):
     return assign
 
 
-def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE) -> str:
+def _kmeans_parts(
+    src: str, k: int, iters: int, scale: int
+) -> list[str]:
+    """CTE chain (q, c0, a0, u0, c1, ..., afinal) computing the fixed-
+    point Lloyd iterations over `src` (a table name or quoted path);
+    the final assignment CTE is named `afinal`."""
     def assign(src: str, cent: str, out: str) -> str:
         return f"""{out} AS (
           SELECT vec_id, cluster, dist FROM (
@@ -2978,7 +2983,7 @@ def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE) 
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT))
                    AS qv
-          FROM embeddings)""",
+          FROM {src})""",
         f"""c0 AS (
           SELECT CAST(row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cid,
@@ -3001,10 +3006,67 @@ def _kmeans_sql(k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE) 
           SELECT c.cid, COALESCE(u.cv_new, c.cv) AS cv
           FROM c{i} c LEFT JOIN u{i} u ON u.cluster = c.cid)""")
     parts.append(assign("q", f"c{iters}", "afinal"))
+    return parts
+
+
+def _kmeans_sql(
+    k: int = _KM_K, iters: int = _KM_ITERS, scale: int = _KM_SCALE
+) -> str:
+    parts = _kmeans_parts("embeddings", k, iters, scale)
     return (
         "WITH "
         + ",\n".join(parts)
         + "\nSELECT vec_id, cluster, dist FROM afinal"
+    )
+
+
+_SD_K = 4
+_SD_ITERS = 2
+_SD_CAP = 200
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup end to end (operators/kmeans.semdedup_pairs) over the
+    planted fixture at the production 0.9 threshold: fixed-point k-means
+    buckets the space, same-cluster pairs route through the SAME capped
+    band machinery as every text strategy (band_id='km'), vectors join
+    back only for surviving candidates, exact cosine filters. The
+    210-copy identical-vector family lands in an over-cap cluster and is
+    excluded (mirrored in the oracle — cap modeling stays non-vacuous);
+    the five planted >0.9 families must surface."""
+    from fuzzycat_spark.operators.kmeans import semdedup_pairs
+
+    e = spark.read.parquet(_PLANTED_FIXTURE).select("vec_id", "embedding")
+    return semdedup_pairs(
+        e,
+        threshold=_PLANTED_STRONG,
+        k=_SD_K,
+        iters=_SD_ITERS,
+        scale=_KM_SCALE,
+        max_cluster_size=_SD_CAP,
+    ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def _semdedup_sql() -> str:
+    parts = [f"emb AS (SELECT vec_id, embedding FROM '{_PLANTED_FIXTURE}')"]
+    parts += _kmeans_parts("emb", _SD_K, _SD_ITERS, _KM_SCALE)
+    parts.append(f"""big AS (
+      SELECT cluster, count(*) AS bs FROM afinal GROUP BY cluster)""")
+    parts.append(f"""cand AS (
+      SELECT x.vec_id AS ida, y.vec_id AS idb
+      FROM afinal x JOIN afinal y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN big g ON g.cluster = x.cluster
+        AND g.bs BETWEEN 2 AND {_SD_CAP})""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.ida AS id_a, c.idb AS id_b, round({_COS_D}, 6) AS cosine
+FROM cand c
+JOIN emb a ON a.vec_id = c.ida
+JOIN emb b ON b.vec_id = c.idb
+WHERE round({_COS_D}, 9) >= {_PLANTED_STRONG}"""
     )
 
 
@@ -3470,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "anchor_texts": q_anchor_texts,
         "kmeans_assign": q_kmeans_assign,
+        "semdedup_pairs": q_semdedup_pairs,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -3655,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql(),
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "kmeans_assign": _kmeans_sql(),
+        "semdedup_pairs": _semdedup_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

@@ -44,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vec", "kmeans_seeds", "kmeans_assign", "kmeans_fit"]
+__all__ = [
+    "quantize_vec",
+    "kmeans_seeds",
+    "kmeans_assign",
+    "kmeans_fit",
+    "semdedup_pairs",
+]
 
 
 def quantize_vec(col: Column | str, scale: int = 1_000_000) -> Column:
@@ -154,3 +160,55 @@ def kmeans_fit(
         if checkpointer is not None:
             cents = checkpointer.write(f"kmeans_iter_{i}", cents)
     return kmeans_assign(vecs, cents, id_col=id_col), cents
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup end to end (Abbas et al. 2023): k-means the embeddings,
+    then (id_a, id_b, cosine) for same-cluster pairs above `threshold`
+    — the semantic near-duplicate edges a components pass then prunes.
+
+    The cluster table routes through the SAME capped band machinery as
+    every text strategy (`lsh.lsh_candidate_pairs`, band_id='km'): one
+    window-capped shuffle of (id, cluster) rows, native in-bucket pair
+    expansion, and vectors joined back only for surviving candidate
+    pairs — the cluster shuffle never carries a vector. Clusters above
+    `max_cluster_size` are excluded, not exploded (size k so that
+    n/k stays under the cap, or pre-shard hot clusters); pass None to
+    disable the cap when k is sized generously.
+    """
+    from fuzzycat_spark.operators.knn import cosine_col
+    from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
+
+    assign, _ = kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    bands = assign.select(
+        F.col(id_col).alias("id"),
+        F.lit("km").alias("band_id"),
+        F.col("cluster").cast("string").alias("band_hash"),
+    )
+    cand = lsh_candidate_pairs(bands, max_cluster_size)
+    ev = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    cos = cosine_col(F.col("_ea"), F.col("_eb"))
+    return (
+        cand.join(
+            ev.select(F.col("id").alias("id_a"), F.col("e").alias("_ea")),
+            on="id_a",
+        )
+        .join(
+            ev.select(F.col("id").alias("id_b"), F.col("e").alias("_eb")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.round(F.col("cosine"), 9) >= threshold)
+    )

@@ -62,6 +62,22 @@ def test_empty_cluster_keeps_seed_centroid(spark):
     assert {r.cluster for r in assign.collect()} == {1}
 
 
+def test_semdedup_finds_planted_families_and_caps_mega_cluster(spark):
+    from fuzzycat_spark.operators.kmeans import semdedup_pairs
+
+    e = spark.read.parquet(
+        "/root/repo/fixtures/embeddings_planted.parquet"
+    ).select("vec_id", "embedding")
+    pairs = semdedup_pairs(
+        e, threshold=0.9, k=4, iters=2, max_cluster_size=200
+    ).collect()
+    assert len(pairs) > 0
+    assert all(r.cosine >= 0.9 for r in pairs)
+    # the 210-copy identical-vector family (fixture plants it in one
+    # over-cap cluster) must NOT explode into ~22k pairs
+    assert len(pairs) < 1000
+
+
 def test_seeds_are_hash_ranked_prefix(spark):
     rows = [(i, [float(i), 0.0]) for i in range(20)]
     vecs = _emb(spark, rows).select(
