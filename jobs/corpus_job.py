@@ -98,6 +98,13 @@ def main() -> None:
                         "scores the teleport base 150000000) and drop pages "
                         "whose host scores below FP; kept pages gain a "
                         "host_centrality column (0 disables)")
+    p.add_argument("--min-lm-score", type=int, default=0, metavar="FP",
+                   help="CCNet-style fluency floor: score every page under "
+                        "the corpus's own bigram LM (integer fixed point, "
+                        "scale 1e9) and drop pages whose mean token "
+                        "probability falls below FP; kept pages gain a "
+                        "lm_mean_p column (0 disables). Docs with <2 tokens "
+                        "score NULL and are dropped when the floor is on")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -227,6 +234,26 @@ def main() -> None:
             )
 
         pages = ck.stage("host_filtered", host_filtered)
+
+    # 1c. optional fluency floor: mean token probability under the
+    # corpus's OWN bigram LM (the CCNet move, self-trained instead of
+    # Wikipedia-trained; pass a separate model corpus via the library
+    # API for the cross-corpus form). Kept BEFORE dedup so garbage
+    # never enters the candidate space.
+    if args.min_lm_score > 0:
+        from fuzzycat_spark.operators.lm import doc_lm_scores
+
+        def lm_filtered() -> DataFrame:
+            scores = doc_lm_scores(pages, id_col=idc, text_col=txt)
+            return (
+                pages.join(
+                    scores.select(idc, F.col("mean_p_fp").alias("lm_mean_p")),
+                    on=idc,
+                )
+                .filter(F.col("lm_mean_p") >= args.min_lm_score)
+            )
+
+        pages = ck.stage("lm_filtered", lm_filtered)
 
     # 2. dedup core (its own named stages inside the same checkpointer)
     cfg = DedupConfig(

@@ -267,6 +267,49 @@ def test_host_centrality_arm_drops_unlinked_hosts(
     assert kept.filter(F.col("host_centrality") <= teleport_base()).count() == 0
 
 
+def test_lm_score_arm_drops_disfluent_docs(spark, tmp_path, capsys, monkeypatch):
+    """--min-lm-score: pages scoring below the corpus-LM fluency floor
+    leave before dedup; kept pages carry lm_mean_p."""
+    from fuzzycat_spark.operators.lm import doc_lm_scores
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    prose = [
+        (f"https://a.example/p{i}",
+         f"the quick brown fox jumps over the lazy dog again item {i}")
+        for i in range(30)
+    ]
+    junk = [
+        ("https://b.example/j1", "zxqv wkfjd plmtr aaghw"),
+        ("https://b.example/j2", "qqleu vbnms trewq zzokj"),
+    ]
+    df = spark.createDataFrame(prose + junk, "url string, text string")
+    scores = {
+        r.url: r.mean_p_fp
+        for r in doc_lm_scores(df, id_col="url", text_col="text").collect()
+    }
+    lo = max(scores[u] for u, _ in junk)
+    hi = min(scores[u] for u, _ in prose)
+    assert lo < hi, (lo, hi)
+    threshold = (lo + hi) // 2
+
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--min-lm-score", str(threshold),
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "lm_filtered" in rec["stages"]
+    kept = spark.read.parquet(out_dir)
+    urls = [r.url for r in kept.select("url").collect()]
+    assert not any("b.example" in u for u in urls)
+    assert len(urls) == 30
+    assert kept.filter(F.col("lm_mean_p") < threshold).count() == 0
+
+
 def test_vocab_arm_emits_side_table(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     src = str(tmp_path / "in")
