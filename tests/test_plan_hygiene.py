@@ -242,3 +242,60 @@ def test_ivf_seed_selection_is_heap_not_global_sort(spark):
     plan = _plan(cents)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_lm_scores_all_jvm_and_narrow(spark):
+    """The bigram-LM scorer must stay whole-stage-codegen (no Python
+    workers) and shuffle only 8-byte hash rows — never token text."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["lm_scores"](spark, SF))
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row vocab scalar joins via broadcast nested loop; that must
+    # be the ONLY nested-loop join in the plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_kmeans_seed_selection_is_heap_not_global_sort(spark):
+    """kmeans_seeds (k smallest md5(id)) must plan as
+    TakeOrderedAndProject, never a range-partitioned global sort."""
+    from fuzzycat_spark.operators.kmeans import kmeans_fit
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign, cents = kmeans_fit(e, k=4, iters=0)
+    plan = _plan(cents)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_kmeans_assignment_join_is_broadcast(spark):
+    """Cluster assignment must join the k-row centroid table by
+    broadcast — a shuffle join here would repartition the whole vector
+    corpus per Lloyd iteration."""
+    from fuzzycat_spark.operators.kmeans import kmeans_fit
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign, _ = kmeans_fit(e, k=4, iters=1)
+    plan = _plan(assign)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_shuffles_are_host_int64_only(spark):
+    """PageRank iteration shuffles must carry (host, int64) rows — the
+    edge list and score vector — never page html/urls; and the loop must
+    not introduce a cartesian."""
+    from fuzzycat_spark.operators.linkgraph import (
+        extract_links,
+        host_graph,
+        pagerank_fp,
+    )
+
+    pages = spark.read.parquet("/root/repo/fixtures/link_docs.parquet")
+    pr = pagerank_fp(host_graph(extract_links(pages)), iters=2)
+    plan = _plan(pr)
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "html" not in line and "dst_url" not in line, line
