@@ -4,6 +4,9 @@ pages in, training shards out. Composes the engine end to end —
     ingest (parquet/Iceberg/jsonl or raw WARC + html→text extraction)
     → admission filter (tokens/quality/repetition/denylist, script-aware)
     → optional PII redaction, optional cross-doc line dedup
+    → optional host-centrality screen (PageRank over the crawl's own
+      link graph, --min-host-centrality)
+    → optional corpus-LM fluency floor (--min-lm-score)
     → dedup (full multi-strategy blocking + verify + components)
     → canonical selection (one best page per cluster)
     → optional eval-suite decontamination
