@@ -3121,6 +3121,113 @@ def _lm_scores_sql() -> str:
         FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
+_LEX_QUERIES = [
+    (1, "hash join"),
+    (2, "dup scan"),
+    (3, "window order sort"),
+    (4, "fast fast small"),
+    (5, "the big table"),
+]
+_LEX_K = 5
+_LEX_SCALE = 1_000_000_000_000
+
+
+def q_lexical_topk(spark, sf_dir):
+    """Lexical ranked retrieval (operators/retrieval.py) — the batch
+    analog of the reference's Elasticsearch candidate scan
+    (/root/reference/fuzzycat/matching.py builds lexical bool queries):
+    top-k docs per query by integer TF x inverse-df weight. Posting
+    frequencies come from an in-row run-length fold (zero shuffles to
+    build the corpus side), queries and query-term df broadcast, only
+    candidate rows reach the (query, doc) rollup, top-k is the
+    two-stage salted rank."""
+    from fuzzycat_spark.operators.retrieval import lexical_topk
+
+    qdf = spark.createDataFrame(_LEX_QUERIES, "query_id int, qtext string")
+    return lexical_topk(
+        _docs(spark, sf_dir), qdf, k=_LEX_K, scale=_LEX_SCALE
+    )
+
+
+def _lexical_topk_sql() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _LEX_QUERIES)
+    qtoks = _RAW_TOKS.replace("text", "qtext")
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {values}),
+        t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
+        dt AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+               GROUP BY doc_id, tok),
+        qt AS (SELECT query_id, tok AS term, CAST(count(*) AS BIGINT) AS qtf
+               FROM (SELECT query_id, unnest({qtoks}) AS tok FROM q)
+               GROUP BY query_id, tok),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt
+                WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        scored AS (
+          SELECT qt.query_id, dt.doc_id,
+                 CAST(sum(qt.qtf * dt.tf * ({_LEX_SCALE} // dfq.df))
+                      AS BIGINT) AS score_fp
+          FROM dt JOIN qt USING (term) JOIN dfq USING (term)
+          GROUP BY qt.query_id, dt.doc_id)
+        SELECT query_id, doc_id, score_fp, rank FROM (
+          SELECT query_id, doc_id, score_fp,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank
+          FROM scored
+        ) WHERE rank <= {_LEX_K}"""
+
+
+_BUCKET_RATE = 0.5
+_BUCKET_SEED = 13
+_BUCKET_THRESH = int(_BUCKET_RATE * (1 << 48))
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity tiers (operators/lm.py
+    lm_perplexity_buckets): tertile cutoffs fitted on the deterministic
+    md5 half-sample of the corpus LM scores (no global sort at scale —
+    CCNet itself fits cutoffs on a sample), every doc bucketed by
+    integer value comparison; unscorable docs are 'tail'."""
+    from fuzzycat_spark.operators.lm import (
+        doc_lm_scores,
+        lm_perplexity_buckets,
+    )
+
+    scores = doc_lm_scores(_docs(spark, sf_dir), scale=_LM_SCALE)
+    return lm_perplexity_buckets(
+        scores, sample_rate=_BUCKET_RATE, seed=_BUCKET_SEED
+    )
+
+
+def _lm_buckets_sql() -> str:
+    return f"""
+        WITH scores AS ({_lm_scores_sql()}),
+        samp AS (
+          SELECT doc_id, mean_p_fp FROM scores
+          WHERE mean_p_fp IS NOT NULL
+            AND ('0x' || substr(md5(doc_id::VARCHAR || ':{_BUCKET_SEED}'),
+                                1, 12))::BIGINT < {_BUCKET_THRESH}),
+        ranked AS (
+          SELECT mean_p_fp AS s,
+                 row_number() OVER (ORDER BY mean_p_fp DESC, doc_id ASC)
+                   AS rn,
+                 count(*) OVER () AS n
+          FROM samp),
+        cuts AS (
+          SELECT max(CASE WHEN rn = (n + 2) // 3 THEN s END) AS cut_head,
+                 max(CASE WHEN rn = (2 * n + 2) // 3 THEN s END)
+                   AS cut_middle
+          FROM ranked)
+        SELECT s.doc_id, s.n_bigrams, s.hapax_bigrams, s.sum_p_fp,
+               s.mean_p_fp,
+               CASE WHEN s.mean_p_fp IS NULL THEN 'tail'
+                    WHEN s.mean_p_fp >= c.cut_head THEN 'head'
+                    WHEN s.mean_p_fp >= c.cut_middle THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scores s CROSS JOIN cuts c"""
+
+
 def q_script_id(spark, sf_dir):
     """Script detection over the committed mixed-script fixture
     (Greek/Cyrillic/CJK/accented-Latin/plain ascii): majority codepoint
@@ -3528,6 +3635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "bigram_top": q_bigram_top,
         "lm_scores": q_lm_scores,
+        "lm_buckets": q_lm_buckets,
+        "lexical_topk": q_lexical_topk,
         "host_links": q_host_links,
         "host_pagerank": q_host_pagerank,
         "anchor_texts": q_anchor_texts,
@@ -3714,6 +3823,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "lm_scores": _lm_scores_sql(),
+        "lm_buckets": _lm_buckets_sql(),
+        "lexical_topk": _lexical_topk_sql(),
         "host_links": _HOST_LINKS_SQL,
         "host_pagerank": _host_pagerank_sql(),
         "anchor_texts": _ANCHOR_TEXTS_SQL,

@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 from fuzzycat_spark.functions.hashing import md5_h64
 from fuzzycat_spark.operators.spans import raw_tokens
 
-__all__ = ["bigram_rows", "bigram_model", "doc_lm_scores"]
+__all__ = [
+    "bigram_rows",
+    "bigram_model",
+    "doc_lm_scores",
+    "lm_perplexity_buckets",
+]
 
 
 def bigram_rows(
@@ -160,3 +165,71 @@ def doc_lm_scores(
             ),
         )
     )
+
+
+def lm_perplexity_buckets(
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "mean_p_fp",
+    sample_rate: float = 1.0,
+    seed: int = 13,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers over LM fluency scores.
+
+    CCNet (Wenzek et al. 2020) splits each language's crawl into three
+    equal-mass perplexity buckets and trains mostly on the fluent
+    "head". This is that split over `doc_lm_scores` output: tertile
+    CUTOFFS are estimated from a deterministic hash sample, then every
+    document buckets by comparing its integer score to the cutoffs.
+
+    Returns `scores` plus a `bucket` column in ('head','middle','tail'):
+    - head:   score >= the sample's top-third boundary value;
+    - middle: score >= the two-thirds boundary;
+    - tail:   everything else, including unscorable docs (NULL score —
+      bigram-less pages are treated as worst, as CCNet does with
+      undecodable text).
+    Bucketing compares VALUES, so equal scores always land in the same
+    bucket regardless of the sample draw.
+
+    Scale shape: exact corpus-wide tertiles would globally sort 10^12
+    (score, id) rows; CCNet itself fits cutoffs on a sample. The sample
+    here is the shared md5 48-bit Bernoulli grid (partition- and
+    retry-invariant, mirrors in any engine — see
+    `functions.hashing.md5_field48`), its single-partition rank window
+    is bounded by `sample_rate`, and the two cutoffs broadcast back.
+    Rank r uses ceil(n/3) / ceil(2n/3); an empty sample leaves both
+    cutoffs NULL and every document in 'tail'.
+    """
+    from fuzzycat_spark.functions.hashing import md5_field48
+
+    from pyspark.sql.window import Window
+
+    thresh = int(sample_rate * (1 << 48))
+    sample = scores.select(
+        F.col(id_col).alias("_id"), F.col(score_col).alias("_s")
+    ).filter(
+        F.col("_s").isNotNull() & (md5_field48("_id", seed) < F.lit(thresh))
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    ranked = sample.select(
+        "_s",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    cuts = ranked.agg(
+        F.max(
+            F.when(F.col("_rn") == F.expr("(_n + 2) DIV 3"), F.col("_s"))
+        ).alias("cut_head"),
+        F.max(
+            F.when(F.col("_rn") == F.expr("(2 * _n + 2) DIV 3"), F.col("_s"))
+        ).alias("cut_middle"),
+    )
+    sc = F.col(score_col)
+    return scores.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(sc.isNull(), F.lit("tail"))
+        .when(sc >= F.col("cut_head"), F.lit("head"))
+        .when(sc >= F.col("cut_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("cut_head", "cut_middle")
