@@ -1859,6 +1859,23 @@ def q_media_resize(spark, sf_dir):
     return resize_media(media, out_h=8, out_w=8)
 
 
+_AUDIO_FRAMES_FIXTURE = "/root/repo/fixtures/media_audio_frames.parquet"
+
+
+def q_audio_frames(spark, sf_dir):
+    """Frame-level audio features over the media fixture's PCM payloads:
+    decode with `real_decoder`, cut into 16-sample frames, emit integer
+    midline energy + zero-crossing counts per frame
+    (sources/multimodal.py audio_frame_stats). The oracle reads scalars
+    the fixture generator computed from the SOURCE sample arrays through
+    the shared `frame_stats_u8` kernel, so decode → framing → features
+    is pinned end to end; image rows are excluded before the decode."""
+    from fuzzycat_spark.sources.multimodal import audio_frame_stats
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return audio_frame_stats(media, frame_len=16)
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -3618,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "audio_frames": q_audio_frames,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
@@ -3850,6 +3868,9 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": f"""
             SELECT media_id, px_count, px_sum, px_sha
             FROM '{_MEDIA_FIXTURE}'""",
+        "audio_frames": f"""
+            SELECT media_id, frame_idx, n_samples, energy, zero_crossings
+            FROM '{_AUDIO_FRAMES_FIXTURE}'""",
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
                    rs8_sha AS rs_sha

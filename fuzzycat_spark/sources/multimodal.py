@@ -397,6 +397,85 @@ def decode_media_stats(
     )
 
 
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("energy", LongType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+
+def frame_stats_u8(samples: "np.ndarray", frame_len: int) -> list[tuple]:
+    """Per-frame (frame_idx, n_samples, energy, zero_crossings) over a
+    flat uint8 sample stream cut into non-overlapping frames (the last
+    partial frame is kept). Integer-only so any engine reproduces the
+    values exactly:
+
+    - energy = sum of (x - 128)^2 — signal power about the 8-bit
+      midline the WAV decode maps onto;
+    - zero_crossings = adjacent sign flips of (x - 128) with >= 128
+      counted positive (a crude pitch/noisiness proxy — the classic
+      cheap audio feature pair).
+
+    Shared by the Spark operator AND the fixture generator so the gate
+    pins decode → framing → features end to end (the decode round trip
+    itself is pinned by `media_decode`)."""
+    x = samples.astype(np.int64) - 128
+    out = []
+    for i in range(0, len(x), frame_len):
+        fr = x[i : i + frame_len]
+        pos = fr >= 0
+        out.append(
+            (
+                i // frame_len,
+                int(fr.size),
+                int((fr * fr).sum()),
+                int((pos[1:] != pos[:-1]).sum()),
+            )
+        )
+    return out
+
+
+def audio_frame_stats(
+    media: DataFrame,
+    frame_len: int = 16,
+    decode: Callable[[bytes, str], "np.ndarray"] = real_decoder,
+) -> DataFrame:
+    """Frame-level audio features over the audio rows of a media table:
+    decode each PCM payload, cut into `frame_len`-sample frames, emit
+    integer energy + zero-crossing counts per frame (see
+    `frame_stats_u8`). Non-audio rows are excluded before the decode
+    (no grid/stream semantics to frame). Same narrow-projection
+    discipline as the other media passes: bytes never cross a shuffle,
+    one Arrow batch in → feature rows out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, b, k in zip(pdf["media_id"], pdf["bytes"], pdf["kind"]):
+                px = decode(bytes(b) if b is not None else b"", k).astype(
+                    np.uint8
+                )
+                out.extend(
+                    (mid, idx, n, e, z)
+                    for idx, n, e, z in frame_stats_u8(px, frame_len)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "kind", "bytes")
+        .mapInPandas(run, AUDIO_FRAME_SCHEMA)
+    )
+
+
 def sample_video_frames(
     media: DataFrame,
     every_ms: int = 1000,

@@ -705,3 +705,62 @@ def test_incremental_embedding_config_change_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="must not change"):
         incremental_dedup_batch(b2, index, pairs_path, emb_cfg)
+
+
+def test_frame_stats_hand_computed():
+    from fuzzycat_spark.sources.multimodal import frame_stats_u8
+
+    # x - 128 = [0, -1, 0, 1]: energy 2, sign flips at 0->-1 and -1->0
+    got = frame_stats_u8(np.array([128, 127, 128, 129], np.uint8), 4)
+    assert got == [(0, 4, 2, 2)]
+    # partial trailing frame is kept and indexes sequentially
+    got = frame_stats_u8(np.array([128, 127, 128, 129, 255], np.uint8), 2)
+    assert got == [(0, 2, 1, 1), (1, 2, 1, 0), (2, 1, 127 * 127, 0)]
+    assert frame_stats_u8(np.array([], np.uint8), 4) == []
+
+
+def test_audio_frame_stats_excludes_images_and_matches_kernel(spark):
+    from fuzzycat_spark.sources.multimodal import (
+        audio_frame_stats,
+        frame_stats_u8,
+    )
+
+    raw = bytes(range(40))
+    rows = [
+        ("aud", "audio", None, raw, None, None, None),
+        ("img", "image", None, b"\x01\x02", 2, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    passthrough = lambda b, k: np.frombuffer(b, np.uint8)  # noqa: E731
+    got = sorted(
+        (r.media_id, r.frame_idx, r.n_samples, r.energy, r.zero_crossings)
+        for r in audio_frame_stats(media, frame_len=16, decode=passthrough)
+        .collect()
+    )
+    want = sorted(
+        ("aud", i, n, e, z)
+        for i, n, e, z in frame_stats_u8(np.frombuffer(raw, np.uint8), 16)
+    )
+    assert got == want and len(got) == 3
+
+
+def test_audio_frame_stats_fixture_parity(spark):
+    from fuzzycat_spark.sources.multimodal import audio_frame_stats
+    import pyarrow.parquet as pq
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    got = {
+        (r.media_id, r.frame_idx): (r.n_samples, r.energy, r.zero_crossings)
+        for r in audio_frame_stats(media, frame_len=16).collect()
+    }
+    t = pq.read_table(
+        "/root/repo/fixtures/media_audio_frames.parquet"
+    ).to_pydict()
+    want = {
+        (m, i): (n, e, z)
+        for m, i, n, e, z in zip(
+            t["media_id"], t["frame_idx"], t["n_samples"], t["energy"],
+            t["zero_crossings"],
+        )
+    }
+    assert got == want and len(got) == 7

@@ -236,9 +236,52 @@ def main() -> None:
             "rs8_sha": pa.array([r["rs8_sha"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, "/root/repo/fixtures/media_docs.parquet")
+    # regeneration guard: payloads must stay byte-identical to the
+    # committed fixture (the gates pin shas of decoded payload bytes)
+    import os
+
+    out_path = "/root/repo/fixtures/media_docs.parquet"
+    if os.path.exists(out_path):
+        old = pq.read_table(out_path).to_pydict()
+        old_bytes = dict(zip(old["media_id"], old["bytes"]))
+        for r in rows:
+            if r["media_id"] in old_bytes:
+                assert old_bytes[r["media_id"]] == r["bytes"], r["media_id"]
+    pq.write_table(table, out_path)
+
+    # per-frame audio features from the SOURCE sample arrays (kernel
+    # shared with sources.multimodal.audio_frame_stats; frame_len must
+    # match the gate's) — the audio analog of the rs8_* resize scalars
+    from fuzzycat_spark.sources.multimodal import frame_stats_u8
+
+    FRAME_LEN = 16
+    frames = [
+        (r["media_id"], idx, n, e, z)
+        for r in rows
+        if r["kind"] == "audio"
+        for idx, n, e, z in frame_stats_u8(
+            np.frombuffer(
+                {"wav_pcm16": ((s16.astype(np.int32) + 32768) >> 8)
+                 .astype(np.uint8).tobytes(),
+                 "wav_pcm8": s8.tobytes()}[r["media_id"]],
+                dtype=np.uint8,
+            ),
+            FRAME_LEN,
+        )
+    ]
+    ft = pa.table(
+        {
+            "media_id": pa.array([f[0] for f in frames], pa.string()),
+            "frame_idx": pa.array([f[1] for f in frames], pa.int32()),
+            "n_samples": pa.array([f[2] for f in frames], pa.int32()),
+            "energy": pa.array([f[3] for f in frames], pa.int64()),
+            "zero_crossings": pa.array([f[4] for f in frames], pa.int64()),
+        }
+    )
+    pq.write_table(ft, "/root/repo/fixtures/media_audio_frames.parquet")
     for r in rows:
         print(r["media_id"], len(r["bytes"]), "bytes →", r["px_count"], "samples")
+    print(len(frames), "audio frames")
 
 
 if __name__ == "__main__":
