@@ -6,7 +6,8 @@ pages in, training shards out. Composes the engine end to end —
     → optional PII redaction, optional cross-doc line dedup
     → optional host-centrality screen (PageRank over the crawl's own
       link graph, --min-host-centrality)
-    → optional corpus-LM fluency floor (--min-lm-score)
+    → optional corpus-LM fluency floor (--min-lm-score) and/or
+      CCNet head/middle/tail perplexity tiers (--lm-bucket-keep)
     → dedup (full multi-strategy blocking + verify + components)
     → canonical selection (one best page per cluster)
     → optional eval-suite decontamination
@@ -108,6 +109,18 @@ def main() -> None:
                         "probability falls below FP; kept pages gain a "
                         "lm_mean_p column (0 disables). Docs with <2 tokens "
                         "score NULL and are dropped when the floor is on")
+    p.add_argument("--lm-bucket-keep", default="", metavar="TIERS",
+                   help="CCNet perplexity tiers: bucket every page into "
+                        "head/middle/tail by corpus-LM score tertiles "
+                        "(cutoffs fitted on a deterministic hash sample, "
+                        "see --lm-bucket-sample) and keep only the listed "
+                        "comma-separated tiers, e.g. 'head,middle'. Kept "
+                        "pages gain lm_mean_p and lm_bucket columns. "
+                        "Empty = off; combinable with --min-lm-score")
+    p.add_argument("--lm-bucket-sample", type=float, default=1.0,
+                   help="sample rate for fitting the tier cutoffs "
+                        "(default 1.0; at crawl scale use e.g. 0.001 — "
+                        "cutoff fitting sorts only the sample)")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -257,6 +270,40 @@ def main() -> None:
             )
 
         pages = ck.stage("lm_filtered", lm_filtered)
+
+    # 1d. optional CCNet perplexity tiers: head/middle/tail by score
+    # tertiles (cutoffs from the deterministic md5 sample), keep the
+    # requested tiers. The authentic CCNet move — relative mass splits
+    # instead of an absolute floor — so the same flag works on any
+    # corpus without retuning a threshold.
+    if args.lm_bucket_keep:
+        keep_tiers = tuple(
+            t.strip() for t in args.lm_bucket_keep.split(",") if t.strip()
+        )
+        bad = set(keep_tiers) - {"head", "middle", "tail"}
+        if bad:
+            raise SystemExit(f"--lm-bucket-keep: unknown tiers {sorted(bad)}")
+        from fuzzycat_spark.operators.lm import (
+            doc_lm_scores,
+            lm_perplexity_buckets,
+        )
+
+        def lm_bucketed() -> DataFrame:
+            scores = doc_lm_scores(pages, id_col=idc, text_col=txt)
+            buckets = lm_perplexity_buckets(
+                scores, id_col=idc, sample_rate=args.lm_bucket_sample
+            ).select(
+                idc,
+                F.col("mean_p_fp").alias("lm_mean_p"),
+                F.col("bucket").alias("lm_bucket"),
+            )
+            joined = (
+                pages.drop("lm_mean_p") if "lm_mean_p" in pages.columns
+                else pages
+            ).join(buckets, on=idc)
+            return joined.filter(F.col("lm_bucket").isin(*keep_tiers))
+
+        pages = ck.stage("lm_bucketed", lm_bucketed)
 
     # 2. dedup core (its own named stages inside the same checkpointer)
     cfg = DedupConfig(

@@ -329,3 +329,56 @@ def test_vocab_arm_emits_side_table(spark, tmp_path, capsys, monkeypatch):
     vocab = spark.read.parquet(f"{ckpt}/vocab")
     rows = {r["gram"]: r["occurrences"] for r in vocab.collect()}
     assert len(rows) == 3 and rows["common"] == 20
+
+
+def test_lm_bucket_arm_keeps_requested_tiers(spark, tmp_path, capsys, monkeypatch):
+    """--lm-bucket-keep head,middle: the tail tertile of corpus-LM scores
+    leaves before dedup; kept pages carry lm_mean_p + lm_bucket."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    prose = [
+        (f"https://a.example/p{i}",
+         f"the quick brown fox jumps over the lazy dog again item {i}")
+        for i in range(30)
+    ]
+    junk = [
+        (f"https://b.example/j{i}",
+         " ".join(f"zx{i}q{j}" for j in range(8)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(prose + junk, "url string, text string")
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--lm-bucket-keep", "head,middle",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "lm_bucketed" in rec["stages"]
+    kept = spark.read.parquet(out_dir)
+    rows = kept.select("url", "lm_mean_p", "lm_bucket").collect()
+    assert set(r.lm_bucket for r in rows) <= {"head", "middle"}
+    # ~1/3 of the admitted corpus leaves; all-hapax junk is never 'head'
+    assert 0 < len(rows) < 36
+    junk_kept = [r for r in rows if "b.example" in r.url]
+    assert all(r.lm_bucket != "head" for r in junk_kept)
+
+
+def test_lm_bucket_keep_rejects_unknown_tier(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    df = spark.createDataFrame(
+        [("https://a.example/p", "a b c")], "url string, text string"
+    )
+    src = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o"),
+             "--checkpoint", str(tmp_path / "c"),
+             "--lm-bucket-keep", "head,bogus"],
+            capsys,
+        )
