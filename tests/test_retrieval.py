@@ -156,3 +156,16 @@ def test_sampled_cutoffs_keep_bucket_monotone_in_score(spark):
     assert set(got.values()) == {"head", "middle", "tail"}
     again = _bucket(spark, rows, sample_rate=0.3, seed=5)
     assert got == again
+
+
+def test_lexical_topk_plan_broadcasts_query_side(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    qs = _queries(spark, [(1, "a c")])
+    plan = (
+        lexical_topk(docs, qs, scale=SCALE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus never shuffles to meet the queries: every join is a
+    # broadcast, candidates-only exchanges do the rollup/rank
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
