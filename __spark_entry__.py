@@ -1876,6 +1876,61 @@ def q_audio_frames(spark, sf_dir):
     return audio_frame_stats(media, frame_len=16)
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual 64-bit average hash per image (sources/multimodal.py
+    ahash64): decode → integer grayscale → shared 8x8 floor-grid resize
+    → mean threshold, all integer-only. The oracle reads hashes the
+    fixture generator computed from the SOURCE pixel arrays through the
+    same kernel, so decode → gray → resize → threshold is pinned; the
+    fixture plants the same gradient in three containers (bottom-up
+    BMP, top-down BMP, PNG) that must collide exactly."""
+    from fuzzycat_spark.sources.multimodal import image_ahash
+
+    return image_ahash(spark.read.parquet(_MEDIA_FIXTURE))
+
+
+def q_image_dup_pairs(spark, sf_dir):
+    """Perceptual near-duplicate image pairs over the media fixture
+    (sources/multimodal.py image_dup_pairs): 8x 8-bit masked-band
+    candidates through the shared capped band machinery, then exact
+    bit_count(xor) <= 7 — catches the cross-container/cross-format
+    gradient family (hamming 0) and the one-pixel tweak (hamming 6)
+    while the random images stay unpaired. Exact recall at the
+    threshold: <= 7 differing bits touch <= 7 of the 8 bands."""
+    from fuzzycat_spark.sources.multimodal import image_dup_pairs
+
+    return image_dup_pairs(spark.read.parquet(_MEDIA_FIXTURE))
+
+
+def _image_dup_pairs_sql() -> str:
+    from fuzzycat_spark.sources.multimodal import _AHASH_BAND_MASKS
+
+    masks = ", ".join(
+        f"({i}, {m}::BIGINT)" for i, m in enumerate(_AHASH_BAND_MASKS)
+    )
+    return f"""
+        WITH ah AS (SELECT media_id, ahash FROM '{_MEDIA_FIXTURE}'
+                    WHERE kind = 'image'),
+        bands AS (
+          SELECT media_id, m.i, ah.ahash & m.mask AS bh
+          FROM ah CROSS JOIN (VALUES {masks}) AS m(i, mask)),
+        sized AS (
+          SELECT media_id, i, bh,
+                 count(*) OVER (PARTITION BY i, bh) AS bs
+          FROM bands),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+          FROM sized a JOIN sized b
+            ON a.i = b.i AND a.bh = b.bh AND a.media_id < b.media_id
+          WHERE a.bs BETWEEN 2 AND 200)
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN ah x ON x.media_id = c.id_a
+        JOIN ah y ON y.media_id = c.id_b
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= 7"""
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -3636,6 +3691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "audio_frames": q_audio_frames,
+        "image_ahash": q_image_ahash,
+        "image_dup_pairs": q_image_dup_pairs,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
@@ -3871,6 +3928,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_frames": f"""
             SELECT media_id, frame_idx, n_samples, energy, zero_crossings
             FROM '{_AUDIO_FRAMES_FIXTURE}'""",
+        "image_ahash": f"""
+            SELECT media_id, ahash FROM '{_MEDIA_FIXTURE}'
+            WHERE kind = 'image'""",
+        "image_dup_pairs": _image_dup_pairs_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
                    rs8_sha AS rs_sha

@@ -562,6 +562,145 @@ def resize_nearest(
     return img[yi][:, xi].reshape(-1)
 
 
+def ahash64(samples: "np.ndarray", src_h: int, src_w: int) -> int:
+    """64-bit average perceptual hash of a FLAT uint8 sample array:
+    integer grayscale ((r+g+b) DIV 3 for >=3 channels, channel 0
+    otherwise — alpha ignored), nearest-neighbor resize to 8x8 on the
+    shared floor grid, then bit i set iff pixel i exceeds the integer
+    mean (strict, ties clear). Every step is integer-only and shared
+    with the fixture generator, so the gate pins decode → gray →
+    resize → threshold end to end. Returned as SIGNED int64 (two's
+    complement wrap) to match the Spark/DuckDB long columns it lands
+    in. Same image in a different container (BMP vs PNG, bottom-up vs
+    top-down) hashes identically; small pixel edits flip few bits."""
+    a = np.asarray(samples).astype(np.uint8).reshape(-1)
+    if a.size % (src_h * src_w):
+        raise ValueError(
+            f"{a.size} samples do not tile {src_w}x{src_h}: metadata and "
+            "payload disagree"
+        )
+    ch = a.size // (src_h * src_w)
+    img = a.reshape(src_h, src_w, ch).astype(np.int64)
+    if ch >= 3:
+        gray = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+    else:
+        gray = img[:, :, 0]
+    rs = resize_nearest(
+        gray.astype(np.uint8).reshape(-1), src_h, src_w, 8, 8
+    ).astype(np.int64)
+    m = int(rs.sum()) // 64
+    h = 0
+    for bit in (rs > m).astype(np.int64):
+        h = (h << 1) | int(bit)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("ahash", LongType(), False),
+    ]
+)
+
+
+def image_ahash(
+    media: DataFrame,
+    decode: Callable[[bytes, str], "np.ndarray"] = real_decoder,
+) -> DataFrame:
+    """(media_id, ahash) for the image rows: decode each payload and
+    hash through `ahash64` with the TABLE's width/height metadata.
+    Non-image rows are excluded (no 2-D grid)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, b, k, w, h in zip(
+                pdf["media_id"], pdf["bytes"], pdf["kind"], pdf["width"],
+                pdf["height"],
+            ):
+                px = decode(bytes(b) if b is not None else b"", k)
+                out.append((mid, ahash64(px, int(h), int(w))))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "kind", "bytes", "width", "height")
+        .mapInPandas(run, AHASH_SCHEMA)
+    )
+
+
+# signed-int64 value of mask 0xFF << (8*i): band equality compares the
+# MASKED hash, never a shifted one — arithmetic vs logical right shift
+# differs between engines on negative hashes, & does not
+_AHASH_BAND_MASKS = [
+    (m - (1 << 64)) if (m := 255 << (8 * i)) >= 1 << 63 else m
+    for i in range(8)
+]
+
+
+def image_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 7,
+    decode: Callable[[bytes, str], "np.ndarray"] = real_decoder,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (id_a, id_b, hamming)
+    with hamming(ahash_a, ahash_b) <= max_hamming. Candidates come
+    from 8x 8-bit band equality through the shared capped band
+    machinery (`lsh.lsh_candidate_pairs`, band_id='ah<i>'): a pair
+    within hamming <= 7 differs in at most 7 of the 8 bytes, so at
+    least one band matches — exact recall at the default threshold,
+    and a boilerplate mega-bucket (e.g. a blank-image farm) is
+    cap-excluded, not exploded. Only (id, 8-byte hash) rows ride the
+    shuffles; pixels never leave the decode pass."""
+    from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
+
+    ah = image_ahash(media, decode=decode)
+    bands = ah.select(
+        F.col("media_id").alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"ah{i}").alias("band_id"),
+                        (F.col("ahash").bitwiseAND(F.lit(mask)))
+                        .cast("string")
+                        .alias("band_hash"),
+                    )
+                    for i, mask in enumerate(_AHASH_BAND_MASKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_hash")
+    cand = lsh_candidate_pairs(bands, max_bucket_size)
+    return (
+        cand.join(
+            ah.select(
+                F.col("media_id").alias("id_a"), F.col("ahash").alias("_ha")
+            ),
+            on="id_a",
+        )
+        .join(
+            ah.select(
+                F.col("media_id").alias("id_b"), F.col("ahash").alias("_hb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def resize_media(
     media: DataFrame,
     out_h: int = 8,

@@ -764,3 +764,45 @@ def test_audio_frame_stats_fixture_parity(spark):
         )
     }
     assert got == want and len(got) == 7
+
+
+def test_ahash_invariant_across_containers_and_layouts():
+    from fuzzycat_spark.sources.multimodal import ahash64, real_decoder
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_MEDIA_FIXTURE).to_pydict()
+    row = {m: i for i, m in enumerate(t["media_id"])}
+
+    def ah(mid):
+        i = row[mid]
+        px = real_decoder(t["bytes"][i], "image")
+        return ahash64(px, t["height"][i], t["width"][i])
+
+    # same pixels, three containers -> identical hash
+    assert ah("bmp_grad") == ah("bmp_grad_dup") == ah("png_grad")
+    # pinned column matches the decode path
+    assert ah("bmp_grad") == t["ahash"][row["bmp_grad"]]
+    # one-pixel tweak flips few bits
+    d = ah("bmp_grad") ^ ah("bmp_grad_tweak")
+    assert 1 <= bin(d & ((1 << 64) - 1)).count("1") <= 7
+
+
+def test_image_dup_pairs_finds_family_and_skips_random(spark):
+    from fuzzycat_spark.sources.multimodal import image_dup_pairs
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_dup_pairs(media).collect()
+    }
+    fam = {"bmp_grad", "bmp_grad_dup", "png_grad"}
+    for a in fam:
+        for b in fam:
+            if a < b:
+                assert got[(a, b)] == 0
+    for a in sorted(fam):
+        pair = tuple(sorted((a, "bmp_grad_tweak")))
+        assert got[pair] == 6
+    # nothing outside the planted family pairs up
+    outside = {p for p in got if not set(p) <= fam | {"bmp_grad_tweak"}}
+    assert outside == set()

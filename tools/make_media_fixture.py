@@ -140,18 +140,19 @@ def main() -> None:
     rows = []
 
     # rs8 scalars pin decode → metadata reshape → 8x8 nearest resize; the
-    # resize kernel is shared with the Spark op, the decode round trip is
-    # NOT — these are computed from the SOURCE arrays
-    from fuzzycat_spark.sources.multimodal import resize_nearest
+    # resize/ahash kernels are shared with the Spark ops, the decode round
+    # trip is NOT — these are computed from the SOURCE arrays
+    from fuzzycat_spark.sources.multimodal import ahash64, resize_nearest
 
     def add(mid, kind, mime, raw, expected_u8, width=None, height=None, dur=None):
         e = expected_u8.astype(np.uint8)
-        rs_count = rs_sum = rs_sha = None
+        rs_count = rs_sum = rs_sha = ah = None
         if kind == "image":
             rs = resize_nearest(e, height, width, 8, 8)
             rs_count = int(rs.size)
             rs_sum = int(rs.astype(np.int64).sum())
             rs_sha = hashlib.sha256(rs.tobytes()).hexdigest()
+            ah = ahash64(e, height, width)
         rows.append(
             {
                 "media_id": mid,
@@ -167,6 +168,7 @@ def main() -> None:
                 "rs8_count": rs_count,
                 "rs8_sum": rs_sum,
                 "rs8_sha": rs_sha,
+                "ahash": ah,
             }
         )
 
@@ -219,6 +221,21 @@ def main() -> None:
     s8 = rng.randint(0, 256, size=33, dtype=np.uint8)
     add("wav_pcm8", "audio", "audio/wav", encode_wav(s8, 8), s8, dur=int(33 / 8))
 
+    # perceptual-dup family for image_ahash/image_dup_pairs: the SAME g1
+    # gradient pixels in a different BMP layout and a different FORMAT
+    # (identical ahash, hamming 0) plus a one-pixel tweak (hamming 6,
+    # inside the default <=7 threshold); the random images above stay
+    # unpaired
+    add("bmp_grad_dup", "image", "image/bmp",
+        encode_bmp(g1, top_down=True), g1.reshape(-1), 4, 3)
+    add("png_grad", "image", "image/png",
+        encode_png(g1, 2, [1, 2, 0]), g1.reshape(-1), 4, 3)
+    g1t = g1.reshape(-1).astype(np.int64)
+    g1t[15:18] = np.clip(g1t[15:18] + 8, 0, 255)  # pixel 5 of the 3x4 grid
+    g1t = g1t.astype(np.uint8)
+    add("bmp_grad_tweak", "image", "image/bmp",
+        encode_bmp(g1t.reshape(3, 4, 3)), g1t, 4, 3)
+
     table = pa.table(
         {
             "media_id": pa.array([r["media_id"] for r in rows], pa.string()),
@@ -234,6 +251,7 @@ def main() -> None:
             "rs8_count": pa.array([r["rs8_count"] for r in rows], pa.int64()),
             "rs8_sum": pa.array([r["rs8_sum"] for r in rows], pa.int64()),
             "rs8_sha": pa.array([r["rs8_sha"] for r in rows], pa.string()),
+            "ahash": pa.array([r["ahash"] for r in rows], pa.int64()),
         }
     )
     # regeneration guard: payloads must stay byte-identical to the
