@@ -20,8 +20,8 @@ order- and libm-dependent and could never hash-match an oracle):
 (rare terms dominate, exactly as in the log-idf family — the ranking
 it induces differs from BM25 only in the absence of tf saturation and
 length normalization, both of which callers can layer on the float
-path); BM25 itself stays a non-gated float variant documented here for
-users who want the classic curve.
+path); BM25 itself ships as the non-gated float variant `bm25_topk`
+for users who want the classic curve.
 
 Scale shape (the 100 TB story):
 - Per-document term frequencies are computed INSIDE the row with one
@@ -48,7 +48,7 @@ from pyspark.sql.window import Window
 from fuzzycat_spark.functions.hashing import md5_h64
 from fuzzycat_spark.operators.spans import raw_tokens
 
-__all__ = ["doc_term_rows", "lexical_topk"]
+__all__ = ["doc_term_rows", "lexical_topk", "bm25_topk"]
 
 
 def _term_rows(narrow: DataFrame, id_name: str) -> DataFrame:
@@ -212,6 +212,97 @@ def lexical_topk(
             F.col("qid").alias("query_id"),
             F.col("id").alias("doc_id"),
             "score_fp",
+            "rank",
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    salt: int = 16,
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """Classic Okapi BM25 top-k: (query_id, doc_id, score, rank) with
+
+        score = sum_t qtf * idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    This is the float path — log idf, tf saturation, length
+    normalization — for users who want the standard curve. Scores are
+    floating-point sums (order- and libm-dependent), so this variant is
+    NOT oracle-gated; `lexical_topk` is the deterministic counterpart
+    with the identical plan shape. Same scale properties: posting rows
+    from the in-row fold (or a persisted `terms` table), queries/df/
+    corpus stats broadcast, candidates-only rollup, two-stage salted
+    top-k. Ties rank by ascending doc_id."""
+    dterms = (
+        terms
+        if terms is not None
+        else doc_term_rows(docs, id_col=id_col, text_col=text_col)
+    )
+    qterms = _term_rows(
+        queries.select(
+            F.col(qid_col).alias("qid"), raw_tokens(qtext_col).alias("_toks")
+        ),
+        "qid",
+    ).withColumnRenamed("tf", "qtf")
+    # corpus stats: doc length zero-shuffle from the scan, N/avgdl as a
+    # broadcast 1-row aggregate (token-less docs count with dl = 0)
+    dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(raw_tokens(text_col)).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matched = dterms.join(
+        F.broadcast(qterms.select("h").distinct()), "h", "inner"
+    )
+    dfq = matched.groupBy("h").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(qterms), "h")
+        .join(F.broadcast(dfq), "h")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "_s",
+            F.col("qtf") * F.col("_idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("qid", "id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    pre = Window.partitionBy(
+        "qid", F.pmod(F.xxhash64("id"), F.lit(salt))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_r", F.row_number().over(pre))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    final = Window.partitionBy("qid").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("doc_id"),
+            "score",
             "rank",
         )
     )

@@ -169,3 +169,57 @@ def test_lexical_topk_plan_broadcasts_query_side(spark):
     # broadcast, candidates-only exchanges do the rollup/rank
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bm25_matches_numpy_reference(spark):
+    import math
+
+    from fuzzycat_spark.operators.retrieval import bm25_topk
+
+    docs = [(1, "a a b"), (2, "b c"), (3, "c c c a"), (4, "d d")]
+    queries = [(10, "a c"), (11, "d")]
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(
+            _docs(spark, docs), _queries(spark, queries), k=10
+        ).collect()
+    }
+
+    # reference implementation
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def df(term):
+        return sum(1 for t in toks.values() if term in t)
+
+    want = {}
+    for qid, qt in queries:
+        for d, t in toks.items():
+            s = 0.0
+            for term in set(qt.split()):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                qtf = qt.split().count(term)
+                idf = math.log(1 + (n - df(term) + 0.5) / (df(term) + 0.5))
+                s += qtf * idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+            if s > 0.0:
+                want[(qid, d)] = s
+    assert set(got) == set(want)
+    for key, (score, _rank) in got.items():
+        assert abs(score - want[key]) < 1e-9 * max(1.0, abs(want[key]))
+    # ranking agrees with the reference ordering (ties -> min id)
+    for qid in (10, 11):
+        ref_order = sorted(
+            (d for (q, d) in want if q == qid),
+            key=lambda d: (-want[(qid, d)], d),
+        )
+        got_order = sorted(
+            (d for (q, d) in got if q == qid),
+            key=lambda d: got[(qid, d)][1],
+        )
+        assert got_order == ref_order
