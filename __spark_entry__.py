@@ -1931,6 +1931,54 @@ def _image_dup_pairs_sql() -> str:
         WHERE bit_count(xor(x.ahash, y.ahash)) <= 7"""
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Between-crawl delta (operators/delta.py): two snapshots derived
+    deterministically from the documents table — snapshot B drops every
+    doc_id % 5 == 1 page (removed), rewrites every doc_id % 4 == 0 page
+    (changed), and gains shifted-id pages for doc_id % 9 == 2 (added) —
+    classified added/removed/changed/unchanged by one full-outer join
+    on the key with md5 content hashes computed inside each scan."""
+    from fuzzycat_spark.operators.delta import crawl_delta
+
+    d = _docs(spark, sf_dir)
+    old = d.select(F.col("doc_id").cast("string").alias("url"), "text")
+    surv = d.filter(F.col("doc_id") % 5 != 1).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 9 == 2).select(
+        (F.col("doc_id") + 1000000).cast("string").alias("url"), "text"
+    )
+    return crawl_delta(old, surv.unionByName(added))
+
+
+_CRAWL_DELTA_SQL = """
+    WITH old AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key, md5(coalesce(text, ''))
+               AS old_hash
+      FROM documents),
+    new AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key,
+             md5(coalesce(CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                               ELSE text END, '')) AS new_hash
+      FROM documents WHERE doc_id % 5 <> 1
+      UNION ALL
+      SELECT CAST(doc_id + 1000000 AS VARCHAR) AS key,
+             md5(coalesce(text, '')) AS new_hash
+      FROM documents WHERE doc_id % 9 = 2)
+    SELECT coalesce(o.key, n.key) AS key,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash, n.new_hash
+    FROM old o FULL OUTER JOIN new n ON o.key = n.key"""
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -3693,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": q_audio_frames,
         "image_ahash": q_image_ahash,
         "image_dup_pairs": q_image_dup_pairs,
+        "crawl_delta": q_crawl_delta,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
@@ -3932,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, ahash FROM '{_MEDIA_FIXTURE}'
             WHERE kind = 'image'""",
         "image_dup_pairs": _image_dup_pairs_sql(),
+        "crawl_delta": _CRAWL_DELTA_SQL,
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
                    rs8_sha AS rs_sha
