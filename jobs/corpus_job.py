@@ -3,6 +3,7 @@ pages in, training shards out. Composes the engine end to end —
 
     ingest (parquet/Iceberg/jsonl or raw WARC + html→text extraction)
     → admission filter (tokens/quality/repetition/denylist, script-aware)
+    → optional recrawl delta screen (--previous-crawl: unchanged pages skip)
     → optional PII redaction, optional cross-doc line dedup
     → optional host-centrality screen (PageRank over the crawl's own
       link graph, --min-host-centrality)
@@ -121,6 +122,12 @@ def main() -> None:
                    help="sample rate for fitting the tier cutoffs "
                         "(default 1.0; at crawl scale use e.g. 0.001 — "
                         "cutoff fitting sorts only the sample)")
+    p.add_argument("--previous-crawl", default=None, metavar="PATH",
+                   help="pages table of the PREVIOUS crawl: keep only "
+                        "pages that are new or whose content changed "
+                        "since (one full-outer join on the id over "
+                        "(key, md5) rows — the unchanged majority of a "
+                        "recrawl skips the whole pipeline)")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -208,6 +215,24 @@ def main() -> None:
         return pages
 
     pages = ck.stage("filtered", filtered)
+
+    # 1a. optional recrawl delta: drop pages unchanged since the previous
+    # crawl BEFORE any expensive stage — on a weekly recrawl the
+    # unchanged majority never re-enters dedup. Runs after admission so
+    # the delta join carries only admitted keys.
+    if args.previous_crawl:
+        from fuzzycat_spark.operators.delta import crawl_delta
+
+        def delta_screened() -> DataFrame:
+            prev = read_pages(spark, args.previous_crawl)
+            keep = (
+                crawl_delta(prev, pages, key_col=idc, text_col=txt)
+                .filter(F.col("status").isin("added", "changed"))
+                .select(F.col("key").alias(idc))
+            )
+            return pages.join(keep, on=idc, how="left_semi")
+
+        pages = ck.stage("delta_screened", delta_screened)
 
     # 1b. optional host-centrality screen: PageRank over the crawl's own
     # link graph, BEFORE dedup — spam farms leave both the corpus and the

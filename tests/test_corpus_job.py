@@ -382,3 +382,39 @@ def test_lm_bucket_keep_rejects_unknown_tier(spark, tmp_path, capsys, monkeypatc
              "--lm-bucket-keep", "head,bogus"],
             capsys,
         )
+
+
+def test_previous_crawl_delta_screen(spark, tmp_path, capsys, monkeypatch):
+    """--previous-crawl: pages unchanged since the prior crawl leave
+    before dedup; new and changed pages flow through."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    base = "the quick brown fox jumps over the lazy dog again item"
+    prev_rows = [
+        (f"https://a.example/p{i}", f"{base} {i}") for i in range(20)
+    ]
+    cur_rows = (
+        [(f"https://a.example/p{i}", f"{base} {i}") for i in range(15)]
+        # p15..p19 changed content
+        + [(f"https://a.example/p{i}", f"{base} {i} updated edition")
+           for i in range(15, 20)]
+        # brand new pages
+        + [(f"https://a.example/new{i}", f"{base} brand new {i}")
+           for i in range(3)]
+    )
+    prev_src, cur_src = str(tmp_path / "prev"), str(tmp_path / "cur")
+    spark.createDataFrame(prev_rows, "url string, text string").write.parquet(prev_src)
+    spark.createDataFrame(cur_rows, "url string, text string").write.parquet(cur_src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", cur_src, "--output", out_dir, "--checkpoint", ckpt,
+         "--previous-crawl", prev_src, "--strategies", "exact",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "delta_screened" in rec["stages"]
+    urls = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert urls == (
+        {f"https://a.example/p{i}" for i in range(15, 20)}
+        | {f"https://a.example/new{i}" for i in range(3)}
+    )
