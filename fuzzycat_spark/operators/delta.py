@@ -8,16 +8,22 @@ compares records within one corpus); this is the between-corpus
 counterpart of `functions/urls.latest_revision`'s within-corpus
 revisit collapse.
 
-Contract: one row per key per side — compose upstream with
-`functions.urls.surt_key` (canonical URL identity) and
-`functions.urls.latest_revision` (pick one snapshot per key), exactly
-as `q_crawl_delta` does. Duplicate keys would multiply through the
-join, as in any keyed comparison.
+Key identity: compose upstream with `functions.urls.surt_key`
+(canonical URL identity) and `functions.urls.latest_revision` (pick
+the NEWEST snapshot per key) exactly as `q_crawl_delta` does. Each
+side is additionally collapsed here to one row per key with the
+order-free min-md5 representative, so duplicate keys can never
+multiply through the join: a side that still carries several distinct
+versions of a key compares its smallest content hash — identical
+version sets read unchanged, and a genuinely-new version errs toward
+'changed' (re-processing, never data loss). When recency matters,
+collapse with latest_revision first and the min() is an identity.
 
 Scale shape: each side reduces to (key, md5) inside the scan — page
-text never shuffles; the comparison is ONE full-outer hash join on the
-key. SURT keys range-partition by registered domain, so a per-domain
-recrawl diff prunes to the domain's partitions.
+text never shuffles; the per-side collapse is a partial-aggregated
+min() whose hash partitioning the full-outer join reuses. SURT keys
+range-partition by registered domain, so a per-domain recrawl diff
+prunes to the domain's partitions.
 """
 
 from __future__ import annotations
@@ -47,17 +53,25 @@ def crawl_delta(
     NULL text hashes like empty text (md5 of zero bytes) — a page that
     lost its payload between crawls reads as changed, not removed.
     """
-    o = old.select(
-        F.col(key_col).alias("key"),
-        content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias(
-            "old_hash"
-        ),
+    o = (
+        old.select(
+            F.col(key_col).alias("key"),
+            content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "_h"
+            ),
+        )
+        .groupBy("key")
+        .agg(F.min("_h").alias("old_hash"))
     )
-    n = new.select(
-        F.col(key_col).alias("key"),
-        content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias(
-            "new_hash"
-        ),
+    n = (
+        new.select(
+            F.col(key_col).alias("key"),
+            content_hash(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "_h"
+            ),
+        )
+        .groupBy("key")
+        .agg(F.min("_h").alias("new_hash"))
     )
     return o.join(n, "key", "full_outer").select(
         "key",

@@ -95,6 +95,7 @@ def _term_rows(narrow: DataFrame, id_name: str) -> DataFrame:
         # tf of run j = next run start (or n) minus this run start
         .select(
             id_name,
+            "_n",
             "_heads",
             F.zip_with(
                 "_idx",
@@ -109,6 +110,7 @@ def _term_rows(narrow: DataFrame, id_name: str) -> DataFrame:
         )
         .select(
             id_name,
+            "_n",
             F.when(
                 F.size("_heads") > 0,
                 F.zip_with(
@@ -121,16 +123,18 @@ def _term_rows(narrow: DataFrame, id_name: str) -> DataFrame:
             .alias("_terms"),
         )
     )
-    return d.select(id_name, F.explode("_terms").alias("t")).select(
-        id_name, "t.h", "t.tf"
-    )
+    return d.select(
+        id_name, F.col("_n").cast("long").alias("dl"), F.explode("_terms").alias("t")
+    ).select(id_name, "t.h", "t.tf", "dl")
 
 
 def doc_term_rows(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, h, tf): one row per distinct (document, term). tf is the
-    raw whitespace-token frequency. Zero shuffles — frequencies come
+    """(id, h, tf, dl): one row per distinct (document, term). tf is the
+    raw whitespace-token frequency, dl the document's total token count
+    (carried on every posting row so length-normalized scorers never
+    join a corpus-wide length table). Zero shuffles — frequencies come
     from the in-row run-length difference, not an explode → groupBy."""
     return _term_rows(
         docs.select(
@@ -178,7 +182,7 @@ def lexical_topk(
             F.col(qid_col).alias("qid"), raw_tokens(qtext_col).alias("_toks")
         ),
         "qid",
-    ).withColumnRenamed("tf", "qtf")
+    ).drop("dl").withColumnRenamed("tf", "qtf")
     # document frequency for QUERY terms only: matched rows are one per
     # (doc, term), so count(*) per hash is the df. The broadcast keeps
     # the corpus-side scan shuffle-free up to the candidate rollup.
@@ -254,16 +258,18 @@ def bm25_topk(
             F.col(qid_col).alias("qid"), raw_tokens(qtext_col).alias("_toks")
         ),
         "qid",
-    ).withColumnRenamed("tf", "qtf")
-    # corpus stats: doc length zero-shuffle from the scan, N/avgdl as a
-    # broadcast 1-row aggregate (token-less docs count with dl = 0)
-    dl = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(raw_tokens(text_col)).cast("double").alias("dl"),
-    )
-    stats = dl.agg(
+    ).drop("dl").withColumnRenamed("tf", "qtf")
+    # corpus stats as a broadcast 1-row aggregate over the scan; NULL
+    # text counts as a zero-length doc in both n_docs and avgdl. Per-doc
+    # length rides the posting rows (doc_term_rows carries dl), so no
+    # corpus-wide length table ever joins the candidates.
+    stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.avg(
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(raw_tokens(text_col)))
+            .cast("double")
+        ).alias("avgdl"),
     )
     matched = dterms.join(
         F.broadcast(qterms.select("h").distinct()), "h", "inner"
@@ -272,7 +278,6 @@ def bm25_topk(
     scored = (
         matched.join(F.broadcast(qterms), "h")
         .join(F.broadcast(dfq), "h")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)

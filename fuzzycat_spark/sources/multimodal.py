@@ -656,10 +656,14 @@ def image_dup_pairs(
     least one band matches — exact recall at the default threshold,
     and a boilerplate mega-bucket (e.g. a blank-image farm) is
     cap-excluded, not exploded. Only (id, 8-byte hash) rows ride the
-    shuffles; pixels never leave the decode pass."""
+    shuffles; pixels never leave the decode pass — and the decode pass
+    itself runs ONCE: the hash table feeds three plan branches (band
+    explode + both join-backs), so it is materialized through the
+    ephemeral parquet checkpoint before fan-out."""
     from fuzzycat_spark.operators.lsh import lsh_candidate_pairs
+    from fuzzycat_spark.plans.checkpoint import materialize
 
-    ah = image_ahash(media, decode=decode)
+    ah = materialize(image_ahash(media, decode=decode), "image_ahash")
     bands = ah.select(
         F.col("media_id").alias("id"),
         F.explode(

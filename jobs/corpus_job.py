@@ -123,11 +123,15 @@ def main() -> None:
                         "(default 1.0; at crawl scale use e.g. 0.001 — "
                         "cutoff fitting sorts only the sample)")
     p.add_argument("--previous-crawl", default=None, metavar="PATH",
-                   help="pages table of the PREVIOUS crawl: keep only "
-                        "pages that are new or whose content changed "
-                        "since (one full-outer join on the id over "
-                        "(key, md5) rows — the unchanged majority of a "
-                        "recrawl skips the whole pipeline)")
+                   help="pages table of the PREVIOUS run's 'filtered' "
+                        "stage (same text flags — the comparison is "
+                        "against THIS run's filtered text, so a raw "
+                        "prior crawl would read PII-redacted/repaired "
+                        "pages as changed): keep only pages that are "
+                        "new or whose content changed since (one "
+                        "full-outer join over (key, md5) rows — the "
+                        "unchanged majority of a recrawl skips the "
+                        "whole pipeline)")
     p.add_argument("--strip-common-lines", action="store_true",
                    help="C4-style cross-document boilerplate line removal")
     p.add_argument("--min-line-docs", type=int, default=2)
@@ -308,15 +312,37 @@ def main() -> None:
         bad = set(keep_tiers) - {"head", "middle", "tail"}
         if bad:
             raise SystemExit(f"--lm-bucket-keep: unknown tiers {sorted(bad)}")
+        if not 0.0 < args.lm_bucket_sample <= 1.0:
+            raise SystemExit(
+                f"--lm-bucket-sample {args.lm_bucket_sample}: must be in "
+                "(0, 1] — 0 would fit cutoffs on an empty sample and "
+                "bucket the whole corpus 'tail'"
+            )
+        if args.lm_bucket_sample >= 1.0:
+            import sys as _sys
+
+            print(
+                "corpus_job: --lm-bucket-sample 1.0 fits tier cutoffs on "
+                "the FULL corpus (a single-task rank over every score) — "
+                "fine for pilots, set e.g. 0.001 for crawl-scale runs",
+                file=_sys.stderr,
+            )
         from fuzzycat_spark.operators.lm import (
             doc_lm_scores,
             lm_perplexity_buckets,
         )
 
+        # score once into a checkpointed table: the bucket operator
+        # consumes its input twice (cutoff sample + output join), which
+        # would re-fit the corpus LM per branch on a lazy frame
+        def lm_score_table() -> DataFrame:
+            return doc_lm_scores(pages, id_col=idc, text_col=txt)
+
+        lm_scores_ck = ck.stage("lm_scores", lm_score_table)
+
         def lm_bucketed() -> DataFrame:
-            scores = doc_lm_scores(pages, id_col=idc, text_col=txt)
             buckets = lm_perplexity_buckets(
-                scores, id_col=idc, sample_rate=args.lm_bucket_sample
+                lm_scores_ck, id_col=idc, sample_rate=args.lm_bucket_sample
             ).select(
                 idc,
                 F.col("mean_p_fp").alias("lm_mean_p"),
@@ -328,7 +354,15 @@ def main() -> None:
             ).join(buckets, on=idc)
             return joined.filter(F.col("lm_bucket").isin(*keep_tiers))
 
+        had_pages = pages.limit(1).count() > 0
         pages = ck.stage("lm_bucketed", lm_bucketed)
+        if had_pages and pages.limit(1).count() == 0:
+            raise SystemExit(
+                "--lm-bucket-keep kept ZERO pages: the cutoff sample was "
+                "likely empty (sample_rate too small for this corpus) — "
+                "every document classified 'tail'. Raise "
+                "--lm-bucket-sample or include 'tail' in the kept tiers."
+            )
 
     # 2. dedup core (its own named stages inside the same checkpointer)
     cfg = DedupConfig(

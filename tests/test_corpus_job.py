@@ -418,3 +418,23 @@ def test_previous_crawl_delta_screen(spark, tmp_path, capsys, monkeypatch):
         {f"https://a.example/p{i}" for i in range(15, 20)}
         | {f"https://a.example/new{i}" for i in range(3)}
     )
+
+
+def test_lm_bucket_sample_zero_rejected(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    df = spark.createDataFrame(
+        [("https://a.example/p", "a b c d e f")], "url string, text string"
+    )
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="lm-bucket-sample"):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o"),
+             "--checkpoint", str(tmp_path / "c"),
+             "--lm-bucket-keep", "head", "--lm-bucket-sample", "0",
+             "--min-quality", "0", "--min-tokens", "1",
+             "--no-repetition-filter"],
+            capsys,
+        )

@@ -73,3 +73,18 @@ def test_composition_with_surt_and_latest_revision(spark):
     # the same SURT with identical text -> unchanged
     assert by_status == ["added", "removed", "unchanged"]
     assert got[[k for k in got if "news" in k][0]] == "unchanged"
+
+
+def test_duplicate_keys_collapse_instead_of_multiplying(spark):
+    # two revisit rows per key on the old side; identical version sets
+    # read unchanged, a genuinely-new version reads changed, and the
+    # output stays one row per key either way
+    old = _pages(
+        spark,
+        [("a", "v1"), ("a", "v2"), ("b", "x"), ("b", "x"), ("c", "z")],
+    )
+    new = _pages(spark, [("a", "v1"), ("a", "v2"), ("b", "x"), ("c", "Z!")])
+    rows = crawl_delta(old, new).collect()
+    assert len(rows) == 3  # one row per key, never |old_k| x |new_k|
+    got = {r.key: r.status for r in rows}
+    assert got == {"a": "unchanged", "b": "unchanged", "c": "changed"}

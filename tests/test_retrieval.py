@@ -223,3 +223,15 @@ def test_bm25_matches_numpy_reference(spark):
             key=lambda d: got[(qid, d)][1],
         )
         assert got_order == ref_order
+
+
+def test_bm25_null_text_rows_are_safe_corpus_members(spark):
+    from fuzzycat_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id bigint, text string"
+    )
+    got = bm25_topk(docs, _queries(spark, [(1, "a")]), k=5).collect()
+    # NULL/empty docs are corpus members (affect n_docs/avgdl) but never
+    # candidates; the scored doc still surfaces
+    assert [(r.query_id, r.doc_id, r.rank) for r in got] == [(1, 1, 1)]
