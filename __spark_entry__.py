@@ -1979,6 +1979,40 @@ _CRAWL_DELTA_SQL = """
     FROM old o FULL OUTER JOIN new n ON o.key = n.key"""
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 3
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/mixing.py
+    assign_splits): each doc routed by where its 48-bit md5 draw lands
+    on the cumulative fraction grid — partition/retry/cluster-size
+    invariant (df.randomSplit re-draws per task attempt), every
+    boundary an exact integer both engines compare identically."""
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf_dir).select("doc_id"),
+        _SPLIT_FRACTIONS,
+        seed=_SPLIT_SEED,
+    )
+
+
+def _split_assign_sql() -> str:
+    from fuzzycat_spark.operators.mixing import split_bounds
+
+    arms = "\n".join(
+        f"WHEN f < {b} THEN '{n}'"
+        for n, b in split_bounds(_SPLIT_FRACTIONS)
+    )
+    return f"""
+        SELECT doc_id, CASE {arms} END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SEED}'),
+                                     1, 12))::BIGINT AS f
+              FROM documents)"""
+
+
 _UNICODE_FIXTURE = "/root/repo/fixtures/unicode_docs.parquet"
 
 
@@ -3742,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "image_dup_pairs": q_image_dup_pairs,
         "crawl_delta": q_crawl_delta,
+        "split_assign": q_split_assign,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
@@ -3982,6 +4017,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE kind = 'image'""",
         "image_dup_pairs": _image_dup_pairs_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
+        "split_assign": _split_assign_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
                    rs8_sha AS rs_sha

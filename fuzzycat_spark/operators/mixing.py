@@ -92,3 +92,53 @@ def mix_corpus(
     is auditable."""
     rates = budget_rates(df, budgets, weight_col, key_col)
     return sample_corpus(df, rates, id_col, key_col, seed)
+
+
+def assign_splits(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split assignment:
+    `docs` plus a `split` column, each document routed by where its
+    48-bit md5 draw lands in the cumulative fraction grid.
+
+    Same discipline as the mixing sampler: the split is a pure hash of
+    (id, seed) — partition-, retry-, and cluster-size-invariant, and a
+    document can never change split between runs (the property held-out
+    eval sets actually require; `df.randomSplit` re-draws per task
+    attempt). Fraction boundaries are compared on the INTEGER grid so
+    any engine reproduces every assignment exactly. Fractions must sum
+    to <= 1 (+epsilon); a shortfall leaves the remainder NULL (callers
+    can treat NULL as "unassigned/discard")."""
+    total = sum(fractions.values())
+    if not fractions or total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be in (0, 1]")
+    field = md5_field48(id_col, seed)
+    expr: Column | None = None
+    for name, bound in split_bounds(fractions):
+        expr = (
+            F.when(field < F.lit(bound), F.lit(name))
+            if expr is None
+            else expr.when(field < F.lit(bound), F.lit(name))
+        )
+    return docs.withColumn("split", expr)
+
+
+def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bound on the 48-bit grid) per split, in
+    insertion order — the exact integers `assign_splits` compares
+    against, exposed so an oracle can replicate every boundary
+    bit-for-bit (IEEE accumulation included). When the fractions sum to
+    1 within 1e-9 the last bound is pinned to 2^48 exactly, so no
+    2^-48 sliver of ids is left unassigned by float rounding."""
+    out = []
+    acc = 0.0
+    names = list(fractions)
+    for name in names:
+        acc += fractions[name]
+        out.append((name, int(acc * (1 << 48))))
+    if abs(sum(fractions.values()) - 1.0) < 1e-9:
+        out[-1] = (names[-1], 1 << 48)
+    return out

@@ -101,3 +101,49 @@ class TestPlan:
         # the only exchanges feed the tiny rates aggregate / broadcast,
         # never a full-corpus shuffle: no SortMergeJoin anywhere
         assert "SortMergeJoin" not in plan
+
+
+def test_assign_splits_deterministic_disjoint_exhaustive(spark):
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id bigint"
+    )
+    out = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=7)
+    got = {r.doc_id: r.split for r in out.collect()}
+    # exhaustive when fractions sum to 1 (last bound pinned to 2^48)
+    assert None not in got.values()
+    counts = {s: list(got.values()).count(s) for s in ("train", "val", "test")}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.07 < counts["val"] / 2000 < 0.13
+    # invariant under repartition and re-run
+    again = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7,
+        ).collect()
+    }
+    assert got == again
+    # a different seed reshuffles membership
+    other = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=8
+        ).collect()
+    }
+    assert got != other
+
+
+def test_assign_splits_shortfall_leaves_null_and_validates(spark):
+    import pytest as _pytest
+
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    out = assign_splits(docs, {"train": 0.5}, seed=1).collect()
+    splits = {r.split for r in out}
+    assert splits == {"train", None}
+    with _pytest.raises(ValueError):
+        assign_splits(docs, {"a": 0.9, "b": 0.2})
