@@ -319,7 +319,7 @@ def test_resize_media_distributed_matches_fixture(spark):
         for r in resize_media(media, 8, 8).collect()
     }
     assert got == want
-    assert "wav_pcm16" not in got and len(got) == 10
+    assert "wav_pcm16" not in got and len(got) == 13
 
 
 def test_incremental_equals_batch_dedup(spark):
