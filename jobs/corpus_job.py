@@ -145,6 +145,12 @@ def main() -> None:
                    help="annotate each doc with its concatenate-and-chunk "
                    "packing layout (start_off/start_seq/end_seq per "
                    "B-token training sequence, per shard); 0 = off")
+    p.add_argument("--emit-postings", action="store_true",
+                   help="emit the kept corpus's (id, term-hash, tf, dl) "
+                        "posting table as a side artifact under the "
+                        "checkpoint dir — the persisted terms= input of "
+                        "lexical_topk/bm25_topk (build once, query many "
+                        "times)")
     p.add_argument("--vocab-top-k", type=int, default=0, metavar="K",
                    help="emit the kept corpus's K most frequent tokens "
                    "as a side table under the checkpoint dir; 0 = off")
@@ -444,6 +450,17 @@ def main() -> None:
                                       text_col=txt)
 
         ck.stage("vocab", vocab)  # side artifact; docs flow on unchanged
+
+    if args.emit_postings:
+        from fuzzycat_spark.operators.retrieval import doc_term_rows
+
+        def postings() -> DataFrame:
+            return doc_term_rows(docs, id_col=idc, text_col=txt)
+
+        # side artifact: the persisted posting table lexical_topk /
+        # bm25_topk take via terms= (build once, query many times —
+        # otherwise every retrieval call scans the corpus text twice)
+        ck.stage("postings", postings)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

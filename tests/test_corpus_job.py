@@ -438,3 +438,42 @@ def test_lm_bucket_sample_zero_rejected(spark, tmp_path, capsys, monkeypatch):
              "--no-repetition-filter"],
             capsys,
         )
+
+
+def test_emit_postings_side_table_queries(spark, tmp_path, capsys, monkeypatch):
+    """--emit-postings: the checkpointed posting table answers retrieval
+    queries via terms= with the same results as inline scoring."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        (f"https://a.example/p{i}",
+         f"the quick brown fox jumps over dog {i} " + ("spark " * (i % 3)))
+        for i in range(12)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--emit-postings",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "postings" in rec["stages"]
+    from fuzzycat_spark.operators.retrieval import lexical_topk
+
+    terms = spark.read.parquet(f"{ckpt}/postings")
+    assert set(terms.columns) == {"id", "h", "tf", "dl"}
+    kept = spark.read.parquet(out_dir).select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    qs = spark.createDataFrame([(1, "spark fox")], "query_id int, qtext string")
+    via_table = {
+        (r.query_id, r.doc_id): (r.score_fp, r.rank)
+        for r in lexical_topk(kept, qs, k=5, terms=terms).collect()
+    }
+    inline = {
+        (r.query_id, r.doc_id): (r.score_fp, r.rank)
+        for r in lexical_topk(kept, qs, k=5).collect()
+    }
+    assert via_table == inline and len(inline) == 5
