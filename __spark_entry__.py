@@ -1979,6 +1979,51 @@ _CRAWL_DELTA_SQL = """
     FROM old o FULL OUTER JOIN new n ON o.key = n.key"""
 
 
+def q_host_components(spark, sf_dir):
+    """Site clusters: connected components over the UNDIRECTED host link
+    graph (operators/linkgraph.host_graph → operators/components) —
+    the mirror/sister-domain grouping a crawl-curation pipeline caps or
+    screens as one unit. Reuses the contraction + pointer-doubling CC
+    verbatim on string host ids; every host in the graph gets a label,
+    cluster_id = lexicographically-smallest member host."""
+    from fuzzycat_spark.operators.components import connected_components
+    from fuzzycat_spark.operators.linkgraph import extract_links, host_graph
+
+    g = host_graph(extract_links(spark.read.parquet(_LINK_FIXTURE)))
+    edges = g.select(
+        F.col("src_host").alias("id_a"), F.col("dst_host").alias("id_b")
+    )
+    hosts = (
+        g.select(F.col("src_host").alias("host"))
+        .unionByName(g.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    return hosts.join(cc, hosts.host == cc.id, "left").select(
+        "host", F.coalesce(F.col("cluster_id"), F.col("host")).alias("cluster_id")
+    )
+
+
+def _host_components_sql() -> str:
+    return f"""WITH RECURSIVE {_HOST_GRAPH_CTE},
+        und AS (
+          SELECT src_host AS src, dst_host AS dst FROM edges
+          UNION ALL
+          SELECT dst_host AS src, src_host AS dst FROM edges),
+        reach(id, r) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.id),
+        cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        allhosts AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL
+            SELECT dst_host AS host FROM edges))
+        SELECT h.host, coalesce(cc.cluster_id, h.host) AS cluster_id
+        FROM allhosts h LEFT JOIN cc ON h.host = cc.id"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SEED = 3
 
@@ -3777,6 +3822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_pairs": q_image_dup_pairs,
         "crawl_delta": q_crawl_delta,
         "split_assign": q_split_assign,
+        "host_components": q_host_components,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
         "components_unicode": q_components_unicode,
@@ -4018,6 +4064,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_pairs": _image_dup_pairs_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
         "split_assign": _split_assign_sql(),
+        "host_components": _host_components_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,
                    rs8_sha AS rs_sha

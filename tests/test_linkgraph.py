@@ -69,12 +69,19 @@ def test_pagerank_fixture_graph_ordering(spark):
         r.host: r.score_fp
         for r in pagerank_fp(host_graph(extract_links(pages)), iters=8).collect()
     }
-    # the everyone-links-to-it CDN sink outranks every content host;
-    # the no-inlink host sits exactly at the teleport base
-    assert scores["com,cdn,static"] == max(scores.values())
+    # the everyone-links-to-it CDN sink outranks every host in its own
+    # component; the no-inlink host sits exactly at the teleport base
+    island = {"example,east,isle", "example,west,isle"}
+    assert scores["com,cdn,static"] == max(
+        v for h, v in scores.items() if h not in island
+    )
     assert scores["me,zeta,lonely"] == BASE
     # hub portal outranks the cycle members it links to
     assert scores["com,example,portal"] > scores["uk,co,delta,shop"]
+    # the disjoint 2-cycle island keeps all its mass: each member holds
+    # the per-node stationary score exactly (closed component fixed point)
+    assert scores["example,east,isle"] == scores["example,west,isle"]
+    assert scores["example,east,isle"] == 1_000_000_000
 
 
 def test_anchor_texts_strip_markup_and_collapse(spark):

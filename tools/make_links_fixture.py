@@ -80,6 +80,13 @@ def build() -> pd.DataFrame:
         page(f"{CDN}/about", "CDN about", []),
         # lonely: no inlinks, links out to two hosts
         page(f"{LONELY}/", "Lonely", [f"{PORTAL}/", f"{CDN}/z.js"]),
+        # disjoint island: two hosts linking only each other — a second
+        # connected component for the host_components gate (and a
+        # teleport-only subgraph for pagerank mass checks)
+        page("https://isle.east.example/", "Isle east",
+             ["https://isle.west.example/x"]),
+        page("https://isle.west.example/x", "Isle west",
+             ["https://isle.east.example/"]),
     ]
     df = pd.DataFrame(rows)
     df.insert(0, "doc_id", range(1, len(df) + 1))
