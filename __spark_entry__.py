@@ -1035,6 +1035,134 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CROSS_SEED = 7
+_STRATA_QUOTAS = {"en": 50, "de": 30, "zh": 10, "fr": 1000}
+_STRATA_SEED = 3
+
+
+def _cross_sides(spark, sf_dir):
+    """Deterministic split of the corpus into a frozen 'reference' side
+    (even 48-bit md5 draw) and an incoming 'new' side (odd) — the gate's
+    stand-in for two crawls. One text scan: both sides filter the same
+    materialized shingle table."""
+    from fuzzycat_spark.functions.hashing import md5_field48
+
+    sh = _doc_shingles(spark, sf_dir).withColumn(
+        "_side", F.pmod(md5_field48("doc_id", _CROSS_SEED), F.lit(2))
+    )
+    new_sh = sh.filter(F.col("_side") == 1).select(F.col("doc_id").alias("id"), "sh")
+    ref_sh = sh.filter(F.col("_side") == 0).select(F.col("doc_id").alias("id"), "sh")
+    return new_sh, ref_sh
+
+
+def q_cross_dedup_pairs(spark, sf_dir):
+    """Asymmetric cross-corpus near-dedup (operators/crossdedup.py):
+    screen a new crawl against a frozen reference corpus. MinHash band
+    candidates from BOTH sides share one combined-bucket-capped shuffle
+    of (id, band_id, band_hash) rows; only new x ref pairs are expanded
+    (never the quadratic within-reference set), then the exact shingle
+    Jaccard confirms survivors. The reference analog is the cluster
+    step run between dataset versions instead of within one."""
+    from fuzzycat_spark.operators.crossdedup import cross_corpus_pairs
+
+    new_sh, ref_sh = _cross_sides(spark, sf_dir)
+    return cross_corpus_pairs(
+        new_sh, ref_sh,
+        num_perm=NUM_PERM, bands=BANDS, rows=ROWS, unit_bands=UNIT_BANDS,
+        max_bucket_size=MAX_BUCKET, jaccard_threshold=_NGRAM_JACCARD_T,
+    )
+
+
+def q_cross_dedup(spark, sf_dir):
+    """Per-new-document screening verdict over the cross-corpus pairs:
+    matched flag + best reference match (max Jaccard, ties to smallest
+    ref id). Clean documents appear with matched=false — the keep list
+    a downstream mix stage consumes."""
+    from fuzzycat_spark.functions.hashing import md5_field48
+    from fuzzycat_spark.operators.crossdedup import cross_dedup_verdicts
+
+    new_ids = (
+        _docs(spark, sf_dir)
+        .filter(F.pmod(md5_field48("doc_id", _CROSS_SEED), F.lit(2)) == 1)
+        .select(F.col("doc_id").alias("new_id"))
+    )
+    return cross_dedup_verdicts(new_ids, q_cross_dedup_pairs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sampling (operators/mixing.sample_quota):
+    'exactly N docs per language', the quota form of a training-mix spec
+    (corpus_mix's rate form hits budgets only in expectation). Selection
+    = smallest 48-bit md5 draws per stratum, two-stage salted top-k so
+    no language lands on one reducer. Quota arms: en/de/zh capped below
+    their counts, fr quota above its count (all kept), es absent
+    (dropped)."""
+    from fuzzycat_spark.operators.mixing import sample_quota
+
+    return sample_quota(
+        _docs(spark, sf_dir), _STRATA_QUOTAS,
+        id_col="doc_id", key_col="lang", seed=_STRATA_SEED,
+    )
+
+
+def _cross_pairs_sql() -> str:
+    return f"""{_BAND_CTES},
+            side AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':{_CROSS_SEED}'), 1, 12))::BIGINT % 2 AS side
+              FROM documents
+            ),
+            bucket_ok AS (
+              SELECT band_id, band_hash FROM band_rows
+              GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+            ),
+            br AS (
+              SELECT band_rows.*, side.side
+              FROM band_rows
+              JOIN bucket_ok USING (band_id, band_hash)
+              JOIN side USING (doc_id)
+            ),
+            cross_cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+              FROM br n JOIN br r USING (band_id, band_hash)
+              WHERE n.side = 1 AND r.side = 0
+            ),
+            cross_scored AS (
+              SELECT c.new_id, c.ref_id,
+                     CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.shingles, b.shingles))
+                               / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     END AS j
+              FROM cross_cand c
+              JOIN sh a ON c.new_id = a.doc_id
+              JOIN sh b ON c.ref_id = b.doc_id
+            ),
+            cross_pairs AS (
+              SELECT new_id, ref_id, round(j, 6) AS jac FROM cross_scored
+              WHERE round(j, 9) >= {_NGRAM_JACCARD_T}
+            )"""
+
+
+def _stratified_sample_sql() -> str:
+    values = ", ".join(f"('{k}', {int(v)})" for k, v in _STRATA_QUOTAS.items())
+    return f"""
+            WITH q AS (SELECT * FROM (VALUES {values}) AS q(lang, quota)),
+            h AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':{_STRATA_SEED}'), 1, 12))::BIGINT AS hv
+              FROM documents
+            ),
+            r AS (
+              SELECT h.doc_id, h.lang, q.quota,
+                     CAST(row_number() OVER (
+                       PARTITION BY h.lang ORDER BY h.hv ASC, h.doc_id ASC
+                     ) AS BIGINT) AS rank
+              FROM h JOIN q USING (lang)
+            )
+            SELECT doc_id AS id, lang, rank FROM r WHERE rank <= quota"""
+
+
 def q_candidates(spark, sf_dir):
     return candidate_pairs(_docs(spark, sf_dir), DOC_CFG)
 
@@ -3791,6 +3919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bands": q_lsh_bands,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "cross_dedup_pairs": q_cross_dedup_pairs,
+        "cross_dedup": q_cross_dedup,
+        "stratified_sample": q_stratified_sample,
         "candidates": q_candidates,
         "verified_pairs": q_verified_pairs,
         "components": q_components,
@@ -3948,6 +4079,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(j, 6) AS jac FROM scored
             WHERE round(j, 9) >= {_NGRAM_JACCARD_T}""",
+        "cross_dedup_pairs": f"""
+            WITH {_cross_pairs_sql()}
+            SELECT new_id, ref_id, jac FROM cross_pairs""",
+        "cross_dedup": f"""
+            WITH {_cross_pairs_sql()},
+            best AS (
+              SELECT new_id, ref_id AS best_ref, jac AS best_jac,
+                     row_number() OVER (
+                       PARTITION BY new_id ORDER BY jac DESC, ref_id ASC
+                     ) AS rn
+              FROM cross_pairs
+            ),
+            news AS (SELECT doc_id AS new_id FROM side WHERE side = 1)
+            SELECT n.new_id, b.best_ref IS NOT NULL AS matched, b.best_ref, b.best_jac
+            FROM news n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (new_id)""",
+        "stratified_sample": _stratified_sample_sql(),
         "candidates": f"""
             WITH {_CAND_CTES}
             SELECT id_a, id_b FROM cand""",

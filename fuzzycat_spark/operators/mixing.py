@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.hashing import md5_field48
@@ -142,3 +142,57 @@ def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     if abs(sum(fractions.values()) - 1.0) < 1e-9:
         out[-1] = (names[-1], 1 << 48)
     return out
+
+
+def sample_quota(
+    df: DataFrame,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+    key_col: str = "lang",
+    seed: int = 0,
+    salt: int = 16,
+) -> DataFrame:
+    """Exact-count stratified sample: for each stratum key, keep the
+    `quotas[key]` documents with the SMALLEST 48-bit md5 draw (ties by
+    id), ranked 1..quota. Strata absent from `quotas` are dropped.
+    Returns (id, key, rank).
+
+    The rate-based sampler (`sample_corpus`) hits a budget only in
+    expectation; this is the "exactly 10M German documents" form a
+    training-mix spec usually states. Selection is still a pure function
+    of (id, seed) ORDER — re-running, resuming, or resizing the cluster
+    reproduces the identical sample, and a document entering/leaving the
+    corpus displaces at most one other document per stratum.
+
+    Scale: a naive per-stratum window would put an entire language on
+    one reducer. Instead the same two-stage salted top-k as
+    `operators/retrieval.py`: stage 1 ranks within (key, xxhash64(id) %
+    salt) — `salt` x key-cardinality balanced partitions — and keeps
+    quota rows per salt cell; stage 2 ranks the <= quota*salt survivors
+    per key. Top-quota of a union of per-cell top-quotas is exactly the
+    global top-quota, so the result is identical to the naive window.
+    Quotas ride a broadcast join; the corpus is never reshuffled."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()], f"{key_col} string, quota bigint"
+    )
+    hv = md5_field48(id_col, seed)
+    scored = df.join(F.broadcast(qdf), key_col, "inner").select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key"), "quota",
+        hv.alias("_hv"),
+    )
+    order = [F.col("_hv").asc(), F.col("id").asc()]
+    pre = Window.partitionBy("key", F.pmod(F.xxhash64("id"), F.lit(salt))).orderBy(
+        *order
+    )
+    survivors = (
+        scored.withColumn("_r", F.row_number().over(pre))
+        .filter(F.col("_r") <= F.col("quota"))
+        .drop("_r")
+    )
+    final = Window.partitionBy("key").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= F.col("quota"))
+        .select("id", F.col("key").alias(key_col), F.col("rank").cast("long").alias("rank"))
+    )

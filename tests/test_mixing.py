@@ -147,3 +147,79 @@ def test_assign_splits_shortfall_leaves_null_and_validates(spark):
     assert splits == {"train", None}
     with _pytest.raises(ValueError):
         assign_splits(docs, {"a": 0.9, "b": 0.2})
+
+
+class TestSampleQuota:
+    QUOTAS = {"en": 25, "de": 10, "zh": 1_000}
+
+    def test_exact_counts_and_arms(self, spark, corpus):
+        from fuzzycat_spark.operators.mixing import sample_quota
+
+        out = sample_quota(corpus, self.QUOTAS, seed=3).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["lang"], []).append((r["rank"], r["id"]))
+        # capped strata hit the quota exactly
+        assert len(by_key["en"]) == 25
+        assert len(by_key["de"]) == 10
+        # quota above stratum size keeps everything
+        assert len(by_key["zh"]) == 100
+        # strata without a quota are dropped
+        assert "fr" not in by_key
+        # ranks are contiguous 1..n per stratum
+        for k, rows in by_key.items():
+            assert sorted(r for r, _ in rows) == list(range(1, len(rows) + 1))
+
+    def test_matches_naive_window_and_partition_invariant(self, spark, corpus):
+        from pyspark.sql import Window
+
+        from fuzzycat_spark.functions.hashing import md5_field48
+        from fuzzycat_spark.operators.mixing import sample_quota
+
+        got = {
+            (r["id"], r["lang"], r["rank"])
+            for r in sample_quota(corpus, self.QUOTAS, seed=3, salt=4).collect()
+        }
+        # the salted two-stage result equals one naive global window
+        w = Window.partitionBy("lang").orderBy(
+            md5_field48("doc_id", 3).asc(), F.col("doc_id").asc()
+        )
+        naive = {
+            (r["doc_id"], r["lang"], r["rank"])
+            for r in corpus.filter(F.col("lang").isin(*self.QUOTAS))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(
+                F.col("rank")
+                <= F.when(F.col("lang") == "en", 25)
+                .when(F.col("lang") == "de", 10)
+                .otherwise(1_000)
+            )
+            .collect()
+        }
+        assert got == naive
+        # invariant under input repartitioning
+        again = {
+            (r["id"], r["lang"], r["rank"])
+            for r in sample_quota(
+                corpus.repartition(13), self.QUOTAS, seed=3
+            ).collect()
+        }
+        assert got == again
+
+    def test_seed_changes_selection(self, spark, corpus):
+        from fuzzycat_spark.operators.mixing import sample_quota
+
+        a = {r["id"] for r in sample_quota(corpus, {"en": 25}, seed=3).collect()}
+        b = {r["id"] for r in sample_quota(corpus, {"en": 25}, seed=4).collect()}
+        assert len(a) == len(b) == 25
+        assert a != b
+
+    def test_quotas_broadcast_corpus_not_exchanged_before_stage1(self, spark, corpus):
+        from fuzzycat_spark.operators.mixing import sample_quota
+
+        plan = (
+            sample_quota(corpus, self.QUOTAS, seed=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
