@@ -11,6 +11,9 @@ pages in, training shards out. Composes the engine end to end —
       CCNet head/middle/tail perplexity tiers (--lm-bucket-keep)
     → dedup (full multi-strategy blocking + verify + components)
     → canonical selection (one best page per cluster)
+    → optional cross-corpus screen (--reference-corpus: drop pages
+      near-matching a frozen prior corpus; --emit-bands persists this
+      run's band table for the next crawl's --reference-bands)
     → optional eval-suite decontamination
     → optional per-domain caps
     → optional per-language budget mixing
@@ -154,6 +157,25 @@ def main() -> None:
     p.add_argument("--vocab-top-k", type=int, default=0, metavar="K",
                    help="emit the kept corpus's K most frequent tokens "
                    "as a side table under the checkpoint dir; 0 = off")
+    p.add_argument("--reference-corpus", default=None, metavar="PATH",
+                   help="frozen reference corpus (same id/text columns; "
+                        "e.g. the previous run's --output shards): after "
+                        "canonical selection, drop every kept page whose "
+                        "shingle Jaccard against ANY reference page "
+                        "reaches --cross-jaccard. The asymmetric 'dedup "
+                        "crawl N against crawl N-1' screen — within-"
+                        "reference pairs are never expanded")
+    p.add_argument("--cross-jaccard", type=float, default=0.5,
+                   help="confirmation threshold for --reference-corpus")
+    p.add_argument("--reference-bands", default=None, metavar="PATH",
+                   help="persisted (id, band_id, band_hash) MinHash band "
+                        "table of the reference corpus (a prior run's "
+                        "'bands' side artifact): skips re-hashing the "
+                        "frozen side on every incoming crawl")
+    p.add_argument("--emit-bands", action="store_true",
+                   help="emit the kept corpus's MinHash band table as a "
+                        "side artifact under the checkpoint dir — the "
+                        "--reference-bands input of the NEXT crawl's run")
     p.add_argument("--eval-path", default=None,
                    help="eval-suite parquet (text col) to decontaminate against")
     p.add_argument("--eval-ngram", type=int, default=8)
@@ -391,6 +413,47 @@ def main() -> None:
 
     docs = ck.stage("corpus", corpus)
 
+    # 3a. optional cross-corpus screen: drop kept pages that near-match
+    # the frozen reference corpus (crawl N vs crawl N-1). Runs AFTER
+    # canonical selection so only one representative per within-crawl
+    # cluster is ever hashed against the reference side.
+    if args.reference_corpus or args.emit_bands:
+        from fuzzycat_spark.functions.normalize import (
+            tokens_col,
+            word_shingles_from_tokens,
+        )
+        from fuzzycat_spark.plans.checkpoint import materialize
+
+        def _shingle_table(df: DataFrame) -> DataFrame:
+            # tokens must be a materialized ATTRIBUTE before shingling:
+            # HOF lambdas re-evaluate captured expressions per element
+            # (see word_shingles_from_tokens) — the tokenize expression
+            # inline would be O(L^2) regex work per document
+            toks = materialize(
+                df.select(F.col(idc).alias("id"), tokens_col(txt).alias("toks")),
+                "cross_toks",
+            )
+            return toks.select(
+                "id", word_shingles_from_tokens(F.col("toks")).alias("sh")
+            )
+
+    if args.reference_corpus:
+        from fuzzycat_spark.operators.crossdedup import cross_corpus_pairs
+
+        def cross_screened() -> DataFrame:
+            ref_sh = _shingle_table(read_pages(spark, args.reference_corpus))
+            rb = (
+                spark.read.parquet(args.reference_bands)
+                if args.reference_bands else None
+            )
+            matched = cross_corpus_pairs(
+                _shingle_table(docs), ref_sh,
+                jaccard_threshold=args.cross_jaccard, ref_bands=rb,
+            ).select(F.col("new_id").alias(idc)).distinct()
+            return docs.join(matched, on=idc, how="left_anti")
+
+        docs = ck.stage("cross_screened", cross_screened)
+
     if args.strip_dup_spans > 0:
         from fuzzycat_spark.operators.spans import strip_dup_spans
 
@@ -461,6 +524,20 @@ def main() -> None:
         # bm25_topk take via terms= (build once, query many times —
         # otherwise every retrieval call scans the corpus text twice)
         ck.stage("postings", postings)
+
+    if args.emit_bands:
+        from fuzzycat_spark.operators.lsh import minhash_band_table
+
+        def band_table() -> DataFrame:
+            return minhash_band_table(
+                _shingle_table(docs), "id", "text",
+                use_udf=True, shingles_col="sh",
+            )
+
+        # side artifact over the FINAL kept corpus (post screens/caps/
+        # mixing — exactly what the next crawl is compared against): the
+        # next run's --reference-bands, so the frozen side is hashed once
+        ck.stage("bands", band_table)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

@@ -477,3 +477,63 @@ def test_emit_postings_side_table_queries(spark, tmp_path, capsys, monkeypatch):
         for r in lexical_topk(kept, qs, k=5).collect()
     }
     assert via_table == inline and len(inline) == 5
+
+
+def test_cross_corpus_screen_round_trip(spark, tmp_path, capsys, monkeypatch):
+    """--reference-corpus / --emit-bands over two consecutive crawls:
+    run 1 writes shards + its band table; run 2 screens against run 1's
+    OUTPUT using run 1's persisted bands — near-dups of the frozen corpus
+    leave, genuinely new pages survive."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    crawl1 = [
+        (f"https://a.example/p{i}", f"{base} edition {i}") for i in range(6)
+    ] + [("https://a.example/solo", "seven silent ships sailing south "
+          "under storm clouds tonight bring rain")]
+    crawl2 = (
+        # carried-over near-dups of crawl-1 pages (new urls, ~same text)
+        [(f"https://b.example/copy{i}", f"{base} edition {i}")
+         for i in range(4)]
+        # genuinely new content
+        + [(f"https://b.example/new{i}",
+            f"totally fresh subject {i} covering gardens rivers "
+            f"mountains valleys forests deserts islands beaches")
+           for i in range(3)]
+    )
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame(crawl1, "url string, text string").write.parquet(src1)
+    spark.createDataFrame(crawl2, "url string, text string").write.parquet(src2)
+    out1, ck1 = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    common = ["--strategies", "exact", "--min-quality", "0",
+              "--min-tokens", "1", "--no-repetition-filter",
+              "--n-shards", "2"]
+    rec1 = _run(
+        ["--input", src1, "--output", out1, "--checkpoint", ck1,
+         "--emit-bands"] + common,
+        capsys,
+    )
+    assert "bands" in rec1["stages"]
+    bands = spark.read.parquet(f"{ck1}/bands")
+    assert set(bands.columns) == {"id", "band_id", "band_hash"}
+
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    rec2 = _run(
+        ["--input", src2, "--output", out2, "--checkpoint", ck2,
+         "--reference-corpus", out1, "--reference-bands", f"{ck1}/bands",
+         "--cross-jaccard", "0.8"] + common,
+        capsys,
+    )
+    assert "cross_screened" in rec2["stages"]
+    urls = {r.url for r in spark.read.parquet(out2).select("url").collect()}
+    assert urls == {f"https://b.example/new{i}" for i in range(3)}
+
+    # without the persisted bands (reference hashed in-job): same keep set
+    out3, ck3 = str(tmp_path / "out3"), str(tmp_path / "ck3")
+    _run(
+        ["--input", src2, "--output", out3, "--checkpoint", ck3,
+         "--reference-corpus", out1, "--cross-jaccard", "0.8"] + common,
+        capsys,
+    )
+    urls3 = {r.url for r in spark.read.parquet(out3).select("url").collect()}
+    assert urls3 == urls
