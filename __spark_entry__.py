@@ -2573,6 +2573,64 @@ SELECT d.doc_id AS id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
 FROM '{_NYSIIS_FIXTURE}' d LEFT JOIN cc ON d.doc_id = cc.id"""
 
 
+_CLS_FIXTURE = "/root/repo/fixtures/classifier_docs.parquet"
+_CLS_WEIGHTS = "/root/repo/fixtures/classifier_weights.parquet"
+
+
+def q_classifier_scores(spark, sf_dir):
+    """Model-based quality classification (operators/classify.py): integer
+    linear score over hashed unigram+bigram features with the PINNED
+    Naive-Bayes log-odds vocabulary fitted at fixture-generation time
+    (tools/make_classifier_fixture.py) — the fastText/CCNet-style learned
+    quality filter. Spark joins features on md5_h64 hashes against the
+    fixture's pinned h keys; the oracle joins on the feature STRING — so
+    agreement also proves Spark-side hashing matches the pinned keys
+    (a hash drift loses features and diverges the scores). Non-vacuous
+    by construction: every pos doc scores > 0 > every neg doc."""
+    from fuzzycat_spark.operators.classify import linear_score_fp
+
+    docs = spark.read.parquet(_CLS_FIXTURE)
+    weights = spark.read.parquet(_CLS_WEIGHTS)
+    return (
+        docs.select("doc_id", "label")
+        .join(
+            linear_score_fp(docs, weights).withColumnRenamed("id", "doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "label", "score_fp")
+    )
+
+
+def _classifier_scores_sql() -> str:
+    return f"""
+            WITH d AS (
+              SELECT doc_id, label, {_SLUG} AS slug FROM '{_CLS_FIXTURE}'
+            ),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN slug = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(slug, ' ') END AS ts
+              FROM d
+            ),
+            uni AS (SELECT doc_id, t AS feat FROM toks, UNNEST(ts) AS u(t)),
+            bi AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS feat
+              FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+            ),
+            feats AS (
+              SELECT doc_id, feat FROM uni
+              UNION ALL SELECT doc_id, feat FROM bi
+            ),
+            scored AS (
+              SELECT f.doc_id, CAST(SUM(w.w_fp) AS BIGINT) AS s
+              FROM feats f JOIN '{_CLS_WEIGHTS}' w USING (feat)
+              GROUP BY f.doc_id
+            )
+            SELECT d.doc_id, d.label,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS score_fp
+            FROM d LEFT JOIN scored s USING (doc_id)"""
+
+
 _LEV_FIXTURE = "/root/repo/fixtures/lev_docs.parquet"
 
 
@@ -3989,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_script": q_lang_id_script,
         "nysiis_pairs": q_nysiis_pairs,
         "lev_pairs": q_lev_pairs,
+        "classifier_scores": q_classifier_scores,
         "components_nysiis": q_components_nysiis,
     }
 
@@ -4193,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_script": _lang_id_script_sql(),
         "nysiis_pairs": _nysiis_pairs_sql(),
         "lev_pairs": _lev_pairs_sql(),
+        "classifier_scores": _classifier_scores_sql(),
         "components_nysiis": _components_nysiis_sql(),
         "media_features": """
             SELECT doc_id, sha256(coalesce(text, '')) AS content_sha,

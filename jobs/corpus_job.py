@@ -7,6 +7,8 @@ pages in, training shards out. Composes the engine end to end —
     → optional PII redaction, optional cross-doc line dedup
     → optional host-centrality screen (PageRank over the crawl's own
       link graph, --min-host-centrality)
+    → optional learned quality filter (--quality-weights: pinned linear
+      classifier over hashed n-gram features)
     → optional corpus-LM fluency floor (--min-lm-score) and/or
       CCNet head/middle/tail perplexity tiers (--lm-bucket-keep)
     → dedup (full multi-strategy blocking + verify + components)
@@ -121,6 +123,18 @@ def main() -> None:
                         "comma-separated tiers, e.g. 'head,middle'. Kept "
                         "pages gain lm_mean_p and lm_bucket columns. "
                         "Empty = off; combinable with --min-lm-score")
+    p.add_argument("--quality-weights", default=None, metavar="PATH",
+                   help="pinned linear-classifier vocabulary parquet "
+                        "(h:int64, w_fp:int64 — e.g. fit_nb_weights "
+                        "output): score every page over hashed "
+                        "unigram+bigram features and drop pages below "
+                        "--min-classifier-score; kept pages gain a "
+                        "cls_score column (fastText/CCNet-style learned "
+                        "quality filter)")
+    p.add_argument("--min-classifier-score", type=int, default=0, metavar="FP",
+                   help="keep threshold for --quality-weights (fixed "
+                        "point 1e6 per nat; NB log-odds weights make 0 "
+                        "the 'more target-like than background' line)")
     p.add_argument("--lm-bucket-sample", type=float, default=1.0,
                    help="sample rate for fitting the tier cutoffs "
                         "(default 1.0; at crawl scale use e.g. 0.001 — "
@@ -307,6 +321,24 @@ def main() -> None:
             )
 
         pages = ck.stage("host_filtered", host_filtered)
+
+    # 1b2. optional learned quality filter: integer linear score over
+    # hashed n-gram features against a pinned vocabulary, BEFORE dedup —
+    # the classic "classify against the reference corpus" stage. One
+    # broadcast join + one integer aggregation per page.
+    if args.quality_weights:
+        from fuzzycat_spark.operators.classify import linear_score_fp
+
+        def classifier_filtered() -> DataFrame:
+            w = spark.read.parquet(args.quality_weights)
+            scores = linear_score_fp(pages, w, id_col=idc, text_col=txt)
+            return pages.join(
+                scores.select(F.col("id").alias(idc),
+                              F.col("score_fp").alias("cls_score")),
+                on=idc,
+            ).filter(F.col("cls_score") >= args.min_classifier_score)
+
+        pages = ck.stage("classifier_filtered", classifier_filtered)
 
     # 1c. optional fluency floor: mean token probability under the
     # corpus's OWN bigram LM (the CCNet move, self-trained instead of

@@ -537,3 +537,38 @@ def test_cross_corpus_screen_round_trip(spark, tmp_path, capsys, monkeypatch):
     )
     urls3 = {r.url for r in spark.read.parquet(out3).select("url").collect()}
     assert urls3 == urls
+
+
+def test_quality_weights_arm_drops_spam(spark, tmp_path, capsys, monkeypatch):
+    """--quality-weights / --min-classifier-score: pages scoring below the
+    pinned-vocabulary linear classifier's threshold leave before dedup;
+    kept pages carry cls_score."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        (f"https://a.example/good{i}",
+         f"the river valley was surveyed by local historians over several "
+         f"decades with careful attention to seasonal records {i}")
+        for i in range(4)
+    ] + [
+        (f"https://a.example/spam{i}",
+         "casino bonus click here buy now cheap pills jackpot winner "
+         f"free shipping casino bonus {i}")
+        for i in range(3)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--quality-weights",
+         "/root/repo/fixtures/classifier_weights.parquet",
+         "--strategies", "exact", "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "classifier_filtered" in rec["stages"]
+    kept = spark.read.parquet(out_dir)
+    urls = {r.url for r in kept.select("url").collect()}
+    assert urls == {f"https://a.example/good{i}" for i in range(4)}
+    assert "cls_score" in kept.columns
+    assert all(r.cls_score > 0 for r in kept.select("cls_score").collect())
