@@ -3471,6 +3471,77 @@ def q_lm_scores(spark, sf_dir):
     return doc_lm_scores(_docs(spark, sf_dir), scale=_LM_SCALE)
 
 
+def q_dsir_contrast(spark, sf_dir):
+    """DSIR-style importance contrast (operators/lm.dsir_contrast): mean
+    fixed-point bigram probability under a TARGET-corpus LM (here the
+    corpus's English half — the 'reference distribution') minus the same
+    under the BACKGROUND LM (the full corpus), per document. Bigrams
+    absent from the target model take the smoothed floor
+    (c=0, global ctx+V denominator) — the oracle mirrors those left-join
+    semantics exactly. Integer throughout, so the selection ranking is
+    cross-engine exact; non-vacuous because non-English docs miss the
+    target model's bigrams and score the floor."""
+    from fuzzycat_spark.operators.lm import dsir_contrast
+
+    docs = _docs(spark, sf_dir)
+    return dsir_contrast(
+        docs, docs.filter(F.col("lang") == "en"), scale=_LM_SCALE
+    )
+
+
+def _dsir_contrast_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_RAW_TOKS} AS toks FROM documents),
+        big AS (
+          SELECT doc_id, toks[i+1] AS w1,
+                 array_to_string(toks[i+1:i+2], ' ') AS bg
+          FROM t, UNNEST(range(0, greatest(len(toks)-1, 0))) AS u(i)
+        ),
+        tbig AS (
+          SELECT toks[i+1] AS w1, array_to_string(toks[i+1:i+2], ' ') AS bg
+          FROM t, UNNEST(range(0, greatest(len(toks)-1, 0))) AS u(i)
+          WHERE lang = 'en'
+        ),
+        tc2 AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS tc
+                FROM tbig GROUP BY w1, bg),
+        tc1 AS (SELECT w1, CAST(sum(tc) AS BIGINT) AS tctx FROM tc2 GROUP BY w1),
+        tv AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS vocab
+               FROM (SELECT unnest(toks) AS gram FROM t WHERE lang = 'en')),
+        bc2 AS (SELECT w1, bg, CAST(count(*) AS BIGINT) AS bc
+                FROM big GROUP BY w1, bg),
+        bc1 AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS bctx FROM bc2 GROUP BY w1),
+        bv AS (SELECT CAST(count(DISTINCT gram) AS BIGINT) AS vocab
+               FROM (SELECT unnest(toks) AS gram FROM t)),
+        tscored AS (
+          SELECT b.doc_id,
+                 (COALESCE(tc2.tc, 0) + 1) * {_LM_SCALE}
+                   // (COALESCE(tc1.tctx, 0) + tv.vocab) AS p_fp
+          FROM big b
+          LEFT JOIN tc2 USING (w1, bg) LEFT JOIN tc1 USING (w1) CROSS JOIN tv
+        ),
+        bscored AS (
+          SELECT b.doc_id,
+                 (bc2.bc + 1) * {_LM_SCALE} // (bc1.bctx + bv.vocab) AS p_fp
+          FROM big b JOIN bc2 USING (w1, bg) JOIN bc1 USING (w1) CROSS JOIN bv
+        ),
+        tagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(p_fp) AS BIGINT) AS s
+                 FROM tscored GROUP BY doc_id),
+        bagg AS (SELECT doc_id, CAST(sum(p_fp) AS BIGINT) AS s
+                 FROM bscored GROUP BY doc_id),
+        m AS (
+          SELECT d.doc_id,
+                 COALESCE(tagg.n, 0) AS n_bigrams,
+                 CASE WHEN tagg.n > 0 THEN tagg.s // tagg.n END AS target_fp,
+                 CASE WHEN tagg.n > 0 THEN bagg.s // tagg.n END AS background_fp
+          FROM documents d
+          LEFT JOIN tagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        )
+        SELECT doc_id, n_bigrams, target_fp, background_fp,
+               target_fp - background_fp AS contrast_fp
+        FROM m"""
+
+
 def _lm_scores_sql() -> str:
     return f"""
         WITH t AS (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents),
@@ -4029,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "bigram_top": q_bigram_top,
         "lm_scores": q_lm_scores,
+        "dsir_contrast": q_dsir_contrast,
         "lm_buckets": q_lm_buckets,
         "lexical_topk": q_lexical_topk,
         "host_links": q_host_links,
@@ -4234,6 +4306,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "lm_scores": _lm_scores_sql(),
+        "dsir_contrast": _dsir_contrast_sql(),
         "lm_buckets": _lm_buckets_sql(),
         "lexical_topk": _lexical_topk_sql(),
         "host_links": _HOST_LINKS_SQL,

@@ -54,6 +54,7 @@ __all__ = [
     "bigram_model",
     "doc_lm_scores",
     "lm_perplexity_buckets",
+    "dsir_contrast",
 ]
 
 
@@ -241,3 +242,54 @@ def lm_perplexity_buckets(
         .when(sc >= F.col("cut_middle"), F.lit("middle"))
         .otherwise(F.lit("tail")),
     ).drop("cut_head", "cut_middle")
+
+
+def dsir_contrast(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000_000,
+    background_docs: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR-style importance contrast (Xie et al. 2023, Data Selection
+    via Importance Resampling): how much more target-like than
+    background-like each document reads. Returns
+    (id_col, n_bigrams, target_fp, background_fp, contrast_fp) where
+    target_fp / background_fp are `doc_lm_scores` mean fixed-point
+    bigram probabilities under the TARGET-corpus LM and the BACKGROUND
+    LM (default: the scored corpus itself, the classic raw-pool side),
+    and contrast_fp = target_fp - background_fp. All integer — exact in
+    any reduction order, so rankings and threshold keeps are
+    cross-engine reproducible; DSIR's log-ratio is replaced by the same
+    monotone fixed-point mean the rest of the LM stack uses (see module
+    docstring). contrast_fp is NULL for docs with no bigram.
+
+    Selection is the caller's policy: `contrast_fp >= t` for a floor,
+    or `mixing.sample_quota` over contrast-ranked strata for exact
+    budgets. Scale: two LM estimations (each ONE partial-agg shuffle;
+    the target corpus is typically tiny and its model broadcast) and
+    two scoring passes sharing the same bigram rows shape."""
+    t = doc_lm_scores(
+        docs, id_col=id_col, text_col=text_col, scale=scale,
+        model_docs=target_docs,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("n_bigrams"),
+        F.col("mean_p_fp").alias("target_fp"),
+    )
+    b = doc_lm_scores(
+        docs, id_col=id_col, text_col=text_col, scale=scale,
+        model_docs=background_docs,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("mean_p_fp").alias("background_fp"),
+    )
+    return t.join(b, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        "target_fp",
+        "background_fp",
+        (F.col("target_fp") - F.col("background_fp")).alias("contrast_fp"),
+    )

@@ -72,3 +72,55 @@ def test_cross_corpus_model_unseen_bigrams(spark):
     assert got[10]["mean_p_fp"] == S // 4
     assert got[11]["mean_p_fp"] == S // 2
     assert got[10]["hapax_bigrams"] == 0  # hapax counts MODEL c==1, not 0
+
+
+class TestDsirContrast:
+    def _run(self, spark, docs_rows, target_rows):
+        from fuzzycat_spark.operators.lm import dsir_contrast
+
+        d = spark.createDataFrame(docs_rows, "doc_id bigint, text string")
+        t = spark.createDataFrame(target_rows, "doc_id bigint, text string")
+        return {
+            r["doc_id"]: r.asDict()
+            for r in dsir_contrast(d, t, scale=S).collect()
+        }
+
+    def test_target_like_docs_score_positive_contrast(self, spark):
+        docs = [
+            (1, "clean prose clean prose clean prose"),
+            (2, "spam junk spam junk spam junk"),
+        ]
+        target = [(100, "clean prose clean prose")]
+        got = self._run(spark, docs, target)
+        # the target-like doc beats background under the target LM; the
+        # off-target doc takes the smoothed floor and lands negative
+        assert got[1]["contrast_fp"] > 0 > got[2]["contrast_fp"]
+        assert got[1]["target_fp"] > got[2]["target_fp"]
+
+    def test_floor_semantics_for_fully_unseen_doc(self, spark):
+        # target model: "a b" twice -> ctx(a)=2, V=2. A doc of pairs with
+        # unseen contexts scores V-alone floor S//2 per position.
+        docs = [(1, "q z")]
+        got = self._run(spark, docs, [(100, "a b"), (101, "a b")])
+        assert got[1]["target_fp"] == S // 2
+        # background model is the doc itself: (1+1)*S//(1+2)
+        assert got[1]["background_fp"] == 2 * S // 3
+        assert got[1]["contrast_fp"] == S // 2 - 2 * S // 3
+
+    def test_short_docs_null_contrast_and_all_docs_present(self, spark):
+        docs = [(1, "single"), (2, ""), (3, "two tokens here")]
+        got = self._run(spark, docs, [(100, "two tokens here")])
+        assert set(got) == {1, 2, 3}
+        for i in (1, 2):
+            assert got[i]["n_bigrams"] == 0
+            assert got[i]["contrast_fp"] is None
+        assert got[3]["contrast_fp"] is not None
+
+    def test_explicit_background_corpus(self, spark):
+        from fuzzycat_spark.operators.lm import dsir_contrast
+
+        d = spark.createDataFrame([(1, "x y x y")], "doc_id bigint, text string")
+        t = spark.createDataFrame([(2, "x y")], "doc_id bigint, text string")
+        # background == target -> contrast is exactly zero
+        row = dsir_contrast(d, t, scale=S, background_docs=t).collect()[0]
+        assert row["contrast_fp"] == 0
