@@ -3343,11 +3343,17 @@ def q_kmeans_assign(spark, sf_dir):
 
 
 def _kmeans_parts(
-    src: str, k: int, iters: int, scale: int
+    src: str, k: int, iters: int, scale: int,
+    prefix: str = "", quantize: bool = True,
 ) -> list[str]:
     """CTE chain (q, c0, a0, u0, c1, ..., afinal) computing the fixed-
     point Lloyd iterations over `src` (a table name or quoted path);
-    the final assignment CTE is named `afinal`."""
+    the final assignment CTE is named `{prefix}afinal`. With
+    `quantize=False`, `src` must already expose (vec_id, qv) — the
+    product-quantization oracle fits one chain per SLICED subspace of a
+    single shared quantization CTE, prefixed s{m}_ to keep names apart."""
+    p = prefix
+
     def assign(src: str, cent: str, out: str) -> str:
         return f"""{out} AS (
           SELECT vec_id, cluster, dist FROM (
@@ -3362,35 +3368,39 @@ def _kmeans_parts(
               FROM {src} v CROSS JOIN {cent} c))
           WHERE rn = 1)"""
 
-    parts = [
-        f"""q AS (
+    if quantize:
+        base = f"""{p}q AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT))
                    AS qv
-          FROM {src})""",
-        f"""c0 AS (
+          FROM {src})"""
+    else:
+        base = f"{p}q AS (SELECT vec_id, qv FROM {src})"
+    parts = [
+        base,
+        f"""{p}c0 AS (
           SELECT CAST(row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cid,
                  qv AS cv
-          FROM (SELECT * FROM q
+          FROM (SELECT * FROM {p}q
                 ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}))""",
     ]
     for i in range(iters):
-        parts.append(assign("q", f"c{i}", f"a{i}"))
-        parts.append(f"""u{i} AS (
+        parts.append(assign(f"{p}q", f"{p}c{i}", f"{p}a{i}"))
+        parts.append(f"""{p}u{i} AS (
           SELECT cluster, list(m ORDER BY pos) AS cv_new FROM (
             SELECT a.cluster, j AS pos,
                    CAST(sum(v.qv[j]) AS BIGINT)
                      // CAST(count(*) AS BIGINT) AS m
-            FROM a{i} a JOIN q v USING (vec_id),
+            FROM {p}a{i} a JOIN {p}q v USING (vec_id),
                  UNNEST(range(1, len(v.qv)+1)) AS r(j)
             GROUP BY a.cluster, j)
           GROUP BY cluster)""")
-        parts.append(f"""c{i + 1} AS (
+        parts.append(f"""{p}c{i + 1} AS (
           SELECT c.cid, COALESCE(u.cv_new, c.cv) AS cv
-          FROM c{i} c LEFT JOIN u{i} u ON u.cluster = c.cid)""")
-    parts.append(assign("q", f"c{iters}", "afinal"))
+          FROM {p}c{i} c LEFT JOIN {p}u{i} u ON u.cluster = c.cid)""")
+    parts.append(assign(f"{p}q", f"{p}c{iters}", f"{p}afinal"))
     return parts
 
 
@@ -3452,6 +3462,123 @@ FROM cand c
 JOIN emb a ON a.vec_id = c.ida
 JOIN emb b ON b.vec_id = c.idb
 WHERE round({_COS_D}, 9) >= {_PLANTED_STRONG}"""
+    )
+
+
+_PQ_M = 4
+_PQ_K = 4
+_PQ_ITERS = 2
+_PQ_TOPK = 3
+_PQ_PROBES = 5
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization index rows (operators/pq.py — Jégou et al.
+    2011): each embedding compressed to M per-subspace codebook ids.
+    Codebooks are M independent fixed-point Lloyd fits over SLICED views
+    of one quantized pass; encoding is SHUFFLE-FREE (M·K codebook rows
+    ride one broadcast row, argmin is the kmeans_assign sorted-struct
+    fold in codegen). Integer distances make every code cross-engine
+    exact. Emitted exploded as (vec_id, m, code)."""
+    from fuzzycat_spark.operators.pq import pq_encode, pq_fit
+
+    e = _emb(spark, sf_dir)
+    books = pq_fit(
+        e, _PQ_M, _PQ_K, _PQ_ITERS, scale=_KM_SCALE, dim=_ANN_DIM
+    )
+    codes = pq_encode(
+        e, books, _PQ_M, _ANN_DIM // _PQ_M, scale=_KM_SCALE
+    )
+    return codes.select("vec_id", F.posexplode("codes").alias("m", "code"))
+
+
+def q_pq_knn(spark, sf_dir):
+    """ADC top-k over the PQ index (operators/pq.pq_knn): the probe's
+    full-precision quantized vector vs each document's codebook
+    RECONSTRUCTION — only M small codes ever represent the corpus, the
+    compressed-domain ANN path when even (id, vector) rows are too big
+    to cache. Probes broadcast; reconstruction via try_element_at on the
+    broadcast codebooks in codegen; ONE shuffle (the per-probe rank
+    window). adist is integer squared L2 — (adist, vec_id) ranking is
+    deterministic in both engines."""
+    from fuzzycat_spark.operators.pq import pq_knn
+
+    e = _emb(spark, sf_dir)
+    probes = e.select("vec_id").filter(F.col("vec_id") < _PQ_PROBES)
+    return pq_knn(
+        e,
+        probes,
+        topk=_PQ_TOPK,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        scale=_KM_SCALE,
+        dim=_ANN_DIM,
+    )
+
+
+def _pq_parts() -> list[str]:
+    """Shared PQ CTE chain: one quantization pass (pqv), M sliced
+    subspace inputs, M prefixed Lloyd chains, and the joined `codes`
+    table (vec_id, c0..c{M-1})."""
+    sd = _ANN_DIM // _PQ_M
+    parts = [
+        f"""pqv AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * {float(_KM_SCALE)}) AS BIGINT)) AS qv
+      FROM embeddings)"""
+    ]
+    for j in range(_PQ_M):
+        parts.append(
+            f"s{j}in AS (SELECT vec_id, qv[{j * sd + 1}:{(j + 1) * sd}] AS qv FROM pqv)"
+        )
+        parts += _kmeans_parts(
+            f"s{j}in", _PQ_K, _PQ_ITERS, _KM_SCALE,
+            prefix=f"s{j}_", quantize=False,
+        )
+    joins = " ".join(
+        f"JOIN s{j}_afinal s{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    sel = ", ".join(f"s{j}.cluster AS c{j}" for j in range(_PQ_M))
+    parts.append(f"codes AS (SELECT s0.vec_id, {sel} FROM s0_afinal s0 {joins})")
+    return parts
+
+
+def _pq_codes_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {j} AS m, c{j} AS code FROM codes"
+        for j in range(_PQ_M)
+    )
+    return "WITH " + ",\n".join(_pq_parts()) + "\n" + arms
+
+
+def _pq_knn_sql() -> str:
+    parts = _pq_parts()
+    cj = " ".join(
+        f"JOIN s{j}_c{_PQ_ITERS} cb{j} ON cb{j}.cid = c.c{j}"
+        for j in range(_PQ_M)
+    )
+    rv = " || ".join(f"cb{j}.cv" for j in range(_PQ_M))
+    parts.append(f"rec AS (SELECT c.vec_id, {rv} AS rv FROM codes c {cj})")
+    parts.append(
+        f"pprobes AS (SELECT vec_id AS probe_id, qv FROM pqv WHERE vec_id < {_PQ_PROBES})"
+    )
+    parts.append(
+        """scored AS (
+      SELECT p.probe_id, r.vec_id,
+             CAST(list_sum(list_transform(range(1, len(r.rv)+1),
+               j -> (p.qv[j]-r.rv[j])*(p.qv[j]-r.rv[j]))) AS BIGINT) AS adist
+      FROM pprobes p CROSS JOIN rec r WHERE r.vec_id <> p.probe_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT probe_id, vec_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adist, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_PQ_TOPK}"""
     )
 
 
@@ -4108,6 +4235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_pairs": q_semdedup_pairs,
+        "pq_codes": q_pq_codes,
+        "pq_knn": q_pq_knn,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -4314,6 +4443,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _ANCHOR_TEXTS_SQL,
         "kmeans_assign": _kmeans_sql(),
         "semdedup_pairs": _semdedup_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "pq_knn": _pq_knn_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

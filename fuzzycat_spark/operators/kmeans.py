@@ -49,6 +49,7 @@ __all__ = [
     "kmeans_seeds",
     "kmeans_assign",
     "kmeans_fit",
+    "lloyd_fit",
     "semdedup_pairs",
 ]
 
@@ -132,6 +133,22 @@ def kmeans_fit(
     vecs = emb.select(
         F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
     )
+    return lloyd_fit(vecs, k, iters, id_col=id_col, checkpointer=checkpointer)
+
+
+def lloyd_fit(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    *,
+    id_col: str = "vec_id",
+    checkpointer=None,
+    stage_prefix: str = "kmeans",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd over an ALREADY-QUANTIZED (id_col, qv: array<long>) table —
+    the shared core of `kmeans_fit` and per-subspace product-quantization
+    codebook training (`operators/pq.py`), which slices one quantized
+    pass into M sub-vector tables and fits each independently."""
     cents = kmeans_seeds(vecs, k, id_col=id_col)
     for i in range(iters):
         assign = kmeans_assign(vecs, cents, id_col=id_col)
@@ -158,7 +175,7 @@ def kmeans_fit(
             .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
         )
         if checkpointer is not None:
-            cents = checkpointer.write(f"kmeans_iter_{i}", cents)
+            cents = checkpointer.write(f"{stage_prefix}_iter_{i}", cents)
     return kmeans_assign(vecs, cents, id_col=id_col), cents
 
 

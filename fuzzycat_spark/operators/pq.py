@@ -1,0 +1,215 @@
+"""Product quantization for embedding columns (Jégou, Douze & Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+compressed-domain ANN path for corpora where even (id, vector) pairs are
+too big to shuffle or cache: each vector is split into M sub-vectors,
+each sub-vector is quantized to one of K codebook centroids, and the
+whole vector is stored as M small integer codes (M bytes at K ≤ 256
+against 4·dim bytes of floats — a 256× compression at dim=64/M=4).
+Search runs in the compressed domain: asymmetric distance computation
+(ADC) compares the FULL-precision query against each document's
+RECONSTRUCTED vector, so only codes ever sit in the index.
+
+The reference has no vector surface at all (fuzzycat blocks on one
+normalized metadata key, `/root/reference/fuzzycat/sandcrawler.py:66-90`);
+this is the scale path behind the embedding-similarity additions, the
+IVF cousin in `operators/knn.py` handles the bucketing half of IVFADC.
+
+Determinism contract (same policy as `operators/kmeans.py`): components
+are quantized ONCE to int64 (`quantize_vec`), codebooks are trained with
+the shared fixed-point `lloyd_fit` per subspace, and every distance —
+training, encoding, and ADC — is integer arithmetic, so codes, ranks,
+and distances are exact under any reduction order and bit-identical in
+the DuckDB oracle.
+
+Scale shape:
+- `pq_fit` runs M independent Lloyd fits over SLICED views of the one
+  quantized pass (slicing is a projection — the corpus is scanned once
+  per iteration per subspace, each update shuffles only 16-byte
+  (cluster, component) partial-agg rows). M·iters small jobs total.
+- `pq_encode` is SHUFFLE-FREE: the M·K codebook rows ride one broadcast
+  row; per-subspace argmin is the same sorted-struct fold as
+  `kmeans_assign`, staged through named slice columns so no computed
+  subtree is captured inside a HOF lambda (the create_map/element_at
+  re-evaluation trap documented in `operators/retrieval.py`).
+- `pq_knn` broadcasts the probe set, reconstructs each document from
+  the broadcast codebooks in codegen (`try_element_at` — codebook cids
+  are 1..K row_numbers, so position = cid), and ranks with ONE shuffle
+  keyed by probe_id. For probe sets too big to broadcast, rank through
+  the two-stage salted top-k in `operators/retrieval.py` instead.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.operators.kmeans import _sqdist, lloyd_fit, quantize_vec
+
+__all__ = ["pq_fit", "pq_encode", "pq_knn"]
+
+
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("pq: empty embedding table and no dim= given")
+    return row.d
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    return emb.select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    dim: int | None = None,
+    checkpointer=None,
+) -> DataFrame:
+    """Train the M per-subspace codebooks; returns (m, cid, cv) where
+    cv is the sub-centroid as array<long> of length dim/m and cid runs
+    1..k (deterministic smallest-md5 seeding per subspace)."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sd = dim // m
+    vecs = _quantized(emb, id_col, vec_col, scale)
+    books = []
+    for j in range(m):
+        sub = vecs.select(F.col(id_col), F.slice("qv", j * sd + 1, sd).alias("qv"))
+        _, cents = lloyd_fit(
+            sub, k, iters, id_col=id_col,
+            checkpointer=checkpointer, stage_prefix=f"pq_sub{j}",
+        )
+        books.append(cents.select(F.lit(j).alias("m"), "cid", "cv"))
+    return reduce(DataFrame.unionByName, books)
+
+
+def _codebook_row(codebooks: DataFrame) -> DataFrame:
+    """One broadcastable row: _bym[j].cents = subspace j's centroids as a
+    cid-sorted struct array (cid is 1..k, so cents[cid] via 1-based
+    try_element_at reconstructs)."""
+    per_m = codebooks.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
+            "cents"
+        )
+    )
+    return per_m.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("cents")))).alias(
+            "_bym"
+        )
+    )
+
+
+def _staged_codes(
+    vecs: DataFrame, codebooks: DataFrame, m: int, sd: int, id_col: str
+) -> DataFrame:
+    """(id_col, _bym, _c0.._c{m-1}): per-subspace nearest-centroid codes,
+    computed against the broadcast codebook row with zero shuffle. Slices
+    are staged as named columns first so HOF lambdas only capture
+    attribute references."""
+    staged = vecs.crossJoin(F.broadcast(_codebook_row(codebooks))).select(
+        F.col(id_col),
+        "_bym",
+        *[F.slice("qv", j * sd + 1, sd).alias(f"_s{j}") for j in range(m)],
+    )
+
+    def code(j: int) -> Column:
+        scored = F.transform(
+            F.col("_bym")[j]["cents"],
+            lambda c: F.struct(
+                _sqdist(F.col(f"_s{j}"), c["cv"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_sort(scored)[0]["cid"].alias(f"_c{j}")
+
+    return staged.select(F.col(id_col), "_bym", *[code(j) for j in range(m)])
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    sd: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id_col, codes: array<int>) — the compressed index rows. codes[j]
+    is the cid (1..k) of subspace j's nearest centroid; ties break to the
+    lowest cid exactly as `kmeans_assign`."""
+    vecs = _quantized(emb, id_col, vec_col, scale)
+    coded = _staged_codes(vecs, codebooks, m, sd, id_col)
+    return coded.select(
+        F.col(id_col), F.array(*[f"_c{j}" for j in range(m)]).alias("codes")
+    )
+
+
+def pq_knn(
+    emb: DataFrame,
+    probes: DataFrame,
+    topk: int = 3,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    dim: int | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (probe_id, vec_id, adist, rank). `probes` is an id
+    table (one column named `id_col`) selecting the query vectors; each
+    probe's FULL-precision quantized vector is compared against every
+    document's codebook reconstruction (self excluded). adist is the
+    integer squared L2 distance — exact, so (adist, vec_id) ranking is
+    cross-engine deterministic. Pass `codebooks` to search a pre-trained
+    index; otherwise trains with `pq_fit` on `emb` itself."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sd = dim // m
+    if codebooks is None:
+        codebooks = pq_fit(
+            emb, m, k, iters, id_col=id_col, vec_col=vec_col, scale=scale, dim=dim
+        )
+    vecs = _quantized(emb, id_col, vec_col, scale)
+    coded = _staged_codes(vecs, codebooks, m, sd, id_col)
+    rec = coded.select(
+        F.col(id_col),
+        F.concat(
+            *[
+                F.try_element_at(F.col("_bym")[j]["cents"], F.col(f"_c{j}"))["cv"]
+                for j in range(m)
+            ]
+        ).alias("rv"),
+    )
+    pv = vecs.join(F.broadcast(probes), on=id_col).select(
+        F.col(id_col).alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    scored = (
+        rec.crossJoin(F.broadcast(pv))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            _sqdist(F.col("pqv"), F.col("rv")).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

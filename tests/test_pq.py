@@ -1,0 +1,102 @@
+"""Product quantization (operators/pq.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzycat_spark.operators.pq import pq_encode, pq_fit, pq_knn
+
+S = 1_000_000
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _blobs(n_per=6):
+    # four well-separated cells in a 4-dim space split as m=2 subspaces:
+    # subspace 0 (dims 0-1) near (0,0) or (10,10); subspace 1 likewise
+    rows = []
+    vid = 0
+    for a in (0.0, 10.0):
+        for b in (0.0, 10.0):
+            for i in range(n_per):
+                eps = 0.01 * (i + 1)
+                rows.append((vid, [a + eps, a, b, b + eps]))
+                vid += 1
+    return rows
+
+
+def test_codes_separate_blobs_and_are_stable(spark):
+    emb = _emb(spark, _blobs())
+    books = pq_fit(emb, m=2, k=2, iters=2, dim=4)
+    codes = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_encode(emb, books, m=2, sd=2).collect()
+    }
+    # each of the four (a, b) cells gets one distinct (code0, code1) pair
+    cells = [frozenset(codes[v] for v in range(c * 6, c * 6 + 6)) for c in range(4)]
+    assert all(len(c) == 1 for c in cells)
+    assert len(set(cells)) == 4
+    # codes are (subspace-local) cluster ids 1..k
+    assert all(1 <= c <= 2 for pair in codes.values() for c in pair)
+
+
+def test_identical_vectors_identical_codes(spark):
+    rows = [(i, [1.5, -2.0, 3.0, 0.25]) for i in range(5)] + [
+        (i, [9.0, 9.0, -9.0, -9.0]) for i in range(10, 14)
+    ]
+    emb = _emb(spark, rows)
+    books = pq_fit(emb, m=2, k=2, iters=2, dim=4)
+    got = [tuple(r.codes) for r in pq_encode(emb, books, m=2, sd=2).collect()]
+    assert len(set(got)) == 2
+
+
+def test_adc_knn_finds_true_neighbors(spark):
+    emb = _emb(spark, _blobs())
+    probes = spark.createDataFrame([(0,), (18,)], "vec_id bigint")
+    got = pq_knn(emb, probes, topk=5, m=2, k=4, iters=2, dim=4).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        assert len(rows) == 5
+        assert all(r.vec_id != pid for r in rows)
+        # top-5 of a 6-element cell = the 5 same-cell companions
+        cell = set(range((pid // 6) * 6, (pid // 6) * 6 + 6)) - {pid}
+        assert {r.vec_id for r in rows} == cell
+        ranks = sorted((r.rank, r.adist) for r in rows)
+        assert [x[0] for x in ranks] == [1, 2, 3, 4, 5]
+        assert [x[1] for x in ranks] == sorted(x[1] for x in ranks)
+
+
+def test_deterministic_across_runs(spark):
+    emb = _emb(spark, _blobs())
+    probes = spark.createDataFrame([(0,)], "vec_id bigint")
+    a = sorted(map(tuple, pq_knn(emb, probes, topk=3, m=2, k=2, dim=4).collect()))
+    b = sorted(map(tuple, pq_knn(emb, probes, topk=3, m=2, k=2, dim=4).collect()))
+    assert a == b
+
+
+def test_dim_not_divisible_raises(spark):
+    emb = _emb(spark, [(0, [1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, m=2, k=2, iters=1, dim=3)
+
+
+def test_encode_plan_is_broadcast_only(spark):
+    """The per-vector encode path: no sort-merge join, the codebooks ride
+    a broadcast, and the only exchanges belong to the k-row codebook
+    aggregation (never keyed by vec rows)."""
+    emb = _emb(spark, _blobs())
+    # materialize the trained codebooks (pipelines checkpoint them) so the
+    # plan under test is the ENCODE path, not the Lloyd training lineage
+    books = spark.createDataFrame(
+        pq_fit(emb, m=2, k=2, iters=1, dim=4).collect(),
+        "m int, cid int, cv array<bigint>",
+    )
+    plan = pq_encode(emb, books, m=2, sd=2)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "vec_id" not in line, line
