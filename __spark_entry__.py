@@ -3582,6 +3582,75 @@ WHERE rank <= {_PQ_TOPK}"""
     )
 
 
+_LL_B = 6  # 64 LogLog registers
+_LL_SEED = 42
+_CMS_D = 4
+_CMS_W = 64
+_CMS_SEED = 42
+
+
+def q_distinct_sketch(spark, sf_dir):
+    """LogLog cardinality registers (operators/sketch.py, Durand &
+    Flajolet 2003): distinct-token-per-language registers as
+    (lang, bucket, rho_max). The scale substitute for
+    `count(distinct token)` per language — 2^b 16-byte rows per key
+    forever, ONE partial-agg shuffle of ints, shard sketches merge by
+    MAX. bucket and the rho draw are the two independent 48-bit fields
+    of one md5; rho = trailing zeros + 1 is pure integer arithmetic, so
+    the registers (not just a float estimate) hash-match the oracle."""
+    from fuzzycat_spark.operators.sketch import loglog_registers
+    from fuzzycat_spark.operators.spans import raw_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(raw_tokens("text")).alias("tok")
+    )
+    return loglog_registers(toks, ["lang"], "tok", b=_LL_B, seed=_LL_SEED)
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch rows (operators/sketch.py, Cormode &
+    Muthukrishnan 2005) over the corpus token stream: the d x w integer
+    matrix whose min-over-rows point lookups bound term frequencies
+    from above — heavy-hitter screening without a corpus-wide exact
+    vocabulary table. d*w rows total regardless of corpus size; shard
+    sketches merge by SUM."""
+    from fuzzycat_spark.operators.sketch import cms_counts
+    from fuzzycat_spark.operators.spans import raw_tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(raw_tokens("text")).alias("tok")
+    )
+    return cms_counts(toks, "tok", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
+
+
+def _distinct_sketch_sql() -> str:
+    m = 1 << _LL_B
+    h = f"md5(tok || ':{_LL_SEED}')"
+    return f"""
+WITH toks AS (SELECT lang, unnest({_RAW_TOKS}) AS tok FROM documents),
+h AS (
+  SELECT lang,
+         CAST(('0x' || substr({h}, 1, 12))::BIGINT % {m} AS INT) AS bucket,
+         ('0x' || substr({h}, 13, 12))::BIGINT AS w
+  FROM toks)
+SELECT lang, bucket,
+       CAST(max(CASE WHEN w = 0 THEN 49
+                     ELSE bit_count((w & -w) - 1) + 1 END) AS INT) AS rho_max
+FROM h GROUP BY lang, bucket"""
+
+
+def _cms_counts_sql() -> str:
+    arms = "\nUNION ALL ".join(
+        f"SELECT {r} AS r, CAST(('0x' || substr(md5(tok || ':{_CMS_SEED * 1000 + r}'), 1, 12))::BIGINT % {_CMS_W} AS INT) AS bucket FROM toks"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_RAW_TOKS}) AS tok FROM documents),
+cells AS ({arms})
+SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY r, bucket"""
+
+
 _LM_SCALE = 1_000_000_000
 
 
@@ -4237,6 +4306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "pq_codes": q_pq_codes,
         "pq_knn": q_pq_knn,
+        "distinct_sketch": q_distinct_sketch,
+        "cms_counts": q_cms_counts,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -4445,6 +4516,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _semdedup_sql(),
         "pq_codes": _pq_codes_sql(),
         "pq_knn": _pq_knn_sql(),
+        "distinct_sketch": _distinct_sketch_sql(),
+        "cms_counts": _cms_counts_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),
