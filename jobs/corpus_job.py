@@ -162,6 +162,10 @@ def main() -> None:
                    help="annotate each doc with its concatenate-and-chunk "
                    "packing layout (start_off/start_seq/end_seq per "
                    "B-token training sequence, per shard); 0 = off")
+    p.add_argument("--emit-sketches", action="store_true",
+                   help="persist LogLog distinct-token registers and a "
+                        "count-min term-frequency sketch of the kept "
+                        "corpus (fixed-size, mergeable across crawls)")
     p.add_argument("--emit-postings", action="store_true",
                    help="emit the kept corpus's (id, term-hash, tf, dl) "
                         "posting table as a side artifact under the "
@@ -556,6 +560,31 @@ def main() -> None:
         # bm25_topk take via terms= (build once, query many times —
         # otherwise every retrieval call scans the corpus text twice)
         ck.stage("postings", postings)
+
+    if args.emit_sketches:
+        from fuzzycat_spark.operators.sketch import cms_counts, loglog_registers
+        from fuzzycat_spark.operators.spans import raw_tokens
+
+        def token_sketches() -> DataFrame:
+            toks = docs.select(F.explode(raw_tokens(txt)).alias("tok"))
+            regs = loglog_registers(
+                toks.select(F.lit("all").alias("grp"), "tok"), ["grp"], "tok"
+            ).select(
+                F.lit("loglog").alias("sketch"), F.col("grp"),
+                F.col("bucket").alias("r"), F.col("rho_max").cast("long").alias("v"),
+            )
+            cms = cms_counts(toks, "tok").select(
+                F.lit("cms").alias("sketch"), F.lit("all").alias("grp"),
+                (F.col("r") * 10_000 + F.col("bucket")).alias("r"),
+                F.col("cnt").alias("v"),
+            )
+            return regs.unionByName(cms)
+
+        # side artifact: O(1)-sized distinct-token + term-frequency
+        # sketches of the FINAL kept corpus; sketches from successive
+        # crawls merge by MAX (loglog) / SUM (cms) without reprocessing,
+        # so corpus-growth audits never rescan history
+        ck.stage("sketches", token_sketches)
 
     if args.emit_bands:
         from fuzzycat_spark.operators.lsh import minhash_band_table

@@ -479,6 +479,48 @@ def test_emit_postings_side_table_queries(spark, tmp_path, capsys, monkeypatch):
     assert via_table == inline and len(inline) == 5
 
 
+def test_emit_sketches_side_table(spark, tmp_path, capsys, monkeypatch):
+    """--emit-sketches: the checkpointed sketch table carries the LogLog
+    registers and count-min cells of the KEPT corpus's token stream, and
+    the registers match a direct recomputation over the output."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        (f"https://a.example/p{i}",
+         f"unique{i} words flow here and also common filler text {i}")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--emit-sketches",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "sketches" in rec["stages"]
+    from fuzzycat_spark.operators.sketch import loglog_registers
+    from fuzzycat_spark.operators.spans import raw_tokens
+
+    sk = spark.read.parquet(f"{ckpt}/sketches")
+    assert set(sk.columns) == {"sketch", "grp", "r", "v"}
+    kinds = {r.sketch for r in sk.select("sketch").distinct().collect()}
+    assert kinds == {"loglog", "cms"}
+    kept = spark.read.parquet(out_dir)
+    toks = kept.select(F.lit("all").alias("grp"),
+                       F.explode(raw_tokens("text")).alias("tok"))
+    direct = {
+        (r.bucket, r.rho_max)
+        for r in loglog_registers(toks, ["grp"], "tok").collect()
+    }
+    via_job = {
+        (r.r, r.v)
+        for r in sk.filter(F.col("sketch") == "loglog").collect()
+    }
+    assert via_job == direct
+
+
 def test_cross_corpus_screen_round_trip(spark, tmp_path, capsys, monkeypatch):
     """--reference-corpus / --emit-bands over two consecutive crawls:
     run 1 writes shards + its band table; run 2 screens against run 1's
