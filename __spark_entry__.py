@@ -3582,6 +3582,115 @@ WHERE rank <= {_PQ_TOPK}"""
     )
 
 
+_IVFADC_KC = 4
+_IVFADC_NPROBE = 2
+
+
+def q_ivfadc_knn(spark, sf_dir):
+    """IVFADC (operators/pq.ivfadc_knn — Jégou et al. 2011 §V): coarse
+    fixed-point Lloyd quantizer partitions the corpus into inverted
+    lists, PQ codebooks train on the RESIDUALS q(x) - c(cell(x)), and
+    each probe scores only its `nprobe` nearest lists by ADC against its
+    own per-cell query residual. Everything is integer (one quantize
+    pass, truncated-mean centroids, squared-L2 scores), so codes,
+    distances, AND the final ranking hash-match the unrolled oracle."""
+    from fuzzycat_spark.operators.pq import ivfadc_knn
+
+    e = _emb(spark, sf_dir)
+    probes = e.select("vec_id").filter(F.col("vec_id") < _PQ_PROBES)
+    return ivfadc_knn(
+        e,
+        probes,
+        topk=_PQ_TOPK,
+        kc=_IVFADC_KC,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        nprobe=_IVFADC_NPROBE,
+        scale=_KM_SCALE,
+        dim=_ANN_DIM,
+    )
+
+
+def _ivfadc_sql() -> str:
+    """Unrolled IVFADC: coarse Lloyd chain over the quantized vectors,
+    residual table, M per-subspace Lloyd chains over SLICED residuals,
+    codebook reconstruction, probe-side nprobe cell selection, ADC."""
+    sd = _ANN_DIM // _PQ_M
+    sq = (
+        "CAST(list_sum(list_transform(range(1, len({a})+1),"
+        " j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))) AS BIGINT)"
+    )
+    parts = [
+        f"""pqv AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * {float(_KM_SCALE)}) AS BIGINT)) AS qv
+      FROM embeddings)"""
+    ]
+    parts += _kmeans_parts(
+        "pqv", _IVFADC_KC, _PQ_ITERS, _KM_SCALE, prefix="cc_", quantize=False
+    )
+    parts.append(f"""res AS (
+      SELECT v.vec_id, a.cluster,
+             list_transform(range(1, len(v.qv)+1),
+                            j -> v.qv[j] - c.cv[j]) AS qv
+      FROM pqv v JOIN cc_afinal a USING (vec_id)
+                 JOIN cc_c{_PQ_ITERS} c ON c.cid = a.cluster)""")
+    for j in range(_PQ_M):
+        parts.append(
+            f"r{j}in AS (SELECT vec_id, qv[{j * sd + 1}:{(j + 1) * sd}]"
+            " AS qv FROM res)"
+        )
+        parts += _kmeans_parts(
+            f"r{j}in", _PQ_K, _PQ_ITERS, _KM_SCALE,
+            prefix=f"r{j}_", quantize=False,
+        )
+    joins = " ".join(
+        f"JOIN r{j}_afinal s{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    sel = ", ".join(f"s{j}.cluster AS c{j}" for j in range(_PQ_M))
+    parts.append(
+        f"icodes AS (SELECT s0.vec_id, {sel} FROM r0_afinal s0 {joins})"
+    )
+    cj = " ".join(
+        f"JOIN r{j}_c{_PQ_ITERS} cb{j} ON cb{j}.cid = c.c{j}"
+        for j in range(_PQ_M)
+    )
+    rv = " || ".join(f"cb{j}.cv" for j in range(_PQ_M))
+    parts.append(f"""irec AS (
+      SELECT c.vec_id, r.cluster, {rv} AS rv
+      FROM icodes c JOIN res r USING (vec_id) {cj})""")
+    parts.append(
+        f"iprobes AS (SELECT vec_id AS probe_id, qv FROM pqv"
+        f" WHERE vec_id < {_PQ_PROBES})"
+    )
+    parts.append(f"""pcand AS (
+      SELECT probe_id, cid AS cluster, qres FROM (
+        SELECT p.probe_id, c.cid,
+               list_transform(range(1, len(p.qv)+1),
+                              j -> p.qv[j] - c.cv[j]) AS qres,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY {sq.format(a="p.qv", b="c.cv")}, c.cid) AS rn
+        FROM iprobes p CROSS JOIN cc_c{_PQ_ITERS} c)
+      WHERE rn <= {_IVFADC_NPROBE})""")
+    parts.append(f"""iscored AS (
+      SELECT p.probe_id, r.vec_id, r.cluster,
+             {sq.format(a="p.qres", b="r.rv")} AS adist
+      FROM pcand p JOIN irec r USING (cluster)
+      WHERE r.vec_id <> p.probe_id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT probe_id, vec_id, cluster, adist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adist, vec_id) AS rank
+  FROM iscored)
+WHERE rank <= {_PQ_TOPK}"""
+    )
+
+
 _LL_B = 6  # 64 LogLog registers
 _LL_SEED = 42
 _CMS_D = 4
@@ -4306,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": q_semdedup_pairs,
         "pq_codes": q_pq_codes,
         "pq_knn": q_pq_knn,
+        "ivfadc_knn": q_ivfadc_knn,
         "distinct_sketch": q_distinct_sketch,
         "cms_counts": q_cms_counts,
         "fix_mojibake": q_fix_mojibake,
@@ -4516,6 +4626,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": _semdedup_sql(),
         "pq_codes": _pq_codes_sql(),
         "pq_knn": _pq_knn_sql(),
+        "ivfadc_knn": _ivfadc_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
         "cms_counts": _cms_counts_sql(),
         "fix_mojibake": _fix_mojibake_sql(),

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from fuzzycat_spark.operators.kmeans import _sqdist, lloyd_fit, quantize_vec
 
-__all__ = ["pq_fit", "pq_encode", "pq_knn"]
+__all__ = ["pq_fit", "pq_encode", "pq_knn", "ivfadc_knn"]
 
 
 def _infer_dim(emb: DataFrame, vec_col: str) -> int:
@@ -82,6 +82,16 @@ def pq_fit(
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sd = dim // m
     vecs = _quantized(emb, id_col, vec_col, scale)
+    return _fit_subspaces(vecs, m, k, iters, sd, id_col, checkpointer)
+
+
+def _fit_subspaces(
+    vecs: DataFrame, m: int, k: int, iters: int, sd: int, id_col: str,
+    checkpointer=None,
+) -> DataFrame:
+    """M independent Lloyd fits over sliced views of an already-quantized
+    (id_col, qv) table — shared by pq_fit (raw vectors) and ivfadc_knn
+    (coarse-cell residuals)."""
     books = []
     for j in range(m):
         sub = vecs.select(F.col(id_col), F.slice("qv", j * sd + 1, sd).alias("qv"))
@@ -110,14 +120,21 @@ def _codebook_row(codebooks: DataFrame) -> DataFrame:
 
 
 def _staged_codes(
-    vecs: DataFrame, codebooks: DataFrame, m: int, sd: int, id_col: str
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    sd: int,
+    id_col: str,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id_col, _bym, _c0.._c{m-1}): per-subspace nearest-centroid codes,
-    computed against the broadcast codebook row with zero shuffle. Slices
-    are staged as named columns first so HOF lambdas only capture
-    attribute references."""
+    """(id_col, *keep, _bym, _c0.._c{m-1}): per-subspace nearest-centroid
+    codes, computed against the broadcast codebook row with zero shuffle.
+    Slices are staged as named columns first so HOF lambdas only capture
+    attribute references. `keep` threads extra columns (e.g. the coarse
+    cell id in IVFADC) through without a join-back."""
     staged = vecs.crossJoin(F.broadcast(_codebook_row(codebooks))).select(
         F.col(id_col),
+        *keep,
         "_bym",
         *[F.slice("qv", j * sd + 1, sd).alias(f"_s{j}") for j in range(m)],
     )
@@ -132,7 +149,9 @@ def _staged_codes(
         )
         return F.array_sort(scored)[0]["cid"].alias(f"_c{j}")
 
-    return staged.select(F.col(id_col), "_bym", *[code(j) for j in range(m)])
+    return staged.select(
+        F.col(id_col), *keep, "_bym", *[code(j) for j in range(m)]
+    )
 
 
 def pq_encode(
@@ -187,15 +206,7 @@ def pq_knn(
         )
     vecs = _quantized(emb, id_col, vec_col, scale)
     coded = _staged_codes(vecs, codebooks, m, sd, id_col)
-    rec = coded.select(
-        F.col(id_col),
-        F.concat(
-            *[
-                F.try_element_at(F.col("_bym")[j]["cents"], F.col(f"_c{j}"))["cv"]
-                for j in range(m)
-            ]
-        ).alias("rv"),
-    )
+    rec = _recon(coded, m, id_col)
     pv = vecs.join(F.broadcast(probes), on=id_col).select(
         F.col(id_col).alias("probe_id"), F.col("qv").alias("pqv")
     )
@@ -206,6 +217,143 @@ def pq_knn(
             "probe_id",
             id_col,
             _sqdist(F.col("pqv"), F.col("rv")).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def _recon(coded: DataFrame, m: int, id_col: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id_col, *keep, rv): codebook reconstruction of a `_staged_codes`
+    output — cids are 1..K row_numbers, so position lookup via 1-based
+    try_element_at on the cid-sorted broadcast cents."""
+    return coded.select(
+        F.col(id_col),
+        *keep,
+        F.concat(
+            *[
+                F.try_element_at(F.col("_bym")[j]["cents"], F.col(f"_c{j}"))["cv"]
+                for j in range(m)
+            ]
+        ).alias("rv"),
+    )
+
+
+def ivfadc_knn(
+    emb: DataFrame,
+    probes: DataFrame,
+    topk: int = 3,
+    kc: int = 4,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    dim: int | None = None,
+    checkpointer=None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the full inverted-file +
+    product-quantization index. A coarse quantizer (fixed-point Lloyd,
+    `kc` cells) partitions the corpus into inverted lists; PQ codebooks
+    are trained on the RESIDUALS r_x = q(x) - c(cell(x)) — residuals
+    concentrate near 0, so the same K codes quantize far finer than
+    PQ over raw vectors. Each probe visits only its `nprobe` nearest
+    cells (integer L2, ties to lowest cid) and scores candidates by
+    ADC against the reconstructed residual of its own query residual
+    for that cell: adist = ||(q - c_cell) - recon(codes_x)||².
+
+    Returns (probe_id, id_col, cluster, adist, rank) — cluster is the
+    coarse cell the match was found in. Everything is integer, so the
+    whole index AND the ranking hash-match the recursive oracle.
+
+    Scale shape: coarse assignment and encoding are broadcast-only; the
+    corpus-side index is (id, cell, M codes) — codes-sized, never
+    vector-sized. The probe→cell fan-out here broadcasts (gate-sized
+    probe sets); for bulk retrieval swap the broadcast for a shuffle
+    join keyed by `cluster` — the inverted-list partitioning proper."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sd = dim // m
+    vecs = _quantized(emb, id_col, vec_col, scale)
+    coarse_assign, coarse_cents = lloyd_fit(
+        vecs, kc, iters, id_col=id_col,
+        checkpointer=checkpointer, stage_prefix="ivfadc_coarse",
+    )
+    cc_row = F.broadcast(
+        coarse_cents.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
+                "_cc"
+            )
+        )
+    )
+    resid = (
+        vecs.join(coarse_assign.select(id_col, "cluster"), on=id_col)
+        .crossJoin(cc_row)
+        .select(
+            id_col,
+            "cluster",
+            "qv",
+            F.try_element_at(F.col("_cc"), F.col("cluster"))["cv"].alias("_ccv"),
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with("qv", "_ccv", lambda x, y: x - y).alias("qv"),
+        )
+    )
+    books = _fit_subspaces(
+        resid.select(id_col, "qv"), m, k, iters, sd, id_col, checkpointer
+    )
+    coded = _staged_codes(resid, books, m, sd, id_col, keep=("cluster",))
+    rec = _recon(coded, m, id_col, keep=("cluster",))
+    pv = vecs.join(F.broadcast(probes), on=id_col).select(
+        F.col(id_col).alias("probe_id"), F.col("qv").alias("pqv")
+    )
+    cells = pv.crossJoin(cc_row).select(
+        "probe_id",
+        "pqv",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_cc"),
+                    lambda c: F.struct(
+                        _sqdist(F.col("pqv"), c["cv"]).alias("dist"),
+                        c["cid"].alias("cid"),
+                        c["cv"].alias("cv"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("_cells"),
+    )
+    pcells = (
+        cells.select("probe_id", "pqv", F.explode("_cells").alias("cell"))
+        .select(
+            "probe_id",
+            F.col("cell.cid").alias("cluster"),
+            F.zip_with(F.col("pqv"), F.col("cell.cv"), lambda x, y: x - y).alias(
+                "qres"
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(pcells)
+        .join(rec, on="cluster")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            "cluster",
+            _sqdist(F.col("qres"), F.col("rv")).alias("adist"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc(id_col))

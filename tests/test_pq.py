@@ -100,3 +100,54 @@ def test_encode_plan_is_broadcast_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "vec_id" not in line, line
+
+
+def test_ivfadc_finds_true_neighbors(spark):
+    from fuzzycat_spark.operators.pq import ivfadc_knn
+
+    emb = _emb(spark, _blobs())
+    probes = spark.createDataFrame([(0,), (13,)], "vec_id bigint")
+    got = ivfadc_knn(
+        emb, probes, topk=5, kc=4, m=2, k=2, iters=2, nprobe=1, dim=4
+    ).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 13}
+    for pid, rows in by_probe.items():
+        # nprobe=1 over well-separated blobs: only the probe's own coarse
+        # cell is visited, and its 5 companions fill the whole top-5
+        assert len(rows) == 5
+        cell = set(range((pid // 6) * 6, (pid // 6) * 6 + 6)) - {pid}
+        assert {r.vec_id for r in rows} == cell
+        assert len({r.cluster for r in rows}) == 1
+        ranks = sorted((r.rank, r.adist) for r in rows)
+        assert [x[0] for x in ranks] == [1, 2, 3, 4, 5]
+
+
+def test_ivfadc_nprobe_widens_candidates(spark):
+    from fuzzycat_spark.operators.pq import ivfadc_knn
+
+    emb = _emb(spark, _blobs())
+    probes = spark.createDataFrame([(0,)], "vec_id bigint")
+    narrow = ivfadc_knn(
+        emb, probes, topk=23, kc=4, m=2, k=2, iters=2, nprobe=1, dim=4
+    ).count()
+    wide = ivfadc_knn(
+        emb, probes, topk=23, kc=4, m=2, k=2, iters=2, nprobe=4, dim=4
+    ).count()
+    # nprobe=1 surfaces only the probe's own inverted list (a strict
+    # subset of the corpus — coarse cells may merge blobs, but never
+    # cover all 24 vectors); nprobe=4 scans every list and fills topk
+    assert narrow < wide
+    assert wide == 23
+
+
+def test_ivfadc_deterministic_across_runs(spark):
+    from fuzzycat_spark.operators.pq import ivfadc_knn
+
+    emb = _emb(spark, _blobs())
+    probes = spark.createDataFrame([(7,)], "vec_id bigint")
+    a = sorted(map(tuple, ivfadc_knn(emb, probes, topk=4, kc=2, m=2, k=2, nprobe=2, dim=4).collect()))
+    b = sorted(map(tuple, ivfadc_knn(emb, probes, topk=4, kc=2, m=2, k=2, nprobe=2, dim=4).collect()))
+    assert a == b
