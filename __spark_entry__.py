@@ -3760,6 +3760,102 @@ SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM cells GROUP BY r, bucket"""
 
 
+_BLOOM_M = 4096
+_BLOOM_D = 2
+_BLOOM_SEED = 42
+_BLOOM_ABSENT_OFF = 10000
+
+
+def q_bloom_bits(spark, sf_dir):
+    """Bloom-filter words over the corpus doc ids (operators/sketch.py,
+    Bloom 1970): the O(1)-sized membership sketch behind "have we seen
+    this URL in any previous crawl" — m/32 int64 word rows built with
+    ONE partial-aggregated bit_or shuffle; filters from disjoint
+    shards/epochs merge by OR. Bit positions are d independent
+    md5_field48 draws, payloads stay in uint32 range (no signed-shift
+    edge), so the word table hash-matches the oracle exactly."""
+    from fuzzycat_spark.operators.sketch import bloom_bits
+
+    return bloom_bits(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        m_bits=_BLOOM_M,
+        d=_BLOOM_D,
+        seed=_BLOOM_SEED,
+    )
+
+
+def q_bloom_screen(spark, sf_dir):
+    """Bloom membership screen (operators/sketch.bloom_contains): every
+    corpus id plus an equal-sized absent set probe the filter built by
+    `bloom_bits`. Present ids MUST read true (no false negatives — the
+    screen's guarantee); at this gate's deliberately tight m/d the
+    absent arm carries real false positives too, so BOTH the
+    definite-negative and the fp behavior are value-checked against the
+    oracle, not vacuously green."""
+    from fuzzycat_spark.operators.sketch import bloom_bits, bloom_contains
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    bloom = bloom_bits(
+        ids, "doc_id", m_bits=_BLOOM_M, d=_BLOOM_D, seed=_BLOOM_SEED
+    )
+    probes = ids.select(F.col("doc_id").alias("probe_id")).unionByName(
+        ids.select((F.col("doc_id") + _BLOOM_ABSENT_OFF).alias("probe_id"))
+    )
+    return bloom_contains(
+        bloom, probes, "probe_id", m_bits=_BLOOM_M, d=_BLOOM_D, seed=_BLOOM_SEED
+    )
+
+
+def _bloom_parts() -> list[str]:
+    pos_arms = "\nUNION ALL ".join(
+        f"SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||"
+        f" ':{_BLOOM_SEED * 1000 + r}'), 1, 12))::BIGINT % {_BLOOM_M} AS pos"
+        " FROM documents"
+        for r in range(_BLOOM_D)
+    )
+    return [
+        f"bpos AS ({pos_arms})",
+        """bloom AS (
+      SELECT CAST(pos // 32 AS INT) AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      FROM bpos GROUP BY word)""",
+    ]
+
+
+def _bloom_bits_sql() -> str:
+    return (
+        "WITH " + ",\n".join(_bloom_parts()) + "\nSELECT word, bits FROM bloom"
+    )
+
+
+def _bloom_screen_sql() -> str:
+    parts = _bloom_parts()
+    parts.append(f"""bprobes AS (
+      SELECT doc_id AS probe_id FROM documents
+      UNION ALL SELECT doc_id + {_BLOOM_ABSENT_OFF} FROM documents)""")
+    probe_arms = "\nUNION ALL ".join(
+        f"SELECT probe_id, ('0x' || substr(md5(CAST(probe_id AS VARCHAR) ||"
+        f" ':{_BLOOM_SEED * 1000 + r}'), 1, 12))::BIGINT % {_BLOOM_M} AS pos"
+        " FROM bprobes"
+        for r in range(_BLOOM_D)
+    )
+    parts.append(f"ppos AS ({probe_arms})")
+    parts.append("""pbits AS (
+      SELECT probe_id, CAST(pos // 32 AS INT) AS word,
+             1::BIGINT << CAST(pos % 32 AS INT) AS bit
+      FROM ppos)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT probe_id,
+       bool_and((COALESCE(b.bits, 0) & p.bit) = p.bit) AS may_contain
+FROM pbits p LEFT JOIN bloom b USING (word)
+GROUP BY probe_id"""
+    )
+
+
 _LM_SCALE = 1_000_000_000
 
 
@@ -4418,6 +4514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_knn": q_ivfadc_knn,
         "distinct_sketch": q_distinct_sketch,
         "cms_counts": q_cms_counts,
+        "bloom_bits": q_bloom_bits,
+        "bloom_screen": q_bloom_screen,
         "fix_mojibake": q_fix_mojibake,
         "latest_revision": q_latest_revision,
         "corpus_report": q_corpus_report,
@@ -4629,6 +4727,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfadc_knn": _ivfadc_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
         "cms_counts": _cms_counts_sql(),
+        "bloom_bits": _bloom_bits_sql(),
+        "bloom_screen": _bloom_screen_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
         "latest_revision": _latest_revision_sql(),
         "corpus_report": _corpus_report_sql(),

@@ -41,6 +41,9 @@ __all__ = [
     "cms_counts",
     "cms_merge",
     "cms_lookup",
+    "bloom_bits",
+    "bloom_merge",
+    "bloom_contains",
 ]
 
 # E[2^max_rho] bias correction, alpha_m for m >= 64 (Durand-Flajolet 2003)
@@ -175,4 +178,89 @@ def cms_lookup(
         probe.join(F.broadcast(cms), ["r", "bucket"], "left")
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def _bloom_pos(v: Column, r: int, m_bits: int, seed: int) -> Column:
+    return md5_field48(v, seed * 1000 + r) % m_bits
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 65536,
+    d: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(word, bits): a Bloom filter over the value stream as int64 words —
+    word = bit_position DIV 32, bits = OR of 1 << (position % 32) (32-bit
+    payloads so no signed-shift edge at bit 63; values stay positive and
+    engine-portable). Bit positions are d independent `md5_field48` draws
+    mod m_bits (Bloom 1970). The membership sketch behind "have we seen
+    this URL in ANY previous crawl": m_bits/32 integer rows regardless of
+    corpus size, built with ONE partial-aggregated bit_or shuffle, and
+    filters from disjoint shards/epochs merge by OR — merge(bloom(A),
+    bloom(B)) == bloom(A ∪ B) exactly. Absent words = all-zero (the
+    table stores only touched words). Lookups NEVER false-negative;
+    false-positive rate ≈ (1 - e^(-d·n/m))^d."""
+    v = F.col(value_col)
+    rows = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(v, r, m_bits, seed) for r in range(d)])
+        ).alias("pos")
+    )
+    return (
+        rows.select(
+            F.expr("pos DIV 32").cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Filters from disjoint shards merge by bitwise OR per word."""
+    out = blooms[0]
+    for t in blooms[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    m_bits: int = 65536,
+    d: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(value_col, may_contain): Bloom membership per queried value —
+    true iff ALL d probed bits are set (words the sketch never touched
+    read all-zero via the left join). False ⇒ definitely unseen (the
+    screen's guarantee); true may be a false positive at the designed
+    rate. The m_bits/32-row filter broadcasts; the probe side is d rows
+    per value rolled up with bool_and."""
+    v = F.col(value_col)
+    probe = values.select(
+        value_col,
+        F.explode(
+            F.array(*[_bloom_pos(v, r, m_bits, seed) for r in range(d)])
+        ).alias("pos"),
+    ).select(
+        value_col,
+        F.expr("pos DIV 32").cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+    )
+    return (
+        probe.join(F.broadcast(bloom), ["word"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+                == F.col("bit")
+            ).alias("may_contain")
+        )
     )

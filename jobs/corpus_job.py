@@ -194,6 +194,25 @@ def main() -> None:
                    help="emit the kept corpus's MinHash band table as a "
                         "side artifact under the checkpoint dir — the "
                         "--reference-bands input of the NEXT crawl's run")
+    p.add_argument("--seen-bloom", default=None, metavar="PATH",
+                   help="Bloom filter parquet (word, bits) of ids kept by "
+                        "prior crawls (a previous run's 'bloom' artifact, "
+                        "or several merged with bloom_merge): pages whose "
+                        "id MAY be in the filter are dropped before any "
+                        "expensive stage. Never drops by false negative; "
+                        "drops new pages at the filter's false-positive "
+                        "rate — size --bloom-m-bits for the tolerated "
+                        "loss. O(m/32) rows where --previous-crawl ships "
+                        "the full prior key table")
+    p.add_argument("--emit-bloom", action="store_true",
+                   help="emit the Bloom filter of the kept corpus's ids "
+                        "as a side artifact under the checkpoint dir — "
+                        "the --seen-bloom input of later crawls")
+    p.add_argument("--bloom-m-bits", type=int, default=1 << 24,
+                   help="Bloom filter size in bits (default 2^24); must "
+                        "match between the emitting and screening runs")
+    p.add_argument("--bloom-d", type=int, default=3,
+                   help="Bloom hash count; must match between runs")
     p.add_argument("--eval-path", default=None,
                    help="eval-suite parquet (text col) to decontaminate against")
     p.add_argument("--eval-ngram", type=int, default=8)
@@ -283,6 +302,26 @@ def main() -> None:
             return pages.join(keep, on=idc, how="left_semi")
 
         pages = ck.stage("delta_screened", delta_screened)
+
+    # 1a'. optional seen-id Bloom screen: the O(1)-sized alternative to
+    # --previous-crawl when only "was this id kept before?" matters —
+    # the filter never false-negatives (genuinely unseen pages always
+    # pass), and drops unseen pages only at its designed false-positive
+    # rate. The filter rides one broadcast; the corpus side is d integer
+    # probe rows per page.
+    if args.seen_bloom:
+        from fuzzycat_spark.operators.sketch import bloom_contains
+
+        def bloom_screened() -> DataFrame:
+            bloom = spark.read.parquet(args.seen_bloom)
+            verdict = bloom_contains(
+                bloom, pages.select(idc), idc,
+                m_bits=args.bloom_m_bits, d=args.bloom_d,
+            )
+            keep = verdict.filter(~F.col("may_contain")).select(idc)
+            return pages.join(keep, on=idc, how="left_semi")
+
+        pages = ck.stage("bloom_screened", bloom_screened)
 
     # 1b. optional host-centrality screen: PageRank over the crawl's own
     # link graph, BEFORE dedup — spam farms leave both the corpus and the
@@ -599,6 +638,20 @@ def main() -> None:
         # mixing — exactly what the next crawl is compared against): the
         # next run's --reference-bands, so the frozen side is hashed once
         ck.stage("bands", band_table)
+
+    if args.emit_bloom:
+        from fuzzycat_spark.operators.sketch import bloom_bits
+
+        def bloom_table() -> DataFrame:
+            return bloom_bits(
+                docs.select(idc), idc,
+                m_bits=args.bloom_m_bits, d=args.bloom_d,
+            )
+
+        # side artifact: membership filter over the kept ids — later
+        # crawls screen with --seen-bloom (same m/d); filters from
+        # successive crawls merge by OR (sketch.bloom_merge)
+        ck.stage("bloom", bloom_table)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

@@ -614,3 +614,52 @@ def test_quality_weights_arm_drops_spam(spark, tmp_path, capsys, monkeypatch):
     assert urls == {f"https://a.example/good{i}" for i in range(4)}
     assert "cls_score" in kept.columns
     assert all(r.cls_score > 0 for r in kept.select("cls_score").collect())
+
+
+def test_seen_bloom_round_trip(spark, tmp_path, capsys, monkeypatch):
+    """--emit-bloom / --seen-bloom over two crawls: run 1 persists the
+    O(1)-sized membership filter of its kept ids; run 2 drops exactly the
+    re-crawled urls and keeps the genuinely new ones (no false negatives;
+    m=2^20 over 7 ids makes false positives astronomically unlikely)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    crawl1 = [
+        (f"https://a.example/p{i}",
+         f"stable page {i} discussing harbors lighthouses tides ferries "
+         f"docks gulls ropes anchors")
+        for i in range(7)
+    ]
+    crawl2 = (
+        # re-crawled urls (same ids — the bloom drops them regardless of text)
+        [(f"https://a.example/p{i}", f"stable page {i} lightly edited "
+          f"discussing harbors lighthouses tides ferries docks gulls")
+         for i in range(4)]
+        + [(f"https://b.example/new{i}",
+            f"brand new article {i} about orchards beehives meadows "
+            f"creeks barns fences tractors silos")
+           for i in range(3)]
+    )
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    spark.createDataFrame(crawl1, "url string, text string").write.parquet(src1)
+    spark.createDataFrame(crawl2, "url string, text string").write.parquet(src2)
+    common = ["--strategies", "exact", "--min-quality", "0",
+              "--min-tokens", "1", "--no-repetition-filter",
+              "--n-shards", "2", "--bloom-m-bits", str(1 << 20)]
+    out1, ck1 = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    rec1 = _run(
+        ["--input", src1, "--output", out1, "--checkpoint", ck1,
+         "--emit-bloom"] + common,
+        capsys,
+    )
+    assert "bloom" in rec1["stages"]
+    bloom = spark.read.parquet(f"{ck1}/bloom")
+    assert set(bloom.columns) == {"word", "bits"}
+
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    rec2 = _run(
+        ["--input", src2, "--output", out2, "--checkpoint", ck2,
+         "--seen-bloom", f"{ck1}/bloom"] + common,
+        capsys,
+    )
+    assert "bloom_screened" in rec2["stages"]
+    urls = {r.url for r in spark.read.parquet(out2).select("url").collect()}
+    assert urls == {f"https://b.example/new{i}" for i in range(3)}

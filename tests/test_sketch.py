@@ -90,3 +90,54 @@ def test_weighted_cms(spark):
         for r in cms_lookup(cms, df.select("val").distinct(), "val", d=2, w=32).collect()
     }
     assert est["x"] == 12 and est["y"] == 1
+
+
+def test_bloom_never_false_negative(spark):
+    from fuzzycat_spark.operators.sketch import bloom_bits, bloom_contains
+
+    vals = _vals(spark, 300)
+    bloom = bloom_bits(vals, "val", m_bits=4096, d=3)
+    got = bloom_contains(bloom, vals, "val", m_bits=4096, d=3).collect()
+    assert len(got) == 300
+    assert all(r.may_contain for r in got)
+
+
+def test_bloom_rejects_most_unseen(spark):
+    from fuzzycat_spark.operators.sketch import bloom_bits, bloom_contains
+
+    seen = _vals(spark, 300)
+    unseen = spark.range(300).select(
+        F.concat(F.lit("absent"), F.col("id")).alias("val")
+    )
+    bloom = bloom_bits(seen, "val", m_bits=8192, d=3)
+    got = bloom_contains(bloom, unseen, "val", m_bits=8192, d=3).collect()
+    # fill ~ 900/8192 -> per-probe fp ~ (0.104)^3 ~ 1.1e-3; 300 probes
+    hits = sum(r.may_contain for r in got)
+    assert hits <= 5
+
+
+def test_bloom_merge_equals_union(spark):
+    from fuzzycat_spark.operators.sketch import bloom_bits, bloom_merge
+
+    whole = _vals(spark, 500)
+    lo = whole.filter(F.col("val") < "v3")
+    hi = whole.subtract(lo)
+    merged = bloom_merge(
+        bloom_bits(lo, "val", m_bits=2048, d=2),
+        bloom_bits(hi, "val", m_bits=2048, d=2),
+    )
+    direct = bloom_bits(whole, "val", m_bits=2048, d=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_bits_stay_in_uint32_range(spark):
+    from fuzzycat_spark.operators.sketch import bloom_bits
+
+    bloom = bloom_bits(_vals(spark, 2000), "val", m_bits=256, d=4)
+    rows = bloom.collect()
+    # 256 bits / 32-bit words = at most 8 words, all payloads positive
+    assert len(rows) <= 8
+    assert all(0 < r.bits < (1 << 32) for r in rows)
+    assert all(0 <= r.word < 8 for r in rows)
