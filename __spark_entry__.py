@@ -2811,6 +2811,58 @@ def _corpus_mix_sql() -> str:
                   / 281474976710656.0 < r.rate"""
 
 
+_TEMP_BUDGET = 450
+_TEMP_SEED = 7
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Square-root temperature flattening (operators/mixing.
+    sqrt_temperature_rates — the T=2 point of UniMax/mT5 n^alpha
+    sampling): per-lang keep rate = min(1, budget·sqrt(n)/(Σsqrt·n)),
+    damping head languages and clamping tail ones at 1. sqrt is IEEE-
+    correctly-rounded in both engines, weights floor to integers at 1e6
+    scale, the weight sum is exact int64, and the final two multiplies +
+    divide are mirrored op-for-op — so rates AND every md5-grid keep
+    decision hash-match. Budget 450 over 500 docs makes both arms real:
+    the biggest lang subsamples, the smallest clamps to rate 1.0."""
+    from fuzzycat_spark.operators.mixing import (
+        sample_corpus,
+        sqrt_temperature_rates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rates = sqrt_temperature_rates(docs, budget=_TEMP_BUDGET, key_col="lang")
+    return sample_corpus(
+        docs, rates, id_col="doc_id", key_col="lang", seed=_TEMP_SEED
+    ).select("doc_id", "lang", "rate")
+
+
+def _temperature_mix_sql() -> str:
+    return f"""
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+            ),
+            sq AS (
+              SELECT lang, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0)
+                          AS BIGINT) AS sq
+              FROM c
+            ),
+            s AS (SELECT CAST(sum(sq) AS BIGINT) AS s FROM sq),
+            rates AS (
+              SELECT lang,
+                     LEAST(1.0, ({float(_TEMP_BUDGET)!r} * CAST(sq AS DOUBLE))
+                                / (CAST(s.s AS DOUBLE) * CAST(n AS DOUBLE)))
+                       AS rate
+              FROM sq, s
+            )
+            SELECT d.doc_id, d.lang, r.rate
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':{_TEMP_SEED}'), 1, 12))::BIGINT
+                  / 281474976710656.0 < r.rate"""
+
+
 def q_corpus_report(spark, sf_dir):
     """The corpus auditor: ONE partial-aggregated groupBy rolling up the
     hygiene signals per language — doc counts, PII hit totals and
@@ -4495,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": q_warc_scan,
         "pii_scrub": q_pii_scrub,
         "corpus_mix": q_corpus_mix,
+        "temperature_mix": q_temperature_mix,
         "training_shards": q_training_shards,
         "dup_spans": q_dup_spans,
         "packed_sequences": q_packed_sequences,
@@ -4708,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_WARC_EXPECTED}'""",
         "pii_scrub": _pii_scrub_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "training_shards": _training_shards_sql(),
         "dup_spans": _dup_spans_sql(),
         "packed_sequences": _packed_sequences_sql(),

@@ -196,3 +196,44 @@ def sample_quota(
         .filter(F.col("rank") <= F.col("quota"))
         .select("id", F.col("key").alias(key_col), F.col("rank").cast("long").alias("rank"))
     )
+
+
+def sqrt_temperature_rates(
+    df: DataFrame,
+    budget: float,
+    key_col: str = "lang",
+) -> DataFrame:
+    """(key, rate): square-root temperature flattening — each key's
+    expected share of `budget` docs is proportional to sqrt(n_key)
+    (the T=2 / alpha=0.5 point of the UniMax/mT5 n^alpha sampling
+    family), so head languages/domains are damped and tail ones
+    up-weighted RELATIVE to proportional sampling without ever
+    up-SAMPLING (rates clamp at 1; actual duplication belongs to shard
+    assembly, not the sampler). rate_key = min(1, budget*sqrt(n_key) /
+    (sum_sqrt * n_key)).
+
+    Determinism: sqrt is IEEE-correctly-rounded in both engines, the
+    per-key weight is floored to an integer at 1e6 scale, the weight sum
+    is an exact int64, and the final rate is two IEEE multiplies and one
+    divide mirrored op-for-op in the oracle — bit-identical rates, hence
+    bit-identical keep sets through `sample_corpus`. Other temperatures
+    need pow(), which is NOT correctly rounded across engines — feed
+    externally-computed rates to `sample_corpus`/`budget_rates` instead.
+
+    One tiny partial-aggregated count per key + a 1-row sum; the corpus
+    is never reshuffled (rates return as a broadcast)."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    sq = counts.select(
+        key_col,
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000.0).alias("sq"),
+    )
+    tot = sq.agg(F.sum("sq").alias("s"))
+    return sq.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(budget)) * F.col("sq").cast("double"))
+            / (F.col("s").cast("double") * F.col("n").cast("double")),
+        ).alias("rate"),
+    )

@@ -221,9 +221,18 @@ def main() -> None:
     p.add_argument("--mix-budgets", default=None,
                    help='JSON {"lang": char_budget}; requires a lang column')
     p.add_argument("--mix-seed", type=int, default=0)
+    p.add_argument("--flatten-budget", type=int, default=0, metavar="N",
+                   help="square-root temperature flattening: keep an "
+                        "expected N docs total with per-lang shares "
+                        "proportional to sqrt(count) (UniMax/mT5 T=2); "
+                        "rates clamp at 1, so tail langs are never "
+                        "up-sampled. Requires a lang column; mutually "
+                        "exclusive with --mix-budgets; 0 = off")
     p.add_argument("--n-shards", type=int, default=64)
     p.add_argument("--shard-seed", type=int, default=0)
     args = p.parse_args()
+    if args.flatten_budget > 0 and args.mix_budgets:
+        p.error("--flatten-budget and --mix-budgets are mutually exclusive")
 
     from fuzzycat_spark.functions.pii import redact_pii
     from fuzzycat_spark.operators.dedup import DedupConfig, select_canonical
@@ -579,6 +588,22 @@ def main() -> None:
             ).drop("_nchars")
 
         docs = ck.stage("mixed", mixed)
+
+    if args.flatten_budget > 0:
+        from fuzzycat_spark.operators.mixing import (
+            sample_corpus,
+            sqrt_temperature_rates,
+        )
+
+        def flattened() -> DataFrame:
+            rates = sqrt_temperature_rates(
+                docs, budget=args.flatten_budget, key_col="lang"
+            )
+            return sample_corpus(
+                docs, rates, id_col=idc, key_col="lang", seed=args.mix_seed
+            )
+
+        docs = ck.stage("flattened", flattened)
 
     if args.vocab_top_k > 0:
         from fuzzycat_spark.operators.vocab import token_ngram_counts

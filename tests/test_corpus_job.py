@@ -663,3 +663,60 @@ def test_seen_bloom_round_trip(spark, tmp_path, capsys, monkeypatch):
     assert "bloom_screened" in rec2["stages"]
     urls = {r.url for r in spark.read.parquet(out2).select("url").collect()}
     assert urls == {f"https://b.example/new{i}" for i in range(3)}
+
+
+def test_flatten_budget_arm(spark, tmp_path, capsys, monkeypatch):
+    """--flatten-budget: sqrt-temperature language rebalancing — the
+    tail language clamps to rate 1 (all kept), the head language
+    subsamples toward its sqrt share."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        (f"https://a.example/en{i}", "en",
+         f"english article number {i} about rivers bridges canals "
+         f"ferries locks and harbors in detail")
+        for i in range(90)
+    ] + [
+        (f"https://a.example/de{i}", "de",
+         f"deutscher artikel nummer {i} über flüsse brücken kanäle "
+         f"fähren schleusen und häfen im detail")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, lang string, text string"
+    ).write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--flatten-budget", "50",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "flattened" in rec["stages"]
+    kept = spark.read.parquet(out_dir)
+    by = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # sqrt weights ~9.49:3.16 -> de expects 50*.25=12.5 of 10 -> clamp 1
+    assert by["de"] == 10
+    # en expects 50*.75=37.5 of 90 -> Bernoulli around rate .4167
+    assert 20 < by["en"] < 60
+    assert "rate" in kept.columns
+
+
+def test_flatten_and_mix_mutually_exclusive(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    df = spark.createDataFrame(
+        [("https://a.example/p", "en", "a b c")],
+        "url string, lang string, text string",
+    )
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o"),
+             "--checkpoint", str(tmp_path / "c"),
+             "--flatten-budget", "5", "--mix-budgets", "{\"en\": 10}"],
+            capsys,
+        )

@@ -223,3 +223,42 @@ class TestSampleQuota:
         )
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+def test_sqrt_temperature_flattens_toward_tail(spark):
+    from fuzzycat_spark.operators.mixing import (
+        sample_corpus,
+        sqrt_temperature_rates,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rates = {r.lang: r.rate for r in
+             sqrt_temperature_rates(df, budget=500).collect()}
+    # sqrt weights 30:10 -> big expects 375 of 900 (rate ~.4167),
+    # small expects 125 of 100 -> clamps to 1
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 500 * (30 / 40) / 900) < 1e-9
+    kept = sample_corpus(
+        df, sqrt_temperature_rates(df, budget=500), key_col="lang", seed=7
+    )
+    by = {r[0]: r[1] for r in kept.groupBy("lang").count().collect()}
+    assert by["small"] == 100          # clamped arm keeps everything
+    assert 300 < by["big"] < 450       # Bernoulli around 375
+    # tail share rose vs proportional: 100/475ish >> 10%
+    assert by["small"] / (by["small"] + by["big"]) > 0.2
+
+
+def test_sqrt_temperature_rates_deterministic_and_bounded(spark):
+    from fuzzycat_spark.operators.mixing import sqrt_temperature_rates
+
+    rows = [(i, f"l{i % 7}") for i in range(350)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = sorted(map(tuple, sqrt_temperature_rates(df, 100).collect()))
+    b = sorted(map(tuple, sqrt_temperature_rates(df, 100).collect()))
+    assert a == b
+    assert all(0.0 < r <= 1.0 for _, r in a)
+    # equal-sized keys get identical rates
+    assert len({r for _, r in a}) == 1
