@@ -2811,6 +2811,48 @@ def _corpus_mix_sql() -> str:
                   / 281474976710656.0 < r.rate"""
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-language P50/P90/P99 doc length (operators/stats.
+    binned_quantiles): the corpus-audit number that sizes partition
+    bytes and shingle caps before a 100 TB run, computed WITHOUT a
+    global sort — one partial-aggregated histogram shuffle onto
+    (lang, bin) int rows, then quantiles read off the tiny histogram's
+    cumulative counts (est = true quantile rounded up to the 100-char
+    bin edge). Rank test 100*cum >= q*n stays in exact int64, so every
+    estimate hash-matches the oracle."""
+    from fuzzycat_spark.operators.stats import binned_quantiles
+
+    return binned_quantiles(
+        _docs(spark, sf_dir), "n_chars",
+        quantiles=(50, 90, 99), bin_width=100, keys=("lang",),
+    )
+
+
+def _length_quantiles_sql() -> str:
+    return """
+            WITH hist AS (
+              SELECT lang, CAST(n_chars AS BIGINT) // 100 AS bin,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY lang, bin
+            ),
+            cum AS (
+              SELECT lang, bin,
+                     CAST(sum(cnt) OVER (
+                       PARTITION BY lang ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM hist
+            ),
+            qs(q) AS (VALUES (50), (90), (99))
+            SELECT lang, q, (min(bin) + 1) * 100 AS est,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM cum CROSS JOIN qs
+            WHERE 100 * cum >= q * n
+            GROUP BY lang, q"""
+
+
 _TEMP_BUDGET = 450
 _TEMP_SEED = 7
 
@@ -4548,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_mix": q_corpus_mix,
         "temperature_mix": q_temperature_mix,
+        "length_quantiles": q_length_quantiles,
         "training_shards": q_training_shards,
         "dup_spans": q_dup_spans,
         "packed_sequences": q_packed_sequences,
@@ -4762,6 +4805,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "length_quantiles": _length_quantiles_sql(),
         "training_shards": _training_shards_sql(),
         "dup_spans": _dup_spans_sql(),
         "packed_sequences": _packed_sequences_sql(),
