@@ -2831,7 +2831,12 @@ def q_length_quantiles(spark, sf_dir):
 def _length_quantiles_sql() -> str:
     return """
             WITH hist AS (
-              SELECT lang, CAST(n_chars AS BIGINT) // 100 AS bin,
+              -- floor-division binning mirrored from binned_quantiles
+              -- (pmod form; identity to // on the nonnegative n_chars)
+              SELECT lang,
+                     (CAST(n_chars AS BIGINT)
+                      - ((CAST(n_chars AS BIGINT) % 100) + 100) % 100) // 100
+                       AS bin,
                      CAST(count(*) AS BIGINT) AS cnt
               FROM documents WHERE n_chars IS NOT NULL
               GROUP BY lang, bin

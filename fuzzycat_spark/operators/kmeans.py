@@ -175,7 +175,7 @@ def lloyd_fit(
             .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
         )
         if checkpointer is not None:
-            cents = checkpointer.write(f"{stage_prefix}_iter_{i}", cents)
+            cents = checkpointer.write(cents, f"{stage_prefix}_iter_{i}")
     return kmeans_assign(vecs, cents, id_col=id_col), cents
 
 

@@ -218,5 +218,5 @@ def pagerank_fp(
             (F.lit(base).cast("long") + F.coalesce("tot", F.lit(0))).alias("s"),
         )
         if checkpointer is not None:
-            scores = checkpointer.write(f"pagerank_iter_{i}", scores)
+            scores = checkpointer.write(scores, f"pagerank_iter_{i}")
     return scores.select("host", F.col("s").alias("score_fp"))

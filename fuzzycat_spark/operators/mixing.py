@@ -115,6 +115,11 @@ def assign_splits(
     total = sum(fractions.values())
     if not fractions or total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total}, must be in (0, 1]")
+    if any(f <= 0 for f in fractions.values()):
+        # a negative fraction would pass the sum check but produce a
+        # non-monotonic bound grid: its split becomes unreachable and
+        # the shortfall lands silently in the preceding split
+        raise ValueError(f"every fraction must be positive: {fractions}")
     field = md5_field48(id_col, seed)
     expr: Column | None = None
     for name, bound in split_bounds(fractions):

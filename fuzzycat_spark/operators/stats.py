@@ -49,14 +49,22 @@ def binned_quantiles(
     the histogram (O(value_range / bin_width) rows per key), never the
     corpus. `quantiles` are integer percents so the rank test
     `100*cum >= q*n` stays in exact int64 (no float ranks)."""
-    if not quantiles or any(not (0 < q <= 100) for q in quantiles):
+    if not quantiles or any(
+        int(q) != q or not (0 < q <= 100) for q in quantiles
+    ):
         raise ValueError(f"quantiles must be integer percents in (0,100]: {quantiles}")
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive: {bin_width}")
     kcols = list(keys)
+    # FLOOR division, not DIV: Spark's DIV (and DuckDB's //) truncate
+    # toward zero, which would give negative measures (e.g. a signed
+    # contrast score) a double-width bin at 0 and upper edges off by up
+    # to 2*bin_width. pmod keeps everything in exact int64.
+    v = f"CAST({value_col} AS BIGINT)"
+    floordiv = f"({v} - (({v} % {bin_width}) + {bin_width}) % {bin_width}) DIV {bin_width}"
     hist = (
         df.filter(F.col(value_col).isNotNull())
-        .select(*kcols, F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}").alias("bin"))
+        .select(*kcols, F.expr(floordiv).alias("bin"))
         .groupBy(*kcols, "bin")
         .agg(F.count("*").alias("cnt"))
     )

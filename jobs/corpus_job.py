@@ -233,6 +233,10 @@ def main() -> None:
     args = p.parse_args()
     if args.flatten_budget > 0 and args.mix_budgets:
         p.error("--flatten-budget and --mix-budgets are mutually exclusive")
+    if args.reference_bands and not args.reference_corpus:
+        p.error("--reference-bands only takes effect with "
+                "--reference-corpus (the screen needs the reference "
+                "texts for exact-Jaccard confirmation)")
 
     from fuzzycat_spark.functions.pii import redact_pii
     from fuzzycat_spark.operators.dedup import DedupConfig, select_canonical

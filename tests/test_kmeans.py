@@ -90,3 +90,20 @@ def test_seeds_are_hash_ranked_prefix(spark):
     assert sorted(map(lambda r: (r.cid, tuple(r.cv)), seeds.collect())) == sorted(
         map(lambda r: (r.cid, tuple(r.cv)), seeds2.collect())
     )
+
+
+def test_lloyd_checkpointer_path_works(spark, tmp_path):
+    """The documented checkpointer= parameter: each iteration's centroids
+    round-trip through the StageCheckpointer and the fit still converges
+    to the same assignment as the uncheckpointed run."""
+    from fuzzycat_spark.operators.kmeans import kmeans_fit
+    from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+
+    rows = [(i, [float(i % 2) * 10, float(i % 2) * 10]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    plain, _ = kmeans_fit(emb, k=2, iters=2)
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"))
+    checked, _ = kmeans_fit(emb, k=2, iters=2, checkpointer=ck)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, checked.collect())
+    )

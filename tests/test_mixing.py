@@ -262,3 +262,15 @@ def test_sqrt_temperature_rates_deterministic_and_bounded(spark):
     assert all(0.0 < r <= 1.0 for _, r in a)
     # equal-sized keys get identical rates
     assert len({r for _, r in a}) == 1
+
+
+def test_assign_splits_rejects_nonpositive_fractions(spark):
+    import pytest as _pytest
+
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with _pytest.raises(ValueError, match="positive"):
+        assign_splits(df, {"train": 0.5, "test": -0.1})
+    with _pytest.raises(ValueError, match="positive"):
+        assign_splits(df, {"train": -0.2, "val": 1.2})

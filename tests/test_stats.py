@@ -75,3 +75,24 @@ def test_histogram_plan_is_partial_agg_no_value_sort(spark):
     for line in plan.splitlines():
         if "Sort " in line and "bin" not in line:
             assert "n#" not in line.split("Sort")[1].split("],")[0], line
+
+
+def test_negative_values_bin_by_floor_division(spark):
+    """Signed measures (e.g. contrast scores) bin correctly: the upper
+    edge never overshoots by more than bin_width."""
+    import math
+
+    vals = [-250, -101, -100, -99, -1, 0, 99, 100, 250]
+    df = spark.createDataFrame([(v,) for v in vals], "n bigint")
+    got = {r.q: r.est for r in
+           binned_quantiles(df, "n", quantiles=(10, 50, 100),
+                            bin_width=100).collect()}
+    for q, est in got.items():
+        exact = sorted(vals)[math.ceil(q / 100 * len(vals)) - 1]
+        assert est == (exact - (exact % 100 + 100) % 100) + 100, (q, est, exact)
+
+
+def test_rejects_non_integer_quantiles(spark):
+    df = spark.createDataFrame([(1,)], "n bigint")
+    with pytest.raises(ValueError, match="integer percents"):
+        binned_quantiles(df, "n", quantiles=(99.9,))
