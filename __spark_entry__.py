@@ -1008,6 +1008,55 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(_band_table(spark, sf_dir), MAX_BUCKET)
 
 
+_BBIT_B = 8
+
+
+def q_bbit_candidates(spark, sf_dir):
+    """b-bit MinHash candidates (operators/lsh.bbit_band_table — Li &
+    König, WWW 2010): band keys from only the LOW 8 bits of each
+    signature entry, so the persisted signature/band artifact (the
+    cross-crawl `--emit-bands` path) stores 1/8 of the full-width
+    index. Masking never splits a bucket — recall is monotonically >=
+    the full-width table's — and the extra accidental collisions are
+    handled by the same bucket cap as every hot bucket. Same capped
+    single-shuffle pair expansion as `lsh_candidates`."""
+    from fuzzycat_spark.operators.lsh import bbit_band_table
+
+    bands = bbit_band_table(
+        _doc_shingles(spark, sf_dir), "doc_id", "text",
+        NUM_PERM, BANDS, ROWS, b=_BBIT_B, shingles_col="sh",
+    )
+    return lsh_candidate_pairs(bands, MAX_BUCKET)
+
+
+def _bbit_candidates_sql() -> str:
+    mask = (1 << _BBIT_B) - 1
+    bb = ", ".join(
+        f"md5((l[{2 * b + 1}] & {mask})::VARCHAR || '|' ||"
+        f" (l[{2 * b + 2}] & {mask})::VARCHAR)"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {_SIG_CTES},
+sig_list AS (SELECT doc_id, list(sig ORDER BY perm_id) AS l
+             FROM sigs GROUP BY doc_id),
+bband_rows AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(bk, 1) - 1 AS BIGINT) AS band_id,
+         unnest(bk) AS band_hash
+  FROM (SELECT doc_id, [{bb}] AS bk FROM sig_list)
+),
+bucket_ok AS (
+  SELECT band_id, band_hash FROM bband_rows
+  GROUP BY band_id, band_hash HAVING count(*) <= {MAX_BUCKET}
+),
+br AS (SELECT bband_rows.* FROM bband_rows
+       JOIN bucket_ok USING (band_id, band_hash))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM br a JOIN br b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id"""
+
+
 _NGRAM_JACCARD_T = 0.5
 
 
@@ -4547,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_bands": q_lsh_bands,
         "lsh_candidates": q_lsh_candidates,
+        "bbit_candidates": q_bbit_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "cross_dedup_pairs": q_cross_dedup_pairs,
         "cross_dedup": q_cross_dedup,
@@ -4694,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM br a JOIN br b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id""",
+        "bbit_candidates": _bbit_candidates_sql(),
         "ngram_jaccard": f"""
             WITH {_BAND_CTES},
             bucket_ok AS (

@@ -126,6 +126,60 @@ def _pair_combos(ids: Column) -> Column:
     )
 
 
+def bbit_band_table(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    b: int = 8,
+    shingle_n: int = 3,
+    shingles_col: str | None = None,
+    h64_col: str | None = None,
+) -> DataFrame:
+    """(id, band_id, band_hash) from a b-BIT MinHash signature (Li &
+    König, "b-Bit Minwise Hashing", WWW 2010): only the LOW b bits of
+    each signature entry feed the band keys, so a persisted index stores
+    b/64 of the full-width signature (b=8 → 8× smaller; at 10^12 docs
+    the signature table is the artifact that dominates index storage,
+    and it is rebuilt never — shrinking it is the whole game for the
+    cross-crawl `ref_bands=` / `--emit-bands` path). The paper's
+    trade-off: per-band collision probability for unrelated docs rises
+    from ~2^-64r to ~2^-br, compensated by more rows or bands; masking
+    never SPLITS a bucket, so every full-width candidate pair is still
+    produced (recall is monotonically >= the full-width table's —
+    exactly the safe direction for a dedup screen, the cap handles the
+    extra fpps like any other hot bucket).
+
+    Same signature machinery as `minhash_band_table` (one Arrow-batched
+    numpy mix, JVM-side base hashes, one posexplode); no unit bands — a
+    single b-bit value is a 2^b-way key, too coarse to be anything but
+    one mega-bucket per popular value."""
+    assert bands * rows == num_perm, "bands * rows must equal num_perm"
+    if not (0 < b < 64):
+        raise ValueError(f"b must be in (0, 64): {b}")
+    mask = (1 << b) - 1
+    shingles = (
+        F.col(shingles_col) if shingles_col else word_shingles(text_col, shingle_n)
+    )
+    h64 = F.col(h64_col) if h64_col else F.transform(shingles, md5_h64)
+    sig = minhash_from_h64_udf(num_perm)(h64)
+    return (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(
+            "id",
+            F.transform("sig", lambda x: x.bitwiseAND(F.lit(mask))).alias("bsig"),
+        )
+        .select(
+            "id",
+            F.posexplode(lsh_band_keys(F.col("bsig"), bands, rows)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     band_table: DataFrame,
     max_bucket_size: int | str | None = DEFAULT_MAX_BUCKET,

@@ -411,3 +411,49 @@ def test_embedding_strategy_requires_config(spark):
     df = spark.createDataFrame([("a", "t")], "url string, text string")
     with pytest.raises(ValueError, match="embedding"):
         candidate_pairs(df, DedupConfig(strategies=("embedding",)))
+
+
+def test_bbit_bands_superset_of_full_width_candidates(spark):
+    """Masking to b bits never splits a bucket: every full-width LSH
+    candidate pair must also surface from the b-bit table (the safe
+    direction for a dedup screen); exact duplicates always pair."""
+    from fuzzycat_spark.operators.lsh import (
+        bbit_band_table,
+        lsh_candidate_pairs,
+        minhash_band_table,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar")
+    rows = (
+        [(f"d{i}", f"{base} edition {i % 3}") for i in range(9)]  # 3 dup triples
+        + [(f"u{i}", f"completely different subject {i} covering item "
+                     f"{i * 11} and matter {i * 13} separately") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "url string, text string")
+    full = minhash_band_table(df, "url", "text", unit_bands=0)
+    bbit = bbit_band_table(df, "url", "text", b=8)
+    full_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(full, max_bucket_size=None).collect()
+    }
+    bbit_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(bbit, max_bucket_size=None).collect()
+    }
+    assert full_pairs <= bbit_pairs
+    for grp in range(3):
+        ids = sorted(f"d{i}" for i in range(9) if i % 3 == grp)
+        for i, a in enumerate(ids):
+            for bb in ids[i + 1:]:
+                assert (a, bb) in bbit_pairs
+
+
+def test_bbit_band_table_rejects_bad_b(spark):
+    import pytest as _pytest
+
+    from fuzzycat_spark.operators.lsh import bbit_band_table
+
+    df = spark.createDataFrame([("u", "a b c")], "url string, text string")
+    with _pytest.raises(ValueError, match="b must be"):
+        bbit_band_table(df, "url", "text", b=64)
