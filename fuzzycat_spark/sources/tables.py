@@ -78,3 +78,40 @@ def write_output(df: DataFrame, target: str, fmt: str = "iceberg") -> None:
         df.writeTo(target).using(fmt).createOrReplace()
     else:
         df.write.mode("overwrite").parquet(target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a session-catalog parquet table hash-BUCKETED by
+    `key` — the shuffle-amortization path for every artifact this
+    pipeline joins repeatedly by the same key (the posting table joined
+    per query batch, the reference band table joined per incoming crawl,
+    the frozen reference corpus joined per candidate set): the bucket
+    layout IS a persisted hash partitioning, so later equi-joins between
+    tables bucketed the same way (same key, same `n_buckets`) run with
+    ZERO Exchange on either side — the one-time write shuffle replaces a
+    per-run shuffle of the big side forever. `sort=True` additionally
+    sorts within buckets so those joins skip the sort of sort-merge too.
+
+    Bucketed output requires the table catalog (`saveAsTable`; plain
+    `.parquet(path)` cannot record bucket metadata) — point
+    `spark.sql.warehouse.dir` somewhere durable. Iceberg's equivalent is
+    a `bucket(N, key)` partition transform on the table DDL; this is the
+    vanilla-Spark form of the same contract."""
+    w = df.write.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").mode(mode).saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a `write_bucketed` table with its bucket metadata live (the
+    reader that makes the zero-Exchange join actually happen —
+    `spark.read.parquet` on the underlying files would discard it)."""
+    return spark.table(table)

@@ -6,6 +6,7 @@ everything that runs in OUR code: routing, conf keys, format inference."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fuzzycat_spark.sources.tables import (
     ICEBERG_CATALOG_IMPL,
@@ -69,3 +70,47 @@ def test_write_output_path(spark, tmp_path):
     out = str(tmp_path / "out")
     write_output(df, out)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_bucketed_join_has_zero_exchange(spark, tmp_path):
+    """The point of write_bucketed: two tables bucketed by the same key
+    join with NO Exchange on either side — the persisted bucket layout
+    replaces the per-run shuffle; an unbucketed copy of the same data
+    pays at least one."""
+    from fuzzycat_spark.sources.tables import read_bucketed, write_bucketed
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    scores = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("s")
+    )
+    write_bucketed(docs, "bt_docs", "doc_id", n_buckets=8)
+    write_bucketed(scores, "bt_scores", "doc_id", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # gate-sized tables broadcast (bucketing is moot under BHJ); force the
+    # sort-merge plan a 100 TB-by-100 TB join would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "bt_docs").join(
+            read_bucketed(spark, "bt_scores"), "doc_id"
+        )
+        assert j.count() == 500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+        # control: the same join off plain parquet needs an exchange
+        p1, p2 = str(tmp_path / "d"), str(tmp_path / "s")
+        docs.write.parquet(p1)
+        scores.write.parquet(p2)
+        cplan = (
+            spark.read.parquet(p1)
+            .join(spark.read.parquet(p2), "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in cplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_scores")
