@@ -116,3 +116,22 @@ def test_pagerank_weights_split_proportionally(spark):
     e = _edges(spark, [("a", "b", 3), ("a", "c", 1)])
     got = {r.host: r.score_fp for r in pagerank_fp(e, iters=1, scale=SCALE).collect()}
     assert got["b"] - BASE == 3 * (got["c"] - BASE)
+
+
+def test_pagerank_checkpointer_path_works(spark, tmp_path):
+    """The documented checkpointer= parameter: iteration scores
+    round-trip through the StageCheckpointer and the fixed point matches
+    the uncheckpointed run exactly (integer arithmetic, no drift)."""
+    from fuzzycat_spark.operators.linkgraph import pagerank_fp
+    from fuzzycat_spark.plans.checkpoint import StageCheckpointer
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "c", 2)],
+        "src_host string, dst_host string, weight long",
+    )
+    plain = pagerank_fp(edges, iters=3)
+    ck = StageCheckpointer(spark, str(tmp_path / "ck"))
+    checked = pagerank_fp(edges, iters=3, checkpointer=ck)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, checked.collect())
+    )
