@@ -83,15 +83,17 @@ def main() -> None:
     pages = synth_pages(spark, n_families=SYNTH_FAMILIES, n_spam=SYNTH_SPAM)
     pages = pages.localCheckpoint()  # time the pipeline, not the generator
     # full-pipeline warmup on a 2% sample (codegen + resident Python
-    # workers), then best of 2 timed runs: C2 JIT finishes compiling the
-    # generated code DURING the first full-size pass (measured 2-6x on the
-    # first run only), and the min is the least-noise estimator on this
-    # shared VM (same methodology as tools/bench_scaling.py / SCALING.md)
+    # workers), then best of reps_n timed runs: C2 JIT finishes compiling
+    # the generated code DURING the first full-size pass (measured 1.5-6x
+    # on the first run only — the 2% warmup does not fully cover it), and
+    # the min is the least-noise estimator on this shared VM (same
+    # methodology as tools/bench_scaling.py / SCALING.md; a same-window
+    # A/B in round 5 put the rep spread at 30-85s on identical code)
     warm = pages.sample(0.02, seed=1).localCheckpoint()
     _, wa = dedup_pages(warm, DedupConfig())
     wa.count()
     e2e_reps: list[float] = []
-    for _ in range(max(2, reps_n - 1)):
+    for _ in range(max(2, reps_n)):
         t0 = time.time()
         _, assign = dedup_pages(pages, DedupConfig())
         assert assign.count() == n_docs

@@ -47,6 +47,31 @@ def resolve_fs(path: str):
     return pafs.FileSystem.from_uri(uri)
 
 
+def atomic_put(path: str, payload: str) -> None:
+    """Write one small control file with atomic VISIBILITY — readers see
+    the old content or the new, never a partial write. On a local
+    filesystem: write-then-rename (atomic on POSIX). On an object store:
+    one single-key PUT, which has atomic visibility per S3/GCS semantics
+    (a rename there would be copy+delete, i.e. WORSE than the direct
+    PUT). Shared by the streaming commit pointer and the compaction base
+    pointer — every "swap the pointer LAST" protocol in the repo routes
+    through this one writer."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, p)
+        return
+    with fs.open_output_stream(p) as f:
+        f.write(payload.encode("utf-8"))
+
+
 def partition_lineage(path: str) -> dict:
     """Per-partition lineage + counters for a completed parquet stage,
     from file FOOTERS only: each writer task emits one file, so per-file

@@ -130,38 +130,47 @@ def committed_epoch(index_path: str) -> int | None:
 
 
 def _commit_pointer(index_path: str, epoch: int) -> None:
-    """Swap the commit pointer — the LAST write of an epoch. On a local
-    filesystem: write-then-rename (atomic on POSIX, and readers never see
-    a partial file). On an object store: one single-key PUT, which is
-    atomic-visibility per S3/GCS semantics (a rename there would be
-    copy+delete, i.e. WORSE than the direct PUT)."""
-    import os
+    """Swap the commit pointer — the LAST write of an epoch (atomic
+    visibility via plans.checkpoint.atomic_put: local rename / single
+    object-store PUT)."""
+    from fuzzycat_spark.plans.checkpoint import atomic_put
 
-    from pyarrow import fs as pafs
-
-    fs, p = _resolve_fs(_pointer_path(index_path + "_sizes"))
-    if isinstance(fs, pafs.LocalFileSystem):
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch))
-        os.replace(tmp, p)
-        return
-    with fs.open_output_stream(p) as f:
-        f.write(str(epoch).encode("utf-8"))
+    atomic_put(_pointer_path(index_path + "_sizes"), str(epoch))
 
 
 def _read_state(
     spark: SparkSession, parent: str, upto_epoch: int | None
 ) -> DataFrame | None:
     """Read a per-epoch state table, keeping only COMMITTED epochs (a
-    crashed attempt's epoch dir is present but not pointed to)."""
+    crashed attempt's epoch dir is present but not pointed to).
+
+    Compaction-aware (streaming/compaction.py): if the table carries a
+    base pointer, the view is base(gen) ∪ epochs in (base_upto, committed]
+    — one compacted table plus the short post-compaction tail, instead of
+    a union over every epoch directory the stream has ever written. The
+    `_base` subdirectory is underscore-prefixed, so the tail's partition
+    discovery never sees it."""
     if upto_epoch is None:
         return None
-    df = try_read_parquet(spark, parent)
-    if df is None:
-        return None
-    return df.filter(F.col("epoch") <= upto_epoch).drop("epoch")
+    from fuzzycat_spark.streaming.compaction import base_pointer
+
+    ptr = base_pointer(parent)
+    tail = try_read_parquet(spark, parent)
+    if ptr is None:
+        if tail is None:
+            return None
+        return tail.filter(F.col("epoch") <= upto_epoch).drop("epoch")
+    gen, base_upto = ptr
+    base = try_read_parquet(spark, f"{parent}/_base/gen={gen}")
+    if tail is not None:
+        tail = tail.filter(
+            (F.col("epoch") > base_upto) & (F.col("epoch") <= upto_epoch)
+        ).drop("epoch")
+    if base is None:
+        # defensive: a base pointer without its gen dir should be
+        # impossible (the pointer is swapped AFTER the gen write)
+        return tail
+    return base if tail is None else base.unionByName(tail)
 
 
 def read_pairs(spark: SparkSession, pairs_path: str, index_path: str) -> DataFrame | None:

@@ -25,6 +25,7 @@ state.
 from __future__ import annotations
 
 import argparse
+import json
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,14 @@ def main() -> None:
     p.add_argument("--schema", default=None,
                    help="DDL schema for parquet/jsonl streaming sources "
                    "(file streams require one); default: url/warc_ts/text/lang")
+    p.add_argument("--compact-state", action="store_true",
+                   help="after the drain, merge committed epoch dirs into "
+                   "the compacted base tables (streaming/compaction.py) — "
+                   "the small-file maintenance action; run it periodically "
+                   "on long-lived state")
+    p.add_argument("--compact-only", action="store_true",
+                   help="skip consuming the stream; just compact existing "
+                   "state and exit (offline maintenance run)")
     args = p.parse_args()
 
     from fuzzycat_spark.operators.dedup import DedupConfig
@@ -99,6 +108,12 @@ def main() -> None:
     )
     index_path = f"{args.state}/index"
     pairs_path = f"{args.state}/pairs"
+    if args.compact_only:
+        from fuzzycat_spark.streaming.compaction import compact_state
+
+        print(json.dumps(compact_state(spark, index_path, pairs_path)))
+        spark.stop()
+        return
     writer = stream.writeStream.foreachBatch(
         lambda df, epoch: incremental_dedup_batch(
             df, index_path, pairs_path, cfg,
@@ -109,6 +124,10 @@ def main() -> None:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+    if args.compact_state:
+        from fuzzycat_spark.streaming.compaction import compact_state
+
+        print(json.dumps(compact_state(spark, index_path, pairs_path)))
     spark.stop()
 
 
