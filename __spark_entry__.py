@@ -3321,6 +3321,102 @@ def _vocab_sql(n: int, k: int, min_count: int) -> str:
         ORDER BY occurrences DESC, gram LIMIT {k}"""
 
 
+_BPE_MERGES = 8
+# printable ASCII, no space: the per-character symbolization splits per
+# UTF-16 unit JVM-side but per codepoint in DuckDB — on ASCII they agree
+_BPE_WORD_RE = "^[!-~]+$"
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): the 8 most frequent
+    symbol-pair merges learned from the corpus word-frequency table.
+    One corpus shuffle (the word count), then every round runs on the
+    vocab-sized word table: one partial-aggregated (left,right) count,
+    a TakeOrderedAndProject(1) argmax, a 1-row broadcast rewrite —
+    training cost is corpus-size-independent past the first count, and
+    int64 pair counts make the learned sequence cross-engine exact."""
+    from fuzzycat_spark.operators.bpe import bpe_train, bpe_word_table
+
+    w = bpe_word_table(_docs(spark, sf_dir), word_pattern=_BPE_WORD_RE)
+    merges, _ = bpe_train(w, _BPE_MERGES)
+    return merges
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the learned BPE vocabulary —
+    read straight off the trained word table's rewritten symbol strings
+    (training already applied every merge to every word), one join
+    shuffle; untrained words contribute nothing and empty documents
+    report 0."""
+    from fuzzycat_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        bpe_word_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = bpe_word_table(docs, word_pattern=_BPE_WORD_RE)
+    _, final = bpe_train(w, _BPE_MERGES)
+    return bpe_token_counts(docs, final, id_col="doc_id")
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """w0..wN / b1..bN CTE chain mirroring bpe_train: per-char
+    symbolization, naive adjacent pair counts weighted by word
+    frequency, (count DESC, left, right) argmax, single-pass
+    space-padded replace application (LEFT JOIN ON TRUE so an exhausted
+    round is a no-op, exactly like the operator's left join)."""
+    parts = [
+        f"""w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+          FROM (SELECT unnest({_RAW_TOKS}) AS word FROM documents)
+          WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+          GROUP BY word)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(f"""b{t} AS (
+          SELECT l[i] AS lft, l[i+1] AS rgt,
+                 CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM (SELECT freq, string_split(syms, ' ') AS l FROM w{t - 1}),
+               UNNEST(range(1, len(l))) AS u(i)
+          GROUP BY 1, 2
+          ORDER BY pair_count DESC, lft, rgt LIMIT 1)""")
+        parts.append(f"""w{t} AS (
+          SELECT word, freq,
+                 CASE WHEN b.lft IS NULL THEN syms
+                      ELSE trim(replace(' ' || syms || ' ',
+                                        ' ' || b.lft || ' ' || b.rgt || ' ',
+                                        ' ' || b.lft || b.rgt || ' '))
+                 END AS syms
+          FROM w{t - 1} LEFT JOIN b{t} b ON TRUE)""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, lft AS \"left\", rgt AS \"right\", "
+        f"lft || rgt AS merged, pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_chain_sql(n_merges)}\n{rows}"
+
+
+def _bpe_token_counts_sql(n_merges: int) -> str:
+    return f"""
+        WITH {_bpe_chain_sql(n_merges)},
+        wt AS (SELECT word,
+                      CAST(len(string_split(syms, ' ')) AS BIGINT) AS nt
+               FROM w{n_merges}),
+        per_doc AS (
+          SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n
+          FROM (SELECT doc_id, unnest({_RAW_TOKS}) AS word FROM documents)
+          JOIN wt USING (word)
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens_bpe
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
 _LINK_FIXTURE = "/root/repo/fixtures/link_docs.parquet"
 _PR_ITERS = 8
 _PR_SCALE = 1_000_000_000
@@ -4650,6 +4746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "packed_sequences": q_packed_sequences,
         "vocab_top": q_vocab_top,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "bigram_top": q_bigram_top,
         "lm_scores": q_lm_scores,
         "dsir_contrast": q_dsir_contrast,
@@ -4866,6 +4964,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "packed_sequences": _packed_sequences_sql(),
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
+        "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
+        "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "lm_scores": _lm_scores_sql(),
         "dsir_contrast": _dsir_contrast_sql(),
