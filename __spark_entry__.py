@@ -3360,17 +3360,20 @@ def q_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(docs, final, id_col="doc_id")
 
 
-def _bpe_chain_sql(n_merges: int) -> str:
+def _bpe_chain_sql(n_merges: int, train_where: str = "TRUE") -> str:
     """w0..wN / b1..bN CTE chain mirroring bpe_train: per-char
     symbolization, naive adjacent pair counts weighted by word
     frequency, (count DESC, left, right) argmax, single-pass
     space-padded replace application (LEFT JOIN ON TRUE so an exhausted
-    round is a no-op, exactly like the operator's left join)."""
+    round is a no-op, exactly like the operator's left join).
+    `train_where` restricts the training corpus (the encode gate trains
+    on an md5 doc split)."""
     parts = [
         f"""w0 AS (
           SELECT word, CAST(count(*) AS BIGINT) AS freq,
                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
-          FROM (SELECT unnest({_RAW_TOKS}) AS word FROM documents)
+          FROM (SELECT unnest({_RAW_TOKS}) AS word FROM documents
+                WHERE {train_where})
           WHERE regexp_matches(word, '{_BPE_WORD_RE}')
           GROUP BY word)"""
     ]
@@ -3400,6 +3403,71 @@ def _bpe_merges_sql(n_merges: int) -> str:
         for t in range(1, n_merges + 1)
     )
     return f"WITH {_bpe_chain_sql(n_merges)}\n{rows}"
+
+
+_BPE_TRAIN_WHERE = (
+    "substr(md5(doc_id::VARCHAR), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7')"
+)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Deployment encode path (operators/bpe.py bpe_apply): train the
+    merge table on an md5-selected half of the corpus, then tokenize
+    ALL documents — held-out docs contain words the trainer never saw,
+    which must still segment through the literal-replace fold. The
+    8-row learned merge table is collected as the published model
+    artifact (a tokenizer model is driver-sized by definition, same
+    footing as broadcast centroids/classifier weights); the apply pass
+    is one codegen replace chain per token plus the per-doc count
+    shuffle."""
+    from fuzzycat_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        bpe_word_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        ).isin(list("01234567"))
+    )
+    merges_df, _ = bpe_train(
+        bpe_word_table(train, word_pattern=_BPE_WORD_RE), _BPE_MERGES
+    )
+    merges = [(r.left, r.right) for r in merges_df.orderBy("step").collect()]
+    return bpe_apply(
+        docs, merges, id_col="doc_id", word_pattern=_BPE_WORD_RE
+    )
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    # fold the learned merges over every token as nested replaces;
+    # coalesce(-, chr(1)) turns a missing merge row into an identity
+    # replace so an exhausted round is a no-op (mirrors bpe_apply
+    # folding only the merges that exist)
+    s = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    joins = []
+    for t in range(1, n_merges + 1):
+        s = (
+            f"replace({s},"
+            f" coalesce(' '||b{t}.lft||' '||b{t}.rgt||' ', chr(1)),"
+            f" coalesce(' '||b{t}.lft||b{t}.rgt||' ', chr(1)))"
+        )
+        joins.append(f"LEFT JOIN b{t} ON TRUE")
+    return f"""
+        WITH {_bpe_chain_sql(n_merges, _BPE_TRAIN_WHERE)},
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(sum(len(string_split(trim({s}), ' '))) AS BIGINT) AS n
+          FROM (SELECT doc_id, unnest({_RAW_TOKS}) AS word FROM documents)
+               {' '.join(joins)}
+          WHERE regexp_matches(word, '{_BPE_WORD_RE}')
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens_bpe
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
 def _bpe_token_counts_sql(n_merges: int) -> str:
@@ -4748,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_encode": q_bpe_encode,
         "bigram_top": q_bigram_top,
         "lm_scores": q_lm_scores,
         "dsir_contrast": q_dsir_contrast,
@@ -4966,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),
         "bpe_merges": _bpe_merges_sql(_BPE_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(_BPE_MERGES),
+        "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
         "bigram_top": _vocab_sql(2, _BIGRAM_K, 2),
         "lm_scores": _lm_scores_sql(),
         "dsir_contrast": _dsir_contrast_sql(),

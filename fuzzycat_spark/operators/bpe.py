@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_word_table", "bpe_train", "bpe_token_counts"]
+__all__ = ["bpe_word_table", "bpe_train", "bpe_token_counts", "bpe_apply"]
 
 _PAIR_T = "array<struct<left:string,right:string>>"
 
@@ -197,6 +197,60 @@ def bpe_token_counts(
     )
     counts = (
         toks.join(wt, "word")
+        .groupBy(id_col)
+        .agg(F.sum("_nt").alias("n_tokens_bpe"))
+    )
+    return docs.select(F.col(id_col)).join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).cast("long").alias(
+            "n_tokens_bpe"
+        ),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "id",
+    text_col: str = "text",
+    word_pattern: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens_bpe) for ARBITRARY text under a trained merge
+    list — the deployment encode path, where the corpus being tokenized
+    is NOT the training corpus (new crawls, held-out splits), so words
+    the trainer never saw must still segment. `merges` is the persisted
+    model artifact in learning order ((left, right) pairs — a tokenizer
+    model is driver-sized by definition, ~30k rows, same footing as
+    broadcast k-means centroids or classifier weights).
+
+    Each word symbolizes per character and folds the merge list as ONE
+    codegen chain of literal space-padded replaces — identical
+    single-pass semantics to training, so training-corpus words segment
+    exactly as `words_final` has them. Applied per token occurrence:
+    zero shuffles beyond the per-doc count (the distinct-words-first
+    variant would trade that recompute for two extra shuffles; at very
+    large merge lists, fold the chain in chunks through a
+    `StageCheckpointer` over the distinct-word table instead —
+    expression trees have practical depth limits around a few thousand
+    nodes). `word_pattern` excludes non-matching words from the count
+    (gated runs pass ASCII-only, matching the trained vocabulary's
+    engine-independence domain)."""
+    from fuzzycat_spark.operators.spans import raw_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(raw_tokens(text_col)).alias("word")
+    )
+    if word_pattern is not None:
+        toks = toks.filter(F.col("word").rlike(word_pattern))
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    for left, right in merges:
+        s = F.replace(s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    counts = (
+        toks.withColumn("_nt", F.size(F.split(F.trim(s), " ")))
         .groupBy(id_col)
         .agg(F.sum("_nt").alias("n_tokens_bpe"))
     )

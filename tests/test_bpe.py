@@ -120,6 +120,37 @@ def test_token_counts_read_off_trained_table(spark):
     assert counts[str(len(SENNRICH) + 2)] == 0  # empty doc reports 0
 
 
+def test_apply_matches_trained_table_and_segments_unseen_words(spark):
+    from fuzzycat_spark.operators.bpe import bpe_apply
+
+    df, merges_df, final = _train(spark, SENNRICH, 6)
+    merges = [(r.left, r.right) for r in merges_df.orderBy("step").collect()]
+    # on the training corpus the replace fold reproduces the trained
+    # table's segmentation exactly
+    a = {r.id: r.n_tokens_bpe for r in bpe_apply(df, merges).collect()}
+    b = {r.id: r.n_tokens_bpe for r in bpe_token_counts(df, final).collect()}
+    assert a == b
+
+    def fold(word):
+        s = " " + " ".join(word) + " "
+        for l, r in merges:
+            s = s.replace(f" {l} {r} ", f" {l}{r} ")
+        return len(s.strip().split(" "))
+
+    unseen = ["lowest newer", "zzz est", ""]
+    udf = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(unseen)], "id string, text string"
+    )
+    got = {r.id: r.n_tokens_bpe for r in bpe_apply(udf, merges).collect()}
+    exp = {
+        str(i): sum(fold(w) for w in t.split())
+        for i, t in enumerate(unseen)
+    }
+    assert got == exp and got["2"] == 0
+    # 'est' was learned from SENNRICH, so the unseen words compress
+    assert got["0"] < sum(len(w) for w in unseen[0].split())
+
+
 def test_checkpointer_variant_matches_lazy(spark, tmp_path):
     from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 
