@@ -1013,11 +1013,13 @@ _BBIT_B = 8
 
 def q_bbit_candidates(spark, sf_dir):
     """b-bit MinHash candidates (operators/lsh.bbit_band_table — Li &
-    König, WWW 2010): band keys from only the LOW 8 bits of each
-    signature entry, so the persisted signature/band artifact (the
-    cross-crawl `--emit-bands` path) stores 1/8 of the full-width
-    index. Masking never splits a bucket — recall is monotonically >=
-    the full-width table's — and the extra accidental collisions are
+    König, WWW 2010): each band key is the rows·b-bit PACKED LONG of
+    its masked signature entries (16 bits here vs a 32-char md5 in the
+    full-width table), so the persisted band artifact (the cross-crawl
+    `--emit-bands` path) actually shrinks ~8-16× per row. Masking never
+    splits a bucket — recall is monotonically >= the full-width table
+    at the same band layout (unit_bands=0; the production unit bands
+    have no b-bit analog) — and the extra accidental collisions are
     handled by the same bucket cap as every hot bucket. Same capped
     single-shuffle pair expansion as `lsh_candidates`."""
     from fuzzycat_spark.operators.lsh import bbit_band_table
@@ -1032,8 +1034,8 @@ def q_bbit_candidates(spark, sf_dir):
 def _bbit_candidates_sql() -> str:
     mask = (1 << _BBIT_B) - 1
     bb = ", ".join(
-        f"md5((l[{2 * b + 1}] & {mask})::VARCHAR || '|' ||"
-        f" (l[{2 * b + 2}] & {mask})::VARCHAR)"
+        f"CAST(((l[{2 * b + 1}] & {mask}) << {_BBIT_B})"
+        f" | (l[{2 * b + 2}] & {mask}) AS BIGINT)"
         for b in range(BANDS)
     )
     return f"""

@@ -186,12 +186,11 @@ def bpe_token_counts(
     word — no re-encoding pass). The join is the only shuffle; words
     outside the trained table (e.g. filtered by `word_pattern`)
     contribute nothing, and documents with no trained words report 0."""
+    from fuzzycat_spark.operators.spans import raw_tokens
+
     toks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.col(text_col), "[ \t\r\n]+")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
+        F.col(id_col), F.explode(raw_tokens(text_col)).alias("word")
+    )
     wt = words_final.select(
         "word", F.size(F.split(F.col("syms"), " ")).alias("_nt")
     )

@@ -140,31 +140,48 @@ def bbit_band_table(
 ) -> DataFrame:
     """(id, band_id, band_hash) from a b-BIT MinHash signature (Li &
     König, "b-Bit Minwise Hashing", WWW 2010): only the LOW b bits of
-    each signature entry feed the band keys, so a persisted index stores
-    b/64 of the full-width signature (b=8 → 8× smaller; at 10^12 docs
-    the signature table is the artifact that dominates index storage,
-    and it is rebuilt never — shrinking it is the whole game for the
-    cross-crawl `ref_bands=` / `--emit-bands` path). The paper's
-    trade-off: per-band collision probability for unrelated docs rises
-    from ~2^-64r to ~2^-br, compensated by more rows or bands; masking
-    never SPLITS a bucket, so every full-width candidate pair is still
-    produced (recall is monotonically >= the full-width table's —
-    exactly the safe direction for a dedup screen, the cap handles the
-    extra fpps like any other hot bucket).
-
-    Same signature machinery as `minhash_band_table` (one Arrow-batched
-    numpy mix, JVM-side base hashes, one posexplode); no unit bands — a
-    single b-bit value is a 2^b-way key, too coarse to be anything but
-    one mega-bucket per popular value."""
+    each signature entry feed the band keys, and each band key is the
+    rows·b-bit PACKED integer of its masked entries — `band_hash` here
+    is a LONG whose value fits rows·b bits (b=8, rows=2 → 16 bits;
+    parquet dictionary+bit-packing stores it in ~2 bytes), not the
+    32-char md5 string the full-width table emits. That is where the
+    paper's storage claim is realized: at 10^12 docs the persisted
+    band/signature artifact dominates index storage for the cross-crawl
+    `ref_bands=` / `--emit-bands` path, and the packed table is ~8-16×
+    smaller per row than the md5-keyed one. The trade-off: per-band
+    collision probability for unrelated docs rises from ~2^-64r to
+    ~2^-br, compensated by more rows or bands; masking never SPLITS a
+    bucket, so every candidate pair of a full-width table AT THE SAME
+    BAND LAYOUT (same bands/rows, `unit_bands=0`) is still produced —
+    the safe direction for a dedup screen, with the cap handling the
+    extra fpps like any other hot bucket. NOTE: `minhash_band_table`'s
+    PRODUCTION default adds 4 single-entry unit bands for containment
+    dups; a lone b-bit value is a 2^b-way key (useless mega-buckets),
+    so this table has no unit-band analog — containment recall must
+    come from the substring/winnow strategies when switching a
+    persisted index to b-bit keys."""
     assert bands * rows == num_perm, "bands * rows must equal num_perm"
     if not (0 < b < 64):
         raise ValueError(f"b must be in (0, 64): {b}")
+    if rows * b > 63:
+        raise ValueError(
+            f"rows*b = {rows * b} bits will not pack into a signed long; "
+            "lower b or rows"
+        )
     mask = (1 << b) - 1
     shingles = (
         F.col(shingles_col) if shingles_col else word_shingles(text_col, shingle_n)
     )
     h64 = F.col(h64_col) if h64_col else F.transform(shingles, md5_h64)
     sig = minhash_from_h64_udf(num_perm)(h64)
+    packed = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.aggregate(
+            F.slice(F.col("bsig"), i * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, b).bitwiseOR(x),
+        ),
+    )
     return (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .select(
@@ -173,9 +190,7 @@ def bbit_band_table(
         )
         .select(
             "id",
-            F.posexplode(lsh_band_keys(F.col("bsig"), bands, rows)).alias(
-                "band_id", "band_hash"
-            ),
+            F.posexplode(packed).alias("band_id", "band_hash"),
         )
     )
 

@@ -31,11 +31,13 @@ Crash atomicity (same pointer-last discipline as the epoch commit):
    no reader follows a gen the pointer doesn't name
 2. swap `_BASE` to `{"gen": G+1, "upto": committed}` (atomic_put: local
    rename / single object-store PUT)
-3. delete merged `epoch=N` dirs (N ≤ committed), the previous gen, and
-   stale snapshot epochs — pure garbage collection: reads are
-   pointer-driven and the tail filter is `epoch > upto`, so a crash
-   mid-delete leaves ignored directories, never a wrong answer; re-run
-   compaction (or the next one) to finish the sweep
+3. delete merged `epoch=N` dirs (N ≤ committed), the previous gen,
+   stale snapshot epochs, and lineage manifests below the commit
+   pointer — pure garbage collection: reads are pointer-driven and the
+   tail filter is `epoch > upto`, so a crash mid-delete leaves ignored
+   directories, never a wrong answer; re-running compaction finishes
+   the sweep even with nothing new to merge (the already-compacted
+   branch still sweeps leftover epoch and gen dirs)
 
 Concurrency contract: run compaction while the stream is STOPPED (or
 between `availableNow` drains). It only reads committed state and only
@@ -151,13 +153,24 @@ def compact_table(
         # would just copy it
         return {"parent": parent, "skipped": "nothing to merge"}
     if ptr is not None and ptr[1] >= committed:
-        # already compacted through the commit pointer; sweep any epoch
-        # dirs a crashed previous sweep left behind, but don't rewrite
+        # already compacted through the commit pointer; finish whatever
+        # a crashed previous sweep left behind — leftover epoch dirs AND
+        # stale _base/gen dirs (a crash after the pointer swap but
+        # before step 3 leaves the full previous gen on disk) — but
+        # don't rewrite
         swept = sum(1 for _, name in epochs if _delete_dir(parent, name))
+        gens_swept = sum(
+            1
+            for g in _list_child_dirs(f"{parent}/_base")
+            if g.startswith("gen=")
+            and g != f"gen={ptr[0]}"
+            and _delete_dir(f"{parent}/_base", g)
+        )
         return {
             "parent": parent,
             "skipped": "already compacted through committed",
             "epoch_dirs_swept": swept,
+            "gen_dirs_swept": gens_swept,
         }
     view = _read_state(spark, parent, committed)
     if view is None:
@@ -181,6 +194,43 @@ def compact_table(
         "epochs_merged": len(epochs),
         "epoch_dirs_swept": swept,
     }
+
+
+def _prune_manifests(index_path: str, committed: int) -> int:
+    """Per-epoch lineage manifests (`<index>_sizes/_manifest_epoch_N.json`)
+    describe epoch dirs this compaction deletes — sweep every manifest
+    below the commit pointer (the committed epoch's manifest stays: it is
+    the live lineage record matching the kept snapshot tables). Without
+    this the _sizes directory re-accumulates one small key per epoch —
+    the very listing pathology compaction removes."""
+    from pyarrow import fs as pafs
+
+    from fuzzycat_spark.plans.checkpoint import resolve_fs
+
+    parent = index_path + "_sizes"
+    try:
+        fs, p = resolve_fs(parent)
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (OSError, FileNotFoundError):
+        return 0
+    pruned = 0
+    for i in infos:
+        name = i.base_name
+        if i.type != pafs.FileType.File:
+            continue
+        if not (name.startswith("_manifest_epoch_") and name.endswith(".json")):
+            continue
+        try:
+            epoch = int(name[len("_manifest_epoch_"):-len(".json")])
+        except ValueError:
+            continue
+        if epoch < committed:
+            try:
+                fs.delete_file(f"{p}/{name}")
+                pruned += 1
+            except (OSError, FileNotFoundError):
+                continue
+    return pruned
 
 
 def _prune_snapshots(parent: str, committed: int) -> int:
@@ -224,7 +274,8 @@ def compact_state(
             spark, parent, committed, part_by, target_partitions
         )
     stats["tables"]["sizes"] = {
-        "snapshots_pruned": _prune_snapshots(index_path + "_sizes", committed)
+        "snapshots_pruned": _prune_snapshots(index_path + "_sizes", committed),
+        "manifests_pruned": _prune_manifests(index_path, committed),
     }
     stats["tables"]["remap"] = {
         "snapshots_pruned": _prune_snapshots(index_path + "_remap", committed)

@@ -167,9 +167,17 @@ def _read_state(
             (F.col("epoch") > base_upto) & (F.col("epoch") <= upto_epoch)
         ).drop("epoch")
     if base is None:
-        # defensive: a base pointer without its gen dir should be
-        # impossible (the pointer is swapped AFTER the gen write)
-        return tail
+        # A base pointer without a readable gen dir means compacted
+        # history is GONE (partial copy of the state tree, manual
+        # cleanup, object-store listing failure) — serving just the
+        # tail would make the idempotency guard re-index every
+        # historical doc and silently corrupt cumulative state. Same
+        # fail-loudly policy as the fresh-checkpoint replay guard.
+        raise RuntimeError(
+            f"state table {parent} has base pointer gen={gen} "
+            f"(upto epoch {base_upto}) but _base/gen={gen} is unreadable; "
+            "refusing to serve a truncated view"
+        )
     return base if tail is None else base.unionByName(tail)
 
 

@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", default=None,
+                   help="streaming source dir (required unless "
+                   "--compact-only)")
     p.add_argument("--state", required=True)
     p.add_argument("--input-format", default="warc",
                    choices=("warc", "parquet", "jsonl"))
@@ -67,6 +69,18 @@ def main() -> None:
     from fuzzycat_spark.streaming.dedup_stream import incremental_dedup_batch
 
     spark = SparkSession.builder.appName("fuzzycat-spark-stream").getOrCreate()
+
+    index_path = f"{args.state}/index"
+    pairs_path = f"{args.state}/pairs"
+    if args.compact_only:
+        # pure maintenance: no source construction, no --input needed
+        from fuzzycat_spark.streaming.compaction import compact_state
+
+        print(json.dumps(compact_state(spark, index_path, pairs_path)))
+        spark.stop()
+        return
+    if args.input is None:
+        p.error("--input is required unless --compact-only")
 
     if args.input_format == "warc":
         stream = (
@@ -106,14 +120,6 @@ def main() -> None:
         strategies=tuple(s for s in args.strategies.split(",") if s),
         slug_mode=args.slug_mode,
     )
-    index_path = f"{args.state}/index"
-    pairs_path = f"{args.state}/pairs"
-    if args.compact_only:
-        from fuzzycat_spark.streaming.compaction import compact_state
-
-        print(json.dumps(compact_state(spark, index_path, pairs_path)))
-        spark.stop()
-        return
     writer = stream.writeStream.foreachBatch(
         lambda df, epoch: incremental_dedup_batch(
             df, index_path, pairs_path, cfg,

@@ -171,6 +171,38 @@ def test_compaction_crash_before_pointer_swap_is_invisible(
     assert _pair_set(spark, pairs, index) == before
 
 
+def test_manifest_prune_and_stale_gen_sweep(spark, tmp_path):
+    index, pairs = _drive(spark, tmp_path, ((0, 3), (3, 6), (6, 8)))
+    committed = committed_epoch(index)
+    stats = compact_state(spark, index, pairs)
+    # lineage manifests below the pointer are swept; the committed
+    # epoch's manifest stays as the live record
+    names = sorted(
+        n for n in os.listdir(f"{index}_sizes") if n.startswith("_manifest")
+    )
+    assert names == [f"_manifest_epoch_{committed}.json"]
+    assert stats["tables"]["sizes"]["manifests_pruned"] == 2
+    # a stale gen dir (crash after the pointer swap, before step 3) is
+    # finished off by the next run even with nothing new to merge
+    os.makedirs(f"{pairs}/_base/gen=7")
+    before = _pair_set(spark, pairs, index)
+    stats2 = compact_state(spark, index, pairs)
+    assert stats2["tables"]["pairs"]["gen_dirs_swept"] == 1
+    assert not os.path.isdir(f"{pairs}/_base/gen=7")
+    assert _pair_set(spark, pairs, index) == before
+
+
+def test_unreadable_pointed_base_gen_fails_loudly(spark, tmp_path):
+    import shutil
+
+    index, pairs = _drive(spark, tmp_path, ((0, 3), (3, 6)))
+    compact_state(spark, index, pairs)
+    gen, _ = base_pointer(str(pairs))
+    shutil.rmtree(f"{pairs}/_base/gen={gen}")
+    with pytest.raises(RuntimeError, match="truncated"):
+        _read_state(spark, str(pairs), committed_epoch(index))
+
+
 def test_replay_guard_still_works_on_compacted_state(spark, tmp_path):
     """The committed-epoch replay guard probes the feature state for
     unseen ids — after compaction that probe reads the base. A true

@@ -457,3 +457,22 @@ def test_bbit_band_table_rejects_bad_b(spark):
     df = spark.createDataFrame([("u", "a b c")], "url string, text string")
     with _pytest.raises(ValueError, match="b must be"):
         bbit_band_table(df, "url", "text", b=64)
+    # the packed key must fit a signed long: rows*b > 63 is rejected
+    with _pytest.raises(ValueError, match="pack"):
+        bbit_band_table(df, "url", "text", b=40)
+
+
+def test_bbit_band_keys_are_packed_longs_not_md5_strings(spark):
+    """The storage claim lives here: band_hash is the rows*b-bit packed
+    LONG of the masked entries (16 bits at b=8/rows=2), not a 32-char
+    md5 string like the full-width table."""
+    from fuzzycat_spark.operators.lsh import bbit_band_table
+
+    df = spark.createDataFrame(
+        [("u1", "alpha bravo charlie delta echo foxtrot")],
+        "url string, text string",
+    )
+    t = bbit_band_table(df, "url", "text", b=8)
+    assert dict(t.dtypes)["band_hash"] == "bigint"
+    vals = [r.band_hash for r in t.collect()]
+    assert vals and all(0 <= v < (1 << 16) for v in vals)
