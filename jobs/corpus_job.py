@@ -175,6 +175,11 @@ def main() -> None:
     p.add_argument("--vocab-top-k", type=int, default=0, metavar="K",
                    help="emit the kept corpus's K most frequent tokens "
                    "as a side table under the checkpoint dir; 0 = off")
+    p.add_argument("--bpe-merges", type=int, default=0, metavar="N",
+                   help="learn an N-merge BPE tokenizer over the kept "
+                        "corpus and persist the merge table as a side "
+                        "artifact (the model operators/bpe.bpe_apply "
+                        "folds over any future corpus); 0 = off")
     p.add_argument("--reference-corpus", default=None, metavar="PATH",
                    help="frozen reference corpus (same id/text columns; "
                         "e.g. the previous run's --output shards): after "
@@ -617,6 +622,20 @@ def main() -> None:
                                       text_col=txt)
 
         ck.stage("vocab", vocab)  # side artifact; docs flow on unchanged
+
+    if args.bpe_merges > 0:
+        from fuzzycat_spark.operators.bpe import bpe_train, bpe_word_table
+
+        def bpe_merge_table() -> DataFrame:
+            w = bpe_word_table(docs, text_col=txt)
+            merges, _ = bpe_train(w, args.bpe_merges, checkpointer=ck)
+            return merges
+
+        # side artifact: the learned subword merge table — the tokenizer
+        # model bpe_apply folds over any future corpus. Each merge round
+        # cuts lineage through the run checkpointer, so a killed run
+        # resumes mid-merge-sequence like every other stage.
+        ck.stage("bpe_merges", bpe_merge_table)
 
     if args.emit_postings:
         from fuzzycat_spark.operators.retrieval import doc_term_rows

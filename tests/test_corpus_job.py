@@ -331,6 +331,38 @@ def test_vocab_arm_emits_side_table(spark, tmp_path, capsys, monkeypatch):
     assert len(rows) == 3 and rows["common"] == 20
 
 
+def test_bpe_merges_arm_emits_model_table(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"u{i}", "low low low lower newest newest widest") for i in range(6)],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--bpe-merges", "3",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "bpe_merges" in rec["stages"]
+    merges = spark.read.parquet(f"{ckpt}/bpe_merges")
+    rows = sorted(
+        (r.step, r.left, r.right, r.merged) for r in merges.collect()
+    )
+    assert [r[0] for r in rows] == [1, 2, 3]
+    # the persisted model encodes future corpora through bpe_apply
+    from fuzzycat_spark.operators.bpe import bpe_apply
+
+    model = [(r[1], r[2]) for r in rows]
+    unseen = spark.createDataFrame(
+        [("x", "lowest")], "id string, text string"
+    )
+    n = bpe_apply(unseen, model).collect()[0].n_tokens_bpe
+    assert 0 < n < len("lowest")
+
+
 def test_lm_bucket_arm_keeps_requested_tiers(spark, tmp_path, capsys, monkeypatch):
     """--lm-bucket-keep head,middle: the tail tertile of corpus-LM scores
     leaves before dedup; kept pages carry lm_mean_p + lm_bucket."""
