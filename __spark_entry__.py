@@ -2222,6 +2222,42 @@ def q_split_assign(spark, sf_dir):
     )
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe splits (operators/mixing.py assign_splits_by_cluster):
+    every document routed by the md5 draw of its DEDUP CLUSTER label, so a
+    train document's near-copy can never land in test — the contamination
+    doc-level split hashing leaves in with probability (1 - train
+    fraction) per duplicate. Cluster labels come from the same
+    candidates→verify→connected-components pipeline the `components` gate
+    proves; singletons hash their own id (bit-compatible with
+    `split_assign` at the same seed)."""
+    from fuzzycat_spark.operators.mixing import assign_splits_by_cluster
+
+    docs = _docs(spark, sf_dir)
+    return assign_splits_by_cluster(
+        docs.select("doc_id"),
+        q_components(spark, sf_dir),
+        _SPLIT_FRACTIONS,
+        seed=_SPLIT_SEED,
+    )
+
+
+def _split_leakage_safe_sql() -> str:
+    from fuzzycat_spark.operators.mixing import split_bounds
+
+    arms = "\n".join(
+        f"WHEN f < {b} THEN '{n}'"
+        for n, b in split_bounds(_SPLIT_FRACTIONS)
+    )
+    return f"""
+        WITH assignments AS ({_CC_SQL})
+        SELECT doc_id, cluster_id, CASE {arms} END AS split
+        FROM (SELECT id AS doc_id, cluster_id,
+                     ('0x' || substr(md5(cluster_id::VARCHAR || ':{_SPLIT_SEED}'),
+                                     1, 12))::BIGINT AS f
+              FROM assignments)"""
+
+
 def _split_assign_sql() -> str:
     from fuzzycat_spark.operators.mixing import split_bounds
 
@@ -4798,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_pairs": q_image_dup_pairs,
         "crawl_delta": q_crawl_delta,
         "split_assign": q_split_assign,
+        "split_leakage_safe": q_split_leakage_safe,
         "host_components": q_host_components,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
@@ -5085,6 +5122,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_pairs": _image_dup_pairs_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
         "split_assign": _split_assign_sql(),
+        "split_leakage_safe": _split_leakage_safe_sql(),
         "host_components": _host_components_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,

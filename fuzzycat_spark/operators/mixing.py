@@ -131,6 +131,47 @@ def assign_splits(
     return docs.withColumn("split", expr)
 
 
+def assign_splits_by_cluster(
+    docs: DataFrame,
+    assignments: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    assign_id_col: str = "id",
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: route every document by
+    the md5 draw of its DEDUP CLUSTER, not its own id, so near-duplicate
+    documents can never straddle a split boundary. Doc-level hashing
+    (`assign_splits`) puts a train document's near-copy into the test
+    set with probability (1 - train_fraction) per duplicate — exactly
+    the contamination the dedup pipeline exists to prevent; routing by
+    cluster pins the whole family to one side. It also makes splits
+    stable across reruns that pick a different canonical representative:
+    the cluster label (min member id) moves only when the cluster itself
+    changes, the representative choice never does.
+
+    `assignments` is (assign_id_col, cluster_col) — the output of
+    `connected_components` / `dedup_pages`. Documents absent from it are
+    singletons and fall back to their own id, which makes this function
+    bit-compatible with `assign_splits` at the same seed for every
+    unclustered document.
+
+    Scale: ONE equi join on the doc id (at most one assignment row per
+    doc; exchange-free when both sides are bucketed by id) plus the same
+    pure-hash routing as `assign_splits` — no window, no sort, no RNG
+    state, so task retries and cluster resizes cannot move a document
+    between splits. Returns `docs` + (cluster_col, split).
+    """
+    a = assignments.select(
+        F.col(assign_id_col).alias(id_col), F.col(cluster_col)
+    )
+    joined = docs.join(a, id_col, "left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    return assign_splits(joined, fractions, id_col=cluster_col, seed=seed)
+
+
 def split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     """(name, exclusive upper bound on the 48-bit grid) per split, in
     insertion order — the exact integers `assign_splits` compares

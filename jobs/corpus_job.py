@@ -233,6 +233,14 @@ def main() -> None:
                         "rates clamp at 1, so tail langs are never "
                         "up-sampled. Requires a lang column; mutually "
                         "exclusive with --mix-budgets; 0 = off")
+    p.add_argument("--splits", default=None, metavar="JSON",
+                   help='JSON {"train": 0.9, "val": 0.05, "test": 0.05}: '
+                        "stamp a leakage-safe split column routed by the "
+                        "md5 draw of each doc's DEDUP CLUSTER label, so a "
+                        "near-duplicate family can never straddle a split "
+                        "boundary and splits survive a rerun that picks a "
+                        "different canonical representative")
+    p.add_argument("--split-seed", type=int, default=0)
     p.add_argument("--n-shards", type=int, default=64)
     p.add_argument("--shard-seed", type=int, default=0)
     args = p.parse_args()
@@ -700,6 +708,24 @@ def main() -> None:
         # crawls screen with --seen-bloom (same m/d); filters from
         # successive crawls merge by OR (sketch.bloom_merge)
         ck.stage("bloom", bloom_table)
+
+    if args.splits:
+        from fuzzycat_spark.operators.mixing import assign_splits
+
+        fracs = {k: float(v) for k, v in json.loads(args.splits).items()}
+
+        def split_stamped() -> DataFrame:
+            # docs already carry cluster_id from canonical selection, so
+            # routing by it is pure projection — no join, no shuffle.
+            # Hashing the CLUSTER label (not the doc id) is what keeps a
+            # near-dup family on one side of every split boundary; see
+            # operators/mixing.assign_splits_by_cluster for the general
+            # (docs ⋈ assignments) form.
+            return assign_splits(
+                docs, fracs, id_col="cluster_id", seed=args.split_seed
+            )
+
+        docs = ck.stage("split_stamped", split_stamped)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

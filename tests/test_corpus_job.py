@@ -735,6 +735,41 @@ def test_flatten_budget_arm(spark, tmp_path, capsys, monkeypatch):
     assert "rate" in kept.columns
 
 
+def test_splits_arm_routes_by_cluster(spark, tmp_path, capsys, monkeypatch):
+    """--splits: the stamped split is a pure md5 function of the CLUSTER
+    label (not the doc id), replicated here in hashlib — so near-dup
+    families can never straddle a boundary and a rerun that picks a
+    different canonical representative keeps the family's split."""
+    import hashlib
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        (f"https://a.example/p{i}",
+         f"distinct article number {i} about rivers bridges canals "
+         f"ferries locks and harbors described at satisfying length")
+        for i in range(40)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--splits",
+         '{"train": 0.75, "val": 0.25}', "--split-seed", "5",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    assert "split_stamped" in rec["stages"]
+    kept = spark.read.parquet(out_dir).select("cluster_id", "split").collect()
+    assert kept and all(r.split in ("train", "val") for r in kept)
+    bound = int(0.75 * (1 << 48))
+    for r in kept:
+        f = int(hashlib.md5(f"{r.cluster_id}:5".encode()).hexdigest()[:12], 16)
+        assert r.split == ("train" if f < bound else "val")
+    assert {r.split for r in kept} == {"train", "val"}
+
+
 def test_flatten_and_mix_mutually_exclusive(spark, tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     df = spark.createDataFrame(

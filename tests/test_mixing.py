@@ -136,6 +136,50 @@ def test_assign_splits_deterministic_disjoint_exhaustive(spark):
     assert got != other
 
 
+def test_assign_splits_by_cluster_no_straddle_and_singleton_compat(spark):
+    from fuzzycat_spark.operators.mixing import (
+        assign_splits,
+        assign_splits_by_cluster,
+    )
+
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.createDataFrame([(i,) for i in range(600)], "doc_id bigint")
+    # docs 0..299 clustered in 3-member families labeled by min id;
+    # docs 300..599 absent from assignments (singletons)
+    assignments = spark.createDataFrame(
+        [(i, (i // 3) * 3) for i in range(300)], "id bigint, cluster_id bigint"
+    )
+    out = assign_splits_by_cluster(
+        docs, assignments, fractions, seed=7
+    ).collect()
+    assert len(out) == 600
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the leakage property: every cluster lands wholly in ONE split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # all 3 members of each family share the family's split
+    fam = {r.doc_id: r.split for r in out if r.doc_id < 300}
+    for i in range(0, 300, 3):
+        assert fam[i] == fam[i + 1] == fam[i + 2]
+    # singletons fall back to their own id: bit-identical to the plain
+    # doc-level assign_splits at the same seed
+    plain = {
+        r.doc_id: r.split
+        for r in assign_splits(docs, fractions, seed=7).collect()
+    }
+    for r in out:
+        if r.doc_id >= 300:
+            assert r.cluster_id == r.doc_id
+            assert r.split == plain[r.doc_id]
+    # a near-copy pair CAN straddle under doc-level hashing somewhere in
+    # this corpus (the contamination the cluster routing removes)
+    assert any(
+        plain[i] != plain[i + 1] or plain[i] != plain[i + 2]
+        for i in range(0, 300, 3)
+    )
+
+
 def test_assign_splits_shortfall_leaves_null_and_validates(spark):
     import pytest as _pytest
 
