@@ -2258,6 +2258,56 @@ def _split_leakage_safe_sql() -> str:
               FROM assignments)"""
 
 
+def q_split_contamination(spark, sf_dir):
+    """Cross-split leakage audit (operators/decontaminate.py
+    cross_split_contamination): for every held-out doc, distinct word
+    n-grams shared with ANY train doc — both sides corpus-sized, so grams
+    meet as md5_h64 integers in one narrow shuffle (train side distinct
+    before the exchange). Splits here are DOC-level (`assign_splits`) —
+    the routing that CAN leak — so the audit proves non-zero hits on this
+    corpus's duplicate families; n=5 like the `decontaminate` gate."""
+    from fuzzycat_spark.operators.decontaminate import (
+        cross_split_contamination,
+    )
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    docs = assign_splits(
+        _docs(spark, sf_dir), _SPLIT_FRACTIONS, seed=_SPLIT_SEED
+    )
+    return cross_split_contamination(docs, n=5)
+
+
+def _split_contamination_sql() -> str:
+    from fuzzycat_spark.operators.mixing import split_bounds
+
+    arms = "\n".join(
+        f"WHEN f < {b} THEN '{n}'"
+        for n, b in split_bounds(_SPLIT_FRACTIONS)
+    )
+    return f"""
+WITH sp AS (
+  SELECT doc_id, CASE {arms} END AS split
+  FROM (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SEED}'),
+                          1, 12))::BIGINT AS f
+        FROM documents)),
+rep_toks AS (
+  SELECT doc_id,
+    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)),
+g AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)} WHERE gram <> ''),
+tg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id)
+       WHERE sp.split = 'train'),
+hits AS (SELECT g.doc_id, count(*) AS n
+         FROM g JOIN sp USING (doc_id) JOIN tg USING (gram)
+         WHERE sp.split <> 'train' GROUP BY g.doc_id)
+SELECT sp.doc_id, sp.split,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_train_grams_hit,
+  coalesce(hits.n, 0) > 0 AS contaminated
+FROM sp LEFT JOIN hits USING (doc_id)
+WHERE sp.split <> 'train'"""
+
+
 def _split_assign_sql() -> str:
     from fuzzycat_spark.operators.mixing import split_bounds
 
@@ -4835,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "split_assign": q_split_assign,
         "split_leakage_safe": q_split_leakage_safe,
+        "split_contamination": q_split_contamination,
         "host_components": q_host_components,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
@@ -5123,6 +5174,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _CRAWL_DELTA_SQL,
         "split_assign": _split_assign_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
+        "split_contamination": _split_contamination_sql(),
         "host_components": _host_components_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,

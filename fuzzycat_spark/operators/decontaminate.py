@@ -30,7 +30,7 @@ from fuzzycat_spark.functions.normalize import (
     word_shingles_from_tokens,
 )
 
-__all__ = ["eval_ngrams", "decontaminate"]
+__all__ = ["eval_ngrams", "decontaminate", "cross_split_contamination"]
 
 
 def eval_ngrams(
@@ -46,6 +46,86 @@ def eval_ngrams(
         )
         .filter(F.col("gram") != "")
         .distinct()
+    )
+
+
+def cross_split_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    train_split: str = "train",
+    n: int = 8,
+) -> DataFrame:
+    """Audit cross-split leakage: for every HELD-OUT (non-train) document,
+    count its distinct word n-grams that also occur in ANY train document.
+    This is the measurement behind split hygiene — run it after
+    `assign_splits` (doc-hash routing) vs `assign_splits_by_cluster`
+    (dedup-cluster routing) and the near-dup families that straddle under
+    the former show up as non-zero `n_train_grams_hit` rows.
+
+    Unlike `decontaminate` (tiny eval suite → broadcast, corpus never
+    shuffles), BOTH sides here are corpus-sized, so grams meet in a
+    shuffle — but a narrow one: each gram is reduced to the repo-standard
+    64-bit md5 (`md5_h64`), the train side is globally DISTINCT hashes
+    (partial agg before the exchange), the held-out side distinct
+    (id, hash) pairs, and the left-semi join moves two integers per row.
+    No text-shaped value crosses the wire. A 64-bit collision could count
+    one phantom gram per ~2^64 distinct-pair comparisons — below any
+    audit's noise floor (and deterministic, so the gate would catch it).
+
+    `docs` carries (id_col, text_col, split_col); rows with NULL split
+    (unassigned remainder) are ignored on both sides. Returns
+    (id, split, n_train_grams_hit, contaminated) for held-out docs.
+    """
+    from fuzzycat_spark.functions.hashing import md5_h64
+
+    grams = (
+        docs.filter(F.col(split_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(split_col).alias("_split"),
+            tokens_col(text_col).alias("_toks"),
+        )
+        .select(
+            "_id",
+            "_split",
+            F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram") != "")
+        .select("_id", "_split", md5_h64(F.col("gram")).alias("gh"))
+    )
+    train_grams = (
+        grams.filter(F.col("_split") == train_split).select("gh").distinct()
+    )
+    held = (
+        grams.filter(F.col("_split") != train_split)
+        .select("_id", "_split", "gh")
+        .distinct()
+    )
+    hits = (
+        held.join(train_grams, on="gh", how="left_semi")
+        .groupBy("_id", "_split")
+        .agg(F.count(F.lit(1)).alias("n_train_grams_hit"))
+    )
+    return (
+        docs.filter(
+            F.col(split_col).isNotNull() & (F.col(split_col) != train_split)
+        )
+        .select(F.col(id_col).alias("_id"), F.col(split_col).alias("_split"))
+        .join(hits, on=["_id", "_split"], how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_split").alias(split_col),
+            F.coalesce("n_train_grams_hit", F.lit(0))
+            .cast("long")
+            .alias("n_train_grams_hit"),
+            (F.coalesce("n_train_grams_hit", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
     )
 
 

@@ -4,6 +4,8 @@ no-corpus-shuffle plan property."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fuzzycat_spark.operators.decontaminate import decontaminate, eval_ngrams
 
 
@@ -74,3 +76,65 @@ def test_decontaminate_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_cross_split_contamination_doc_vs_cluster_routing(spark):
+    """The leakage story end-to-end: identical-copy families split
+    doc-level leak train 5-grams into held-out docs; routing the SAME
+    corpus by dedup cluster drives cross-split contamination to exactly
+    zero (family vocabularies are disjoint, so every hit is a true
+    family straddle)."""
+    from fuzzycat_spark.operators.decontaminate import (
+        cross_split_contamination,
+    )
+    from fuzzycat_spark.operators.mixing import (
+        assign_splits,
+        assign_splits_by_cluster,
+    )
+
+    rows = [
+        (fam * 3 + i,
+         f"fam{fam}w0 fam{fam}w1 fam{fam}w2 fam{fam}w3 fam{fam}w4 "
+         f"fam{fam}w5 fam{fam}w6 fam{fam}w7",
+         fam * 3)
+        for fam in range(40)
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, cluster bigint"
+    )
+    fractions = {"train": 0.7, "val": 0.15, "test": 0.15}
+
+    by_doc = assign_splits(docs, fractions, seed=11)
+    leaked = cross_split_contamination(by_doc, n=5).filter("contaminated")
+    assert leaked.count() > 0  # doc routing straddles some family
+
+    assignments = docs.select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("cluster_id")
+    )
+    by_cluster = assign_splits_by_cluster(
+        docs, assignments, fractions, seed=11
+    )
+    clean = cross_split_contamination(by_cluster, n=5)
+    assert clean.filter("contaminated").count() == 0
+    # held-out rows still exist — zero hits is not an empty audit
+    assert clean.count() > 0
+
+
+def test_cross_split_contamination_narrow_shuffle_no_text(spark):
+    """The gram join is hash-vs-hash: no string gram column survives into
+    the exchange (both sides reduce to md5_h64 longs) and there is no
+    cartesian anywhere."""
+    from fuzzycat_spark.operators.decontaminate import (
+        cross_split_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f", "train"), (1, "a b c d e f", "val")],
+        "doc_id bigint, text string, split string",
+    )
+    out = cross_split_contamination(docs, n=5)
+    assert [r.n_train_grams_hit for r in out.collect()] == [2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "gram#" not in plan.split("Exchange hashpartitioning(gh")[-1][:200]
