@@ -2840,6 +2840,24 @@ def q_extract_text(spark, sf_dir):
     )
 
 
+def q_page_directives(spark, sf_dir):
+    """Page-level indexing directives (sources/html_extract.py
+    page_directives_udf): robots meta noindex/nofollow (multi-tag union,
+    'none' expansion, attr order/quoting agnostic, commented-out markup
+    ignored) + first rel=canonical href — the publisher opt-out a crawl
+    pipeline must honor and the publisher's own dedup hint. These live in
+    the <head> the text extractor drops, so they are their own bounded
+    regex pass over the raw bytes. Golden-column oracle: the fixture's
+    noindex/nofollow/canonical were precomputed by the SCALAR
+    page_directives at generation time (tools/make_html_fixture.py), so
+    this gates the distributed Arrow-batched struct UDF row-for-row."""
+    from fuzzycat_spark.sources.html_extract import page_directives_udf
+
+    return spark.read.parquet(_HTML_FIXTURE).select(
+        "doc_id", page_directives_udf(F.col("html")).alias("d")
+    ).select("doc_id", "d.noindex", "d.nofollow", "d.canonical")
+
+
 _PII_FIXTURE = "/root/repo/fixtures/pii_docs.parquet"
 
 
@@ -4886,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_leakage_safe": q_split_leakage_safe,
         "split_contamination": q_split_contamination,
+        "page_directives": q_page_directives,
         "host_components": q_host_components,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
@@ -5175,6 +5194,9 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "split_contamination": _split_contamination_sql(),
+        "page_directives": f"""
+            SELECT doc_id, noindex, nofollow, canonical
+            FROM '{_HTML_FIXTURE}'""",
         "host_components": _host_components_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,

@@ -37,7 +37,12 @@ import re
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # elements whose entire subtree is dropped. ONE regex per tag, each
 # matching an INNERMOST same-tag element (no nested open of the same tag
@@ -144,3 +149,110 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     s = s.str.replace(_HWS_RE, " ", regex=True)
     s = s.str.replace(_NL_RE, "\n", regex=True)
     return s.str.strip()
+
+
+# --- page-level indexing directives (robots meta + canonical link) -----
+#
+# These live in the <head> the extractor DROPS, so they need their own
+# pass over the raw markup: a crawl pipeline that ingests noindex'd pages
+# violates the publisher's opt-out, and rel=canonical is the publisher's
+# own dedup hint (the url_canonical operator consumes it as an edge).
+# Scanning is capped at the first _DIRECTIVE_SCAN_CHARS decoded chars —
+# valid documents put both tags in <head>, and the cap bounds regex work
+# on pathological multi-MB pages.
+_DIRECTIVE_SCAN_CHARS = 262_144
+_META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+_NAME_ROBOTS_RE = re.compile(
+    r"""\bname\s*=\s*(?:"robots"|'robots'|robots(?=[\s/>]))""", re.IGNORECASE
+)
+_REL_CANONICAL_RE = re.compile(
+    r"""\brel\s*=\s*(?:"canonical"|'canonical'|canonical(?=[\s/>]))""",
+    re.IGNORECASE,
+)
+_CONTENT_ATTR_RE = re.compile(
+    r"""\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+)
+_HREF_ATTR_RE = re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+)
+_DIRECTIVE_SPLIT_RE = re.compile(r"[,\s]+")
+
+
+def page_directives(
+    html: bytes | str | None,
+) -> tuple[bool, bool, str | None]:
+    """(noindex, nofollow, canonical) from raw markup.
+
+    Robots semantics follow the published convention: every
+    `<meta name=robots>` tag contributes (multiple tags union — the most
+    restrictive wins), directives are case-insensitive comma/space
+    tokens, and `none` means `noindex, nofollow`. The canonical URL is
+    the FIRST `<link rel=canonical href=...>` (later conflicting tags are
+    undefined behavior per the spec; first is the deterministic choice).
+    Commented-out markup is ignored (same comment strip as the
+    extractor). Attribute order and quoting style don't matter."""
+    if html is None:
+        return (False, False, None)
+    s = (
+        html.decode("utf-8", errors="replace")
+        if isinstance(html, (bytes, bytearray))
+        else html
+    )[:_DIRECTIVE_SCAN_CHARS]
+    s = _COMMENT_RE.sub("", s)
+    noindex = nofollow = False
+    for m in _META_TAG_RE.finditer(s):
+        tag = m.group(0)
+        if not _NAME_ROBOTS_RE.search(tag):
+            continue
+        cm = _CONTENT_ATTR_RE.search(tag)
+        if not cm:
+            continue
+        toks = {
+            t.lower()
+            for t in _DIRECTIVE_SPLIT_RE.split(
+                cm.group(1) or cm.group(2) or cm.group(3) or ""
+            )
+            if t
+        }
+        noindex = noindex or "noindex" in toks or "none" in toks
+        nofollow = nofollow or "nofollow" in toks or "none" in toks
+    canonical = None
+    for m in _LINK_TAG_RE.finditer(s):
+        tag = m.group(0)
+        if not _REL_CANONICAL_RE.search(tag):
+            continue
+        hm = _HREF_ATTR_RE.search(tag)
+        if hm:
+            href = (hm.group(1) or hm.group(2) or hm.group(3)).strip()
+            if href:
+                canonical = href
+                break
+    return (noindex, nofollow, canonical)
+
+
+# a StructType OBJECT, not a DDL string: pandas_udf parses string schemas
+# through the active SparkContext, which must not be required at import
+_DIRECTIVES_SCHEMA = StructType(
+    [
+        StructField("noindex", BooleanType()),
+        StructField("nofollow", BooleanType()),
+        StructField("canonical", StringType()),
+    ]
+)
+
+
+@pandas_udf(_DIRECTIVES_SCHEMA)
+def page_directives_udf(html: pd.Series) -> pd.DataFrame:
+    """Arrow-batched `page_directives`: struct<noindex, nofollow,
+    canonical> per page. The work per row is a bounded regex scan of the
+    first 256 KiB — no DOM build, no allocation proportional to page
+    count beyond the output frame."""
+    rows = html.map(page_directives)
+    return pd.DataFrame(
+        {
+            "noindex": rows.map(lambda r: r[0]),
+            "nofollow": rows.map(lambda r: r[1]),
+            "canonical": rows.map(lambda r: r[2]),
+        }
+    )

@@ -233,6 +233,10 @@ def main() -> None:
                         "rates clamp at 1, so tail langs are never "
                         "up-sampled. Requires a lang column; mutually "
                         "exclusive with --mix-budgets; 0 = off")
+    p.add_argument("--honor-noindex", action="store_true",
+                   help="drop pages whose <meta name=robots> declares "
+                        "noindex (or none) — the publisher's opt-out; "
+                        "needs an html column (WARC input keeps one)")
     p.add_argument("--splits", default=None, metavar="JSON",
                    help='JSON {"train": 0.9, "val": 0.05, "test": 0.05}: '
                         "stamp a leakage-safe split column routed by the "
@@ -289,6 +293,22 @@ def main() -> None:
     # 1. ingest + admission (+ optional hygiene) — one checkpointed table
     def filtered() -> DataFrame:
         raw = ingest()
+        if args.honor_noindex:
+            from fuzzycat_spark.sources.html_extract import (
+                page_directives_udf,
+            )
+
+            if "html" not in raw.columns:
+                raise SystemExit(
+                    "--honor-noindex needs an html column in the input "
+                    "(WARC ingest keeps one); robots directives live in "
+                    "markup, not extracted text"
+                )
+            # the opt-out screens FIRST: a noindex'd page must not reach
+            # any downstream stage, score, or sketch
+            raw = raw.filter(
+                ~page_directives_udf(F.col("html")).getField("noindex")
+            )
         if args.fix_encoding:
             from fuzzycat_spark.functions.encoding import fix_mojibake
 

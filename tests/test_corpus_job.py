@@ -787,3 +787,50 @@ def test_flatten_and_mix_mutually_exclusive(spark, tmp_path, capsys, monkeypatch
              "--flatten-budget", "5", "--mix-budgets", "{\"en\": 10}"],
             capsys,
         )
+
+
+def test_honor_noindex_arm_drops_opted_out_pages(spark, tmp_path, capsys, monkeypatch):
+    """--honor-noindex: pages whose robots meta declares noindex (or
+    none) never reach any downstream stage; indexable pages flow
+    through. Requires an html column and fails loudly without one."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    body = ("informative article about rivers bridges canals ferries "
+            "locks and harbors in considerable detail")
+    rows = [
+        (f"https://a.example/keep{i}", f"{body} variant {i}",
+         f"<html><head></head><body><p>{body} variant {i}</p></body></html>".encode())
+        for i in range(6)
+    ] + [
+        (f"https://a.example/drop{i}", f"{body} hidden {i}",
+         (f"<html><head><meta name=robots content='noindex'></head>"
+          f"<body><p>{body} hidden {i}</p></body></html>").encode())
+        for i in range(3)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, text string, html binary"
+    ).write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--honor-noindex",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {f"https://a.example/keep{i}" for i in range(6)}
+
+    # without an html column the flag must fail loudly, not silently pass
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [("https://a.example/x", body)], "url string, text string"
+    ).write.parquet(src2)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="html column"):
+        _run(
+            ["--input", src2, "--output", str(tmp_path / "o2"),
+             "--checkpoint", str(tmp_path / "c2"), "--honor-noindex"],
+            capsys,
+        )

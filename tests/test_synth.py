@@ -118,3 +118,59 @@ def test_family_structure(corpus):
     assert joined.filter(F.col("text") != F.col("t0")).count() == 0
     # spam block is 3 hot clusters (one per boilerplate variant)
     assert corpus.filter(F.col("kind") == "spam").select("true_cluster_id").distinct().count() == 3
+
+
+def test_page_directives_semantics():
+    """Robots meta + canonical link extraction: attr order/quoting
+    agnostic, multi-tag union, 'none' expansion, comment immunity,
+    near-miss names rejected, first canonical wins."""
+    from fuzzycat_spark.sources.html_extract import page_directives
+
+    assert page_directives(
+        '<meta content="NOINDEX, nofollow" name=ROBOTS>'
+        '<link rel=canonical href="https://x/y">'
+    ) == (True, True, "https://x/y")
+    assert page_directives("<meta name='robots' content='none'>") == (
+        True, True, None,
+    )
+    # union across tags; index/follow are no-ops
+    assert page_directives(
+        "<meta name=robots content=nofollow>"
+        "<meta name=robots content=noindex>"
+        '<meta name=robots content="index, follow">'
+    ) == (True, True, None)
+    # commented-out markup and near-miss attribute values are ignored
+    assert page_directives(
+        '<!-- <meta name="robots" content="noindex"> -->'
+        '<meta name="robotsx" content="noindex">'
+        '<link rel="canonicalx" href="/no">'
+    ) == (False, False, None)
+    assert page_directives(
+        "<link href=/first rel=canonical><link rel=canonical href=/second>"
+    ) == (False, False, "/first")
+    assert page_directives(None) == (False, False, None)
+    assert page_directives(b"<META NAME=robots CONTENT=noindex>") == (
+        True, False, None,
+    )
+
+
+def test_page_directives_udf_matches_scalar_on_fixture(spark):
+    """The Arrow-batched struct UDF reproduces the fixture's golden
+    columns (precomputed by the scalar at generation time) row-for-row —
+    same pattern as the extract_text byte-identical gate."""
+    from fuzzycat_spark.sources.html_extract import page_directives_udf
+
+    df = (
+        spark.read.parquet("/root/repo/fixtures/html_docs.parquet")
+        .select(
+            "doc_id", "noindex", "nofollow", "canonical",
+            page_directives_udf(F.col("html")).alias("d"),
+        )
+    )
+    rows = df.collect()
+    assert len(rows) >= 18  # the directive pages are present
+    for r in rows:
+        assert (r.d.noindex, r.d.nofollow, r.d.canonical) == (
+            r.noindex, r.nofollow, r.canonical,
+        ), r.doc_id
+    assert any(r.noindex for r in rows) and any(r.canonical for r in rows)

@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from fuzzycat_spark.sources.html_extract import extract_text
+from fuzzycat_spark.sources.html_extract import extract_text, page_directives
 
 PAGES: list[str] = [
     # plain article
@@ -51,6 +51,23 @@ PAGES: list[str] = [
     # nested DIFFERENT drop tags: the outer nav subtree (including the
     # tail after the inner footer) is removed entirely
     "<p>keep</p><nav>menu<footer>legal</footer>trailing junk</nav><p>end</p>",
+    # robots meta, attributes reversed, uppercase directive tokens
+    '<html><head><meta content="NOINDEX, nofollow" name=ROBOTS>'
+    "<title>t</title></head><body><p>opted out</p></body></html>",
+    # 'none' means noindex + nofollow; canonical with single quotes
+    "<head><meta name='robots' content='none'>"
+    "<link rel='canonical' href='https://example.org/canon'></head>"
+    "<p>body</p>",
+    # multiple robots tags union; unquoted attributes; index/follow no-op
+    "<meta name=robots content=nofollow><meta name=robots content=noindex>"
+    "<meta name=robots content=\"index, follow\"><p>x</p>",
+    # commented-out directives are ignored; near-miss meta names too
+    '<!-- <meta name="robots" content="noindex"> -->'
+    '<meta name="robotsx" content="noindex">'
+    '<link rel="canonicalx" href="/no"><p>indexable</p>',
+    # first canonical wins over a later conflicting one
+    "<link href=/first rel=canonical><link rel=canonical href=/second>"
+    "<p>c</p>",
 ]
 
 
@@ -58,11 +75,15 @@ def main() -> None:
     doc_ids = list(range(len(PAGES)))
     htmls = [p.encode("utf-8") for p in PAGES]
     etexts = [extract_text(p) for p in PAGES]
+    directives = [page_directives(p) for p in PAGES]
     table = pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "html": pa.array(htmls, pa.binary()),
             "etext": pa.array(etexts, pa.string()),
+            "noindex": pa.array([d[0] for d in directives], pa.bool_()),
+            "nofollow": pa.array([d[1] for d in directives], pa.bool_()),
+            "canonical": pa.array([d[2] for d in directives], pa.string()),
         }
     )
     pq.write_table(table, "/root/repo/fixtures/html_docs.parquet")
