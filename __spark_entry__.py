@@ -649,14 +649,19 @@ SELECT doc_id, source, quality, rank FROM (
 
 _URL_FIXTURE_SQL = "/root/repo/fixtures/url_docs.parquet"
 
-_SURT_CTE = rf"""
-parts AS (
+def _surt_cte(src: str, prefix: str = "") -> str:
+    """The DuckDB mirror of functions/urls.surt_key as a two-CTE block
+    over any `(url_id, t)` source subquery (`t` = trimmed URL string).
+    `prefix` namespaces the CTE names so one query can canonicalize two
+    different URL columns (e.g. page URLs and resolved canonical hrefs)."""
+    return rf"""
+{prefix}parts AS (
   SELECT url_id,
     lower(regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)) AS host0,
     regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
     regexp_extract(t, '^[^?#]*\?([^#]*)', 1) AS query0
-  FROM (SELECT url_id, trim(url) AS t FROM '{_URL_FIXTURE_SQL}')),
-surts AS (
+  FROM ({src})),
+{prefix}surts AS (
   SELECT url_id,
     array_to_string(list_reverse(string_split(
       regexp_replace(host1, ':[0-9]+$', ''), '.')), ',')
@@ -673,7 +678,35 @@ surts AS (
             p -> p <> '' AND NOT regexp_matches(p,
               '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$')))
           AS params
-        FROM parts))"""
+        FROM {prefix}parts))"""
+
+
+_SURT_CTE = _surt_cte(
+    f"SELECT url_id, trim(url) AS t FROM '{_URL_FIXTURE_SQL}'"
+)
+
+_CANONICAL_PAIRS_SQL = f"""
+WITH {_surt_cte(
+    f"SELECT url_id, trim(url) AS t FROM '{_URL_FIXTURE_SQL}'", "a")},
+{_surt_cte(f'''
+  SELECT url_id, trim(
+    CASE
+      WHEN regexp_matches(c, '^https?://') THEN c
+      WHEN c LIKE '//%' AND sch <> '' THEN sch || ':' || c
+      WHEN c LIKE '/%' AND orig <> '' THEN orig || c
+      ELSE NULL
+    END) AS t
+  FROM (SELECT url_id, trim(canonical) AS c,
+          regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS sch,
+          regexp_extract(trim(url),
+            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS orig
+        FROM '{_URL_FIXTURE_SQL}' WHERE canonical IS NOT NULL)''', "r")},
+tmin AS (SELECT surt, min(url_id) AS canonical_id FROM asurts GROUP BY surt)
+SELECT r.url_id AS id, tmin.canonical_id, r.surt
+FROM rsurts r
+JOIN asurts s ON r.url_id = s.url_id
+JOIN tmin ON r.surt = tmin.surt
+WHERE r.surt IS NOT NULL AND r.surt <> s.surt"""
 
 _URL_CANONICAL_SQL = f"WITH {_SURT_CTE} SELECT url_id, surt FROM surts"
 
@@ -924,6 +957,21 @@ def q_url_canonical(spark, sf_dir):
 
     return spark.read.parquet(_URL_FIXTURE).select(
         "url_id", surt_key("url").alias("surt")
+    )
+
+
+def q_canonical_pairs(spark, sf_dir):
+    """Publisher-declared dedup edges (functions/urls.py
+    canonical_link_pairs): pages whose `rel=canonical` href — as
+    `page_directives` extracts it — resolves (absolute / protocol-
+    relative / root-relative, `resolve_href`) to another crawled page's
+    SURT key. AMP/print/session variants cluster with zero text
+    comparison; self-canonical no-ops, uncrawled targets, and
+    document-relative hrefs emit no edge (all planted in the fixture)."""
+    from fuzzycat_spark.functions.urls import canonical_link_pairs
+
+    return canonical_link_pairs(
+        spark.read.parquet(_URL_FIXTURE), id_col="url_id", url_col="url"
     )
 
 
@@ -4905,6 +4953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "split_contamination": q_split_contamination,
         "page_directives": q_page_directives,
+        "canonical_pairs": q_canonical_pairs,
         "host_components": q_host_components,
         "media_resize": q_media_resize,
         "unicode_slug": q_unicode_slug,
@@ -5197,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
         "page_directives": f"""
             SELECT doc_id, noindex, nofollow, canonical
             FROM '{_HTML_FIXTURE}'""",
+        "canonical_pairs": _CANONICAL_PAIRS_SQL,
         "host_components": _host_components_sql(),
         "media_resize": f"""
             SELECT media_id, rs8_count AS rs_count, rs8_sum AS rs_sum,

@@ -83,6 +83,68 @@ def surt_key(col: Column | str) -> Column:
     )
 
 
+def resolve_href(base_col: Column | str, href_col: Column | str) -> Column:
+    """Resolve a link href against its page URL, the subset a canonical
+    link needs: absolute http(s) hrefs pass through, protocol-relative
+    (`//host/p`) take the base scheme, root-relative (`/p`) take the base
+    origin. Everything else (document-relative paths, `javascript:`,
+    empty) resolves to NULL — a crawl-scale canonicalizer should drop
+    ambiguous declarations, not guess at dot-segment semantics. Pure
+    Catalyst (regexp + concat), no UDF."""
+    b = F.trim(F.col(base_col) if isinstance(base_col, str) else base_col)
+    h = F.trim(F.col(href_col) if isinstance(href_col, str) else href_col)
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    return (
+        F.when(h.rlike("^https?://"), h)
+        .when(h.startswith("//") & (scheme != ""), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/") & (origin != ""), F.concat(origin, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def canonical_link_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Dup edges from the publisher's OWN `rel=canonical` declarations
+    (extracted by `sources/html_extract.page_directives`): (id,
+    canonical_id, surt) where a page's canonical link resolves — via
+    `resolve_href` + `surt_key` — to another page's canonical URL key.
+    AMP pages, print views, and session-URL variants all declare their
+    way into the right cluster without any text comparison.
+
+    Semantics: self-canonical declarations (the common hygiene no-op) are
+    excluded by SURT inequality; declarations that resolve to no crawled
+    page drop out of the inner join; when several pages share the target
+    key, `canonical_id` is the min id (the same representative rule as
+    every cluster label in this repo).
+
+    Scale: two narrow projections of the corpus (id + one surt string
+    each), a map-side-combinable min() per target key, and ONE shuffle
+    join on the key. Declaration side is N:1 onto targets, so a popular
+    canonical (thousands of AMP variants → one page) fans in, never out."""
+    self_surt = surt_key(url_col)
+    decl = (
+        docs.filter(F.col(canonical_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            surt_key(resolve_href(url_col, canonical_col)).alias("surt"),
+            self_surt.alias("_self"),
+        )
+        .filter(F.col("surt").isNotNull() & (F.col("surt") != F.col("_self")))
+        .drop("_self")
+    )
+    targets = (
+        docs.select(surt_key(url_col).alias("surt"), F.col(id_col).alias("_cid"))
+        .groupBy("surt")
+        .agg(F.min("_cid").alias("canonical_id"))
+    )
+    return decl.join(targets, on="surt").select("id", "canonical_id", "surt")
+
+
 def url_dup_pairs(
     docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:

@@ -156,7 +156,8 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 # These live in the <head> the extractor DROPS, so they need their own
 # pass over the raw markup: a crawl pipeline that ingests noindex'd pages
 # violates the publisher's opt-out, and rel=canonical is the publisher's
-# own dedup hint (the url_canonical operator consumes it as an edge).
+# own dedup hint (functions/urls.canonical_link_pairs turns it into
+# cluster edges via resolve_href + surt_key).
 # Scanning is capped at the first _DIRECTIVE_SCAN_CHARS decoded chars —
 # valid documents put both tags in <head>, and the cap bounds regex work
 # on pathological multi-MB pages.

@@ -75,3 +75,53 @@ class TestLatestRevision:
             ).collect()
         )
         assert a == b
+
+
+def test_resolve_href_arms(spark):
+    from fuzzycat_spark.functions.urls import resolve_href
+
+    rows = [
+        ("https://a.com/p/q", "https://b.org/x", "https://b.org/x"),
+        ("https://a.com/p/q", "//cdn.a.com/x", "https://cdn.a.com/x"),
+        ("http://a.com/p", "/root/x", "http://a.com/root/x"),
+        ("https://a.com/p", "sibling.html", None),
+        ("https://a.com/p", "javascript:void(0)", None),
+        ("no-scheme/p", "/x", None),  # no origin to resolve against
+    ]
+    df = spark.createDataFrame(
+        [(u, h) for u, h, _ in rows], "url string, href string"
+    )
+    got = [
+        r.resolved
+        for r in df.select(resolve_href("url", "href").alias("resolved")).collect()
+    ]
+    assert got == [want for _, _, want in rows]
+
+
+def test_canonical_link_pairs_semantics(spark):
+    """AMP/print/mobile variants edge to their declared target's min-id
+    representative; self-canonical, uncrawled-target, and unresolvable
+    declarations emit nothing."""
+    from fuzzycat_spark.functions.urls import canonical_link_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://example.com/articles/42", None),
+            (1, "http://www.example.com/articles/42", None),  # same surt as 0
+            (2, "https://amp.example.com/a42/amp", "https://example.com/articles/42"),
+            (3, "https://example.com/a42/print", "/articles/42"),
+            (4, "https://m.example.com/a42", "//example.com/articles/42"),
+            (5, "https://example.com/self", "https://example.com/self"),
+            (6, "https://example.com/orphan", "https://gone.example.net/x"),
+            (7, "https://example.com/rel", "other.html"),
+        ],
+        "url_id bigint, url string, canonical string",
+    )
+    got = {
+        (r.id, r.canonical_id)
+        for r in canonical_link_pairs(
+            docs, id_col="url_id", url_col="url"
+        ).collect()
+    }
+    # min id over the shared-surt family {0, 1} is the representative
+    assert got == {(2, 0), (3, 0), (4, 0)}

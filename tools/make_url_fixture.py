@@ -50,17 +50,41 @@ URLS: list[str] = [
 ]
 
 
+# (url, canonical href) rows for the rel=canonical edge gate
+# (`canonical_pairs`): the publisher-declared dedup hints
+# page_directives extracts, resolved against the page URL.
+CANONICAL_ROWS: list[tuple[str, str | None]] = [
+    # AMP variant → absolute canonical into family A
+    ("https://amp.example.com/articles/42/amp",
+     "https://example.com/articles/42"),
+    # print view → root-relative canonical (origin of its own page)
+    ("https://example.com/articles/42/print", "/articles/42"),
+    # protocol-relative canonical into family B's target
+    ("https://m.shop.com/search?q=boots&size=9",
+     "//shop.com/search?q=boots&size=9"),
+    # self-canonical (hygiene no-op — must emit NO edge)
+    ("https://library.org/catalog/", "https://library.org/catalog/"),
+    # canonical pointing at an uncrawled page — no edge
+    ("https://example.com/orphan", "https://nowhere.example.net/x"),
+    # document-relative href — unresolvable by design, no edge
+    ("https://example.com/relative", "sibling-page.html"),
+]
+
+
 def main() -> None:
     # family A collapses with the scheme-less variant -> 6 members;
     # bare domain + tracking-only query both reduce to com,example) -> 2
+    urls = URLS + [u for u, _ in CANONICAL_ROWS]
+    canonicals = [None] * len(URLS) + [c for _, c in CANONICAL_ROWS]
     table = pa.table(
         {
-            "url_id": pa.array(range(len(URLS)), pa.int64()),
-            "url": pa.array(URLS, pa.string()),
+            "url_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "canonical": pa.array(canonicals, pa.string()),
         }
     )
     pq.write_table(table, OUT)
-    print(f"wrote {len(URLS)} urls -> {OUT}")
+    print(f"wrote {len(urls)} urls -> {OUT}")
 
 
 if __name__ == "__main__":
