@@ -101,6 +101,15 @@ class DedupConfig:
     # links them. 0 (default) = capped buckets drop entirely, the
     # reference's max-cluster-size behavior (verify.py:130-131).
     salt_hot: int = 0
+    # publisher-declared edges: when set, <link rel=canonical> hrefs in
+    # this column (as sources/html_extract.page_directives extracts them)
+    # become ('exact', 'CANONICAL_LINK') edges via
+    # functions/urls.canonical_link_pairs — AMP/print/session variants
+    # cluster with zero text comparison. canonical_url_col is the page-URL
+    # column hrefs resolve against (defaults to id_col, which IS the url
+    # in the web pipeline).
+    canonical_col: str | None = None
+    canonical_url_col: str | None = None
     edge_statuses: tuple[str, ...] = field(default_factory=lambda: EDGE_STATUSES)
 
 
@@ -482,12 +491,30 @@ def dedup_stages(
             ).unionByName(emb_pairs)
         else:
             verified_near = verify_pairs(cands, prep, denylist_keys=_deny(cfg))
-    # union star + verified pairs, one row per pair with the cascade's
-    # precedence (CONTENT_HASH < SLUG_MATCH < pairwise verdict); then
+    canon = None
+    if cfg.canonical_col:
+        from fuzzycat_spark.functions.urls import canonical_link_pairs
+
+        # publisher-declared edges ride the same union as the stars: two
+        # narrow projections + one N:1 key join, no text, no cap needed
+        # (the join fans IN to the canonical target)
+        canon = canonical_link_pairs(
+            pages,
+            id_col=cfg.id_col,
+            url_col=cfg.canonical_url_col or cfg.id_col,
+            canonical_col=cfg.canonical_col,
+        ).select(
+            F.least("id", "canonical_id").alias("id_a"),
+            F.greatest("id", "canonical_id").alias("id_b"),
+            F.lit("exact").alias("status"),
+            F.lit("CANONICAL_LINK").alias("reason"),
+        )
+    # union star + canonical + verified pairs, one row per pair with the
+    # cascade's precedence (CONTENT_HASH < SLUG_MATCH < pairwise verdict);
     # materialize: connected components iterates over the edge list, and
     # without a checkpoint every CC action would re-run blocking+verify
     # (on a cluster this is the Iceberg stage checkpoint)
-    parts = [p for p in (stars, verified_near) if p is not None]
+    parts = [p for p in (stars, canon, verified_near) if p is not None]
     if not parts:
         raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
 

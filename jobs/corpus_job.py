@@ -233,6 +233,12 @@ def main() -> None:
                         "rates clamp at 1, so tail langs are never "
                         "up-sampled. Requires a lang column; mutually "
                         "exclusive with --mix-budgets; 0 = off")
+    p.add_argument("--use-canonical", action="store_true",
+                   help="extract <link rel=canonical> hrefs from the html "
+                        "column and feed them to dedup as publisher-"
+                        "declared ('exact', CANONICAL_LINK) edges — "
+                        "AMP/print/session variants cluster with zero "
+                        "text comparison")
     p.add_argument("--honor-noindex", action="store_true",
                    help="drop pages whose <meta name=robots> declares "
                         "noindex (or none) — the publisher's opt-out; "
@@ -293,22 +299,29 @@ def main() -> None:
     # 1. ingest + admission (+ optional hygiene) — one checkpointed table
     def filtered() -> DataFrame:
         raw = ingest()
-        if args.honor_noindex:
+        if args.honor_noindex or args.use_canonical:
             from fuzzycat_spark.sources.html_extract import (
                 page_directives_udf,
             )
 
             if "html" not in raw.columns:
                 raise SystemExit(
-                    "--honor-noindex needs an html column in the input "
-                    "(WARC ingest keeps one); robots directives live in "
-                    "markup, not extracted text"
+                    "--honor-noindex/--use-canonical need an html column "
+                    "in the input (WARC ingest keeps one); robots and "
+                    "canonical directives live in markup, not extracted "
+                    "text"
                 )
-            # the opt-out screens FIRST: a noindex'd page must not reach
-            # any downstream stage, score, or sketch
-            raw = raw.filter(
-                ~page_directives_udf(F.col("html")).getField("noindex")
+            # ONE directive scan serves both arms
+            raw = raw.withColumn(
+                "_dir", page_directives_udf(F.col("html"))
             )
+            if args.honor_noindex:
+                # the opt-out screens FIRST: a noindex'd page must not
+                # reach any downstream stage, score, or sketch
+                raw = raw.filter(~F.col("_dir.noindex"))
+            if args.use_canonical:
+                raw = raw.withColumn("canonical", F.col("_dir.canonical"))
+            raw = raw.drop("_dir")
         if args.fix_encoding:
             from fuzzycat_spark.functions.encoding import fix_mojibake
 
@@ -518,6 +531,8 @@ def main() -> None:
         id_col=idc,
         text_col=txt,
         strategies=tuple(s for s in args.strategies.split(",") if s),
+        canonical_col="canonical" if args.use_canonical else None,
+        canonical_url_col=idc if args.use_canonical else None,
         slug_mode=args.slug_mode,
     )
     out = run_dedup_pipeline(pages, ck, cfg)

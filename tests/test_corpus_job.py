@@ -834,3 +834,46 @@ def test_honor_noindex_arm_drops_opted_out_pages(spark, tmp_path, capsys, monkey
              "--checkpoint", str(tmp_path / "c2"), "--honor-noindex"],
             capsys,
         )
+
+
+def test_use_canonical_arm_clusters_amp_variant(spark, tmp_path, capsys, monkeypatch):
+    """--use-canonical: the AMP stub's rel=canonical declaration folds it
+    into the article's cluster (n_members 2, one representative kept)
+    even though its text shares nothing with the article."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    art = ("the full article text about rivers bridges canals ferries "
+           "locks and harbors described at satisfying length")
+    rows = [
+        ("https://example.com/articles/42", art,
+         f"<html><head></head><body><p>{art}</p></body></html>".encode()),
+        ("https://amp.example.com/a42/amp",
+         "amp teaser entirely different words truncated here briefly now",
+         (b"<html><head><link rel=canonical "
+          b"href='https://example.com/articles/42'></head>"
+          b"<body><p>amp teaser entirely different words truncated here "
+          b"briefly now</p></body></html>")),
+        ("https://example.com/other",
+         "an unrelated page about astronomy telescopes comets and stars",
+         b"<html><body><p>an unrelated page about astronomy telescopes "
+         b"comets and stars</p></body></html>"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, text string, html binary"
+    ).write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact,slug", "--use-canonical",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "1"],
+        capsys,
+    )
+    assert rec["docs_out"] == 2  # article + unrelated; AMP stub folded in
+    kept = {
+        r.url: r.n_members
+        for r in spark.read.parquet(out_dir).select("url", "n_members").collect()
+    }
+    assert kept["https://example.com/articles/42"] == 2
+    assert kept["https://example.com/other"] == 1
+    assert "https://amp.example.com/a42/amp" not in kept

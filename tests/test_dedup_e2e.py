@@ -319,3 +319,42 @@ def test_expand_cjk_bigrams_supplementary_han(spark):
     df = spark.createDataFrame([([run],)], "toks array<string>")
     got = df.select(expand_cjk_bigrams(F.col("toks")).alias("t")).first().t
     assert got == ["\U00020000\U00020001", "\U00020001\U00020002"]
+
+
+def test_canonical_link_edges_cluster_text_dissimilar_variants(spark):
+    """cfg.canonical_col: a publisher-declared rel=canonical edge links
+    an AMP stub to its article even though every text strategy refuses
+    the pair (the stub's text shares nothing with the article); without
+    the config the same corpus leaves them apart."""
+    rows = [
+        ("https://example.com/articles/42",
+         "the full article text about rivers bridges canals ferries "
+         "locks and harbors at length", None),
+        ("https://amp.example.com/a42/amp",
+         "amp stub completely different words here truncated teaser",
+         "https://example.com/articles/42"),
+        ("https://example.com/other",
+         "an unrelated page about astronomy telescopes and comets",
+         None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, canonical string"
+    )
+    base = DedupConfig(strategies=("exact", "slug", "minhash"))
+    _, plain = dedup_pages(docs, base)
+    n_plain = plain.select("cluster_id").distinct().count()
+    assert n_plain == 3  # no text strategy links the stub
+
+    cfg = DedupConfig(
+        strategies=("exact", "slug", "minhash"), canonical_col="canonical"
+    )
+    verified, assigned = dedup_pages(docs, cfg)
+    reasons = {r.reason for r in verified.collect()}
+    assert "CANONICAL_LINK" in reasons
+    labels = {r.id: r.cluster_id for r in assigned.collect()}
+    assert labels["https://amp.example.com/a42/amp"] == labels[
+        "https://example.com/articles/42"
+    ]
+    assert labels["https://example.com/other"] not in (
+        labels["https://example.com/articles/42"],
+    )
