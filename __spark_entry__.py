@@ -3697,10 +3697,15 @@ x AS (
          regexp_extract(t, '(?i)<a\s[^>]*?href\s*=\s*"([^"]+)"', 1) AS dst_url,
          trim(regexp_replace(regexp_replace(
              regexp_extract(t, '(?is)^<a\b[^>]*>(.*)</a\s*>$', 1),
-             '<[^>]+>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')) AS anchor
+             '<[^>]+>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')) AS anchor,
+         len(list_intersect(
+           string_split_regex(
+             lower(regexp_extract(t, '(?is)<a\s[^>]*?rel\s*=\s*"([^"]*)"', 1)),
+             '[ ,\t\r\n]+'),
+           ['nofollow', 'ugc', 'sponsored'])) > 0 AS nofollow
   FROM tags
 )
-SELECT src_url, dst_url, anchor FROM x
+SELECT src_url, dst_url, anchor, nofollow FROM x
 WHERE regexp_matches(dst_url, '^(?i)https?://') AND anchor <> ''"""
 
 

@@ -108,13 +108,25 @@ ANCHOR_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]+)"[^>]*>(.*?)</a\s*>'
 _WS = r"[ \t\r\n]+"  # explicit class: Java \s includes \x0B, RE2 does not
 
 
+# rel attribute of the anchor's open tag (double-quoted, same policy as
+# href); values whose token list carries any of these mean "link is not
+# an endorsement" per the published convention (nofollow + its 2019
+# refinements ugc/sponsored) — an endorsement-weighted host graph or
+# PageRank run should filter them out
+_REL_RE = r'(?is)<a\s[^>]*?rel\s*=\s*"([^"]*)"'
+_NO_ENDORSE = ("nofollow", "ugc", "sponsored")
+
+
 def anchor_texts(
     pages: DataFrame, *, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """(src_url, dst_url, anchor) per absolute-http(s) anchor with
-    non-empty link text — the classic web-supervision pairs (anchor
+    """(src_url, dst_url, anchor, nofollow) per absolute-http(s) anchor
+    with non-empty link text — the classic web-supervision pairs (anchor
     text describes the TARGET page; search/retrieval training data is
-    built from exactly this table).
+    built from exactly this table). `nofollow` is true when the anchor's
+    rel tokens include nofollow/ugc/sponsored: keep those rows for
+    anchor-text supervision, but filter them before `host_graph` /
+    `pagerank_fp` when the graph should carry only endorsements.
 
     Inner markup is stripped to spaces and whitespace collapsed; HTML
     entities are left as written (decode downstream with
@@ -141,11 +153,17 @@ def anchor_texts(
                     " ",
                 )
             ).alias("anchor"),
+            F.arrays_overlap(
+                F.split(
+                    F.lower(F.regexp_extract(t, _REL_RE, 1)), r"[ ,\t\r\n]+"
+                ),
+                F.array(*[F.lit(v) for v in _NO_ENDORSE]),
+            ).alias("nofollow"),
         ),
     )
     return (
         pages.select(F.col(url_col).alias("src_url"), F.explode(pairs).alias("p"))
-        .select("src_url", "p.dst_url", "p.anchor")
+        .select("src_url", "p.dst_url", "p.anchor", "p.nofollow")
         .filter(
             F.col("dst_url").rlike(r"^(?i)https?://") & (F.col("anchor") != "")
         )

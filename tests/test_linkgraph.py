@@ -135,3 +135,35 @@ def test_pagerank_checkpointer_path_works(spark, tmp_path):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, checked.collect())
     )
+
+
+def test_anchor_nofollow_flag(spark):
+    """rel token semantics: nofollow/ugc/sponsored (any case, any token
+    position, comma or space separated) flag true; noopener/external
+    alone stay endorsements; anchors without rel default false."""
+    from fuzzycat_spark.operators.linkgraph import anchor_texts
+
+    html = (
+        '<a href="http://x.com/1" rel="nofollow">a</a>'
+        '<a href="http://x.com/2" rel="UGC">b</a>'
+        '<a rel="sponsored noopener" href="http://x.com/3">c</a>'
+        '<a href="http://x.com/4" rel="noopener,external">d</a>'
+        '<a href="http://x.com/5">e</a>'
+    )
+    df = spark.createDataFrame([("http://s.com/", html)], "url string, html string")
+    got = {r.dst_url: r.nofollow for r in anchor_texts(df).collect()}
+    assert got == {
+        "http://x.com/1": True,
+        "http://x.com/2": True,
+        "http://x.com/3": True,
+        "http://x.com/4": False,
+        "http://x.com/5": False,
+    }
+    # the fixture's planted rel anchors carry the flag through the gate path
+    rows = anchor_texts(spark.read.parquet(FIXTURE)).collect()
+    flagged = {r.dst_url for r in rows if r.nofollow}
+    assert flagged == {
+        "https://static.cdn.com/nf.js",
+        "https://static.cdn.com/ugc.js",
+        "https://static.cdn.com/sp.js",
+    }

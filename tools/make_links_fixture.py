@@ -66,7 +66,15 @@ def build() -> pd.DataFrame:
                    "(ignored by design)</a>"
                    '<a href="/relative">rel</a>'
                    '<a href="#frag">frag</a>'
-                   '<a href="mailto:x@y.z">mail</a></p>'),
+                   '<a href="mailto:x@y.z">mail</a></p>'
+                   # rel-qualified anchors, all pointing at the CDN sink so
+                   # the pinned host-graph weights and pagerank ordering
+                   # are untouched: nofollow/ugc/sponsored flag true, the
+                   # noopener-only anchor stays an endorsement
+                   f'<p><a href="{CDN}/nf.js" rel="nofollow">nf</a>'
+                   f'<a href="{CDN}/ugc.js" rel="UGC">u</a>'
+                   f'<a rel="sponsored noopener" href="{CDN}/sp.js">s</a>'
+                   f'<a href="{CDN}/ok.js" rel="noopener external">ok</a></p>'),
         # 3-cycle blog -> news -> docs -> blog, each back to portal + cdn
         page(f"{BLOG}/a", "Blog a", [f"{NEWS}/a", f"{PORTAL}/", f"{CDN}/i.png"]),
         page(f"{BLOG}/b", "Blog b", [f"{NEWS}/b"]),
