@@ -72,6 +72,17 @@ def main() -> None:
     )
     p.add_argument("--embedding-ivf-k", type=int, default=8)
     p.add_argument(
+        "--canonical-col", default=None,
+        help="column of rel=canonical hrefs (as "
+        "sources/html_extract.page_directives extracts them): publisher-"
+        "declared ('exact', CANONICAL_LINK) edges join the dedup graph",
+    )
+    p.add_argument(
+        "--canonical-url-col", default=None,
+        help="page-URL column canonical hrefs resolve against "
+        "(default: --id-col)",
+    )
+    p.add_argument(
         "--salt-hot", type=int, default=0,
         help="shard over-cap buckets into N salted sub-buckets (0 = drop them)",
     )
@@ -133,6 +144,8 @@ def main() -> None:
         embedding_strong=args.embedding_strong,
         embedding_index=args.embedding_index,
         embedding_ivf_k=args.embedding_ivf_k,
+        canonical_col=args.canonical_col,
+        canonical_url_col=args.canonical_url_col,
         salt_hot=args.salt_hot,
         denylist_keys=() if args.no_denylist else None,
         max_block_size=args.max_block_size,

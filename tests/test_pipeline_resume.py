@@ -169,3 +169,43 @@ def test_stage_lineage_from_footers(spark, tmp_path):
     eph = StageCheckpointer(spark)
     eph.write(df, "mat_1")
     assert "files" not in eph._manifest["mat_1"]
+
+
+def test_dedup_job_cli_canonical_col_arm(spark, tmp_path, monkeypatch, capsys):
+    """jobs/dedup_job.py --canonical-col: the spark-submit CLI exposes
+    the publisher-edge config — the AMP stub whose text shares nothing
+    with its article lands in the article's cluster through the
+    checkpointed pipeline path."""
+    import sys
+
+    from jobs import dedup_job
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [
+        ("https://example.com/articles/42",
+         "the full article text about rivers bridges canals ferries "
+         "locks and harbors at length", None),
+        ("https://amp.example.com/a42/amp",
+         "amp stub entirely different words truncated teaser here",
+         "https://example.com/articles/42"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "url string, text string, canonical string"
+    ).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    old = sys.argv
+    sys.argv = ["dedup_job.py", "--input", src, "--output", out,
+                "--checkpoint", ckpt, "--strategies", "exact,slug",
+                "--canonical-col", "canonical"]
+    try:
+        dedup_job.main()
+    finally:
+        sys.argv = old
+    a = {r.id: r.cluster_id for r in
+         spark.read.parquet(f"{out}/assignments").collect()}
+    assert a["https://amp.example.com/a42/amp"] == a[
+        "https://example.com/articles/42"
+    ]
+    v = spark.read.parquet(f"{out}/verified_pairs")
+    assert v.filter(F.col("reason") == "CANONICAL_LINK").count() == 1
