@@ -2325,20 +2325,53 @@ def q_split_contamination(spark, sf_dir):
     return cross_split_contamination(docs, n=5)
 
 
-def _split_contamination_sql() -> str:
+def q_split_contamination_safe(spark, sf_dir):
+    """The other half of the split-hygiene story: the SAME audit as
+    `split_contamination` but over CLUSTER-routed splits
+    (assign_splits_by_cluster on the pipeline's CC labels). Every
+    duplicate family rides one side of every boundary, so the doc-level
+    gate's 13 contaminated held-out docs drop to 1 on this corpus — the
+    residue being a shared phrase between docs BELOW the dup threshold
+    (no exact/strong edge, so no cluster), which no split routing can
+    remove; only a stricter n or an n-gram-level screen would."""
+    from fuzzycat_spark.operators.decontaminate import (
+        cross_split_contamination,
+    )
+    from fuzzycat_spark.operators.mixing import assign_splits_by_cluster
+
+    docs = _docs(spark, sf_dir)
+    routed = assign_splits_by_cluster(
+        docs.select("doc_id", "text"),
+        q_components(spark, sf_dir),
+        _SPLIT_FRACTIONS,
+        seed=_SPLIT_SEED,
+    )
+    return cross_split_contamination(routed, n=5)
+
+
+def _split_contamination_sql(routing: str = "doc") -> str:
     from fuzzycat_spark.operators.mixing import split_bounds
 
     arms = "\n".join(
         f"WHEN f < {b} THEN '{n}'"
         for n, b in split_bounds(_SPLIT_FRACTIONS)
     )
-    return f"""
-WITH sp AS (
+    if routing == "doc":
+        sp = f"""
   SELECT doc_id, CASE {arms} END AS split
   FROM (SELECT doc_id,
           ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SEED}'),
                           1, 12))::BIGINT AS f
-        FROM documents)),
+        FROM documents)"""
+    else:
+        sp = f"""
+  SELECT doc_id, CASE {arms} END AS split
+  FROM (SELECT id AS doc_id,
+          ('0x' || substr(md5(cluster_id::VARCHAR || ':{_SPLIT_SEED}'),
+                          1, 12))::BIGINT AS f
+        FROM ({_CC_SQL}))"""
+    return f"""
+WITH sp AS ({sp}),
 rep_toks AS (
   SELECT doc_id,
     CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
@@ -4957,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "split_leakage_safe": q_split_leakage_safe,
         "split_contamination": q_split_contamination,
+        "split_contamination_safe": q_split_contamination_safe,
         "page_directives": q_page_directives,
         "canonical_pairs": q_canonical_pairs,
         "host_components": q_host_components,
@@ -5248,6 +5282,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "split_contamination": _split_contamination_sql(),
+        "split_contamination_safe": _split_contamination_sql("cluster"),
         "page_directives": f"""
             SELECT doc_id, noindex, nofollow, canonical
             FROM '{_HTML_FIXTURE}'""",
