@@ -691,7 +691,7 @@ WITH {_surt_cte(
 {_surt_cte(f'''
   SELECT url_id, trim(
     CASE
-      WHEN regexp_matches(c, '^https?://') THEN c
+      WHEN regexp_matches(c, '^(?i)https?://') THEN c
       WHEN c LIKE '//%' AND sch <> '' THEN sch || ':' || c
       WHEN c LIKE '/%' AND orig <> '' THEN orig || c
       ELSE NULL
@@ -3733,7 +3733,7 @@ x AS (
              '<[^>]+>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')) AS anchor,
          len(list_intersect(
            string_split_regex(
-             lower(regexp_extract(t, '(?is)<a\s[^>]*?rel\s*=\s*"([^"]*)"', 1)),
+             lower(regexp_extract(t, '(?is)<a[^>]*?\srel\s*=\s*"([^"]*)"', 1)),
              '[ ,\t\r\n]+'),
            ['nofollow', 'ugc', 'sponsored'])) > 0 AS nofollow
   FROM tags

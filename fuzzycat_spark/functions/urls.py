@@ -96,7 +96,7 @@ def resolve_href(base_col: Column | str, href_col: Column | str) -> Column:
     scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     return (
-        F.when(h.rlike("^https?://"), h)
+        F.when(h.rlike("^(?i)https?://"), h)
         .when(h.startswith("//") & (scheme != ""), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/") & (origin != ""), F.concat(origin, h))
         .otherwise(F.lit(None).cast("string"))

@@ -79,6 +79,7 @@ def cross_split_contamination(
     (id, split, n_train_grams_hit, contaminated) for held-out docs.
     """
     from fuzzycat_spark.functions.hashing import md5_h64
+    from fuzzycat_spark.plans.checkpoint import materialize
 
     grams = (
         docs.filter(F.col(split_col).isNotNull())
@@ -97,6 +98,10 @@ def cross_split_contamination(
         .filter(F.col("gram") != "")
         .select("_id", "_split", md5_h64(F.col("gram")).alias("gh"))
     )
+    # the tokenize+shingle pass dominates cost and feeds BOTH branches of
+    # the join; Spark does not CSE across join inputs, so without this
+    # materialization the whole corpus would be scanned and shingled twice
+    grams = materialize(grams, "xsplit_grams")
     train_grams = (
         grams.filter(F.col("_split") == train_split).select("gh").distinct()
     )

@@ -524,10 +524,16 @@ def dedup_stages(
         unioned = parts[0]
         for p in parts[1:]:
             unioned = unioned.unionByName(p)
+        # CANONICAL_LINK gets an explicit rank: like CONTENT_HASH it is
+        # text-independent (a publisher declaration), so it must outrank
+        # any cascade verdict — without a rank it tied at the bottom and
+        # the alphabetical tiebreak let a BLACKLISTED verdict on the same
+        # pair silently drop the declared edge
         prio = (
             F.when(F.col("reason") == "CONTENT_HASH", 0)
             .when(F.col("reason") == "SLUG_MATCH", 1)
-            .otherwise(2)
+            .when(F.col("reason") == "CANONICAL_LINK", 2)
+            .otherwise(3)
         )
         wp = Window.partitionBy("id_a", "id_b").orderBy(prio.asc(), F.col("reason"))
         return (

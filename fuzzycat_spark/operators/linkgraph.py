@@ -113,7 +113,11 @@ _WS = r"[ \t\r\n]+"  # explicit class: Java \s includes \x0B, RE2 does not
 # an endorsement" per the published convention (nofollow + its 2019
 # refinements ugc/sponsored) — an endorsement-weighted host graph or
 # PageRank run should filter them out
-_REL_RE = r'(?is)<a\s[^>]*?rel\s*=\s*"([^"]*)"'
+# \s immediately before rel: a bare lazy scan would capture data-rel=
+# (first match) or match inside an attribute name like barrel= — every
+# real attribute is whitespace-preceded, and the same RE2-safe fix works
+# in the DuckDB oracle (no lookbehind available there)
+_REL_RE = r'(?is)<a\b[^>]*?\srel\s*=\s*"([^"]*)"'
 _NO_ENDORSE = ("nofollow", "ugc", "sponsored")
 
 

@@ -166,7 +166,10 @@ def assign_splits_by_cluster(
     a = assignments.select(
         F.col(assign_id_col).alias(id_col), F.col(cluster_col)
     )
-    joined = docs.join(a, id_col, "left").withColumn(
+    # post-dedup corpora already carry a cluster_id column (dedup_pages /
+    # select_canonical output) — the assignments side is authoritative, so
+    # drop the docs-side copy instead of producing an ambiguous reference
+    joined = docs.drop(cluster_col).join(a, id_col, "left").withColumn(
         cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
     )
     return assign_splits(joined, fractions, id_col=cluster_col, seed=seed)

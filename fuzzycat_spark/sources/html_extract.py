@@ -164,19 +164,27 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 _DIRECTIVE_SCAN_CHARS = 262_144
 _META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
 _LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.IGNORECASE)
+# attribute names must be WHITESPACE-preceded (every attribute in a tag
+# is): a \b boundary alone would also match inside data-name/data-href,
+# since '-' is a non-word char — '<link data-href="/wrong" href="/right">'
+# must read /right and '<meta data-name=robots>' is not a robots tag
 _NAME_ROBOTS_RE = re.compile(
-    r"""\bname\s*=\s*(?:"robots"|'robots'|robots(?=[\s/>]))""", re.IGNORECASE
+    r"""\sname\s*=\s*(?:"robots"|'robots'|robots(?=[\s/>]))""", re.IGNORECASE
 )
 _REL_CANONICAL_RE = re.compile(
-    r"""\brel\s*=\s*(?:"canonical"|'canonical'|canonical(?=[\s/>]))""",
+    r"""\srel\s*=\s*(?:"canonical"|'canonical'|canonical(?=[\s/>]))""",
     re.IGNORECASE,
 )
 _CONTENT_ATTR_RE = re.compile(
-    r"""\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+    r"""\scontent\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
 )
 _HREF_ATTR_RE = re.compile(
-    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
+    r"""\shref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE
 )
+# a comment whose close falls beyond the scan cap would otherwise leave
+# its (commented-out) directives live after _COMMENT_RE runs on the
+# truncated text — an unterminated '<!--' comments out the rest
+_UNCLOSED_COMMENT_RE = re.compile(r"<!--.*\Z", re.DOTALL)
 _DIRECTIVE_SPLIT_RE = re.compile(r"[,\s]+")
 
 
@@ -201,6 +209,7 @@ def page_directives(
         else html
     )[:_DIRECTIVE_SCAN_CHARS]
     s = _COMMENT_RE.sub("", s)
+    s = _UNCLOSED_COMMENT_RE.sub("", s)
     noindex = nofollow = False
     for m in _META_TAG_RE.finditer(s):
         tag = m.group(0)
@@ -225,7 +234,7 @@ def page_directives(
             continue
         hm = _HREF_ATTR_RE.search(tag)
         if hm:
-            href = (hm.group(1) or hm.group(2) or hm.group(3)).strip()
+            href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
             if href:
                 canonical = href
                 break

@@ -358,3 +358,27 @@ def test_canonical_link_edges_cluster_text_dissimilar_variants(spark):
     assert labels["https://example.com/other"] not in (
         labels["https://example.com/articles/42"],
     )
+
+
+def test_canonical_edge_outranks_blacklisted_verdict(spark):
+    """Per-pair precedence: a publisher-declared CANONICAL_LINK edge is
+    text-independent, so it must survive even when the cascade marks the
+    same pair ('ambiguous', BLACKLISTED) via the default web denylist —
+    previously the alphabetical tiebreak dropped the declared edge."""
+    rows = [
+        ("https://example.com/a", "untitled document", None),
+        ("https://example.com/b", "untitled  document",  # same slug
+         "https://example.com/a"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, canonical string"
+    )
+    cfg = DedupConfig(
+        strategies=("exact", "minhash"), canonical_col="canonical"
+    )
+    verified, assigned = dedup_pages(docs, cfg)
+    v = {(r.id_a, r.id_b): (r.status, r.reason) for r in verified.collect()}
+    pair = ("https://example.com/a", "https://example.com/b")
+    assert v[pair] == ("exact", "CANONICAL_LINK")
+    labels = {r.id: r.cluster_id for r in assigned.collect()}
+    assert labels[pair[0]] == labels[pair[1]]

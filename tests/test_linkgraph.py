@@ -167,3 +167,17 @@ def test_anchor_nofollow_flag(spark):
         "https://static.cdn.com/ugc.js",
         "https://static.cdn.com/sp.js",
     }
+
+
+def test_anchor_nofollow_ignores_lookalike_attributes(spark):
+    """data-rel before the real rel must not shadow it, and 'barrel='
+    must not read as rel= — regression for the first-match capture."""
+    from fuzzycat_spark.operators.linkgraph import anchor_texts
+
+    html = (
+        '<a data-rel="x" href="http://t.com/1" rel="nofollow">a</a>'
+        '<a barrel="nofollow" href="http://t.com/2">b</a>'
+    )
+    df = spark.createDataFrame([("http://s.com/", html)], "url string, html string")
+    got = {r.dst_url: r.nofollow for r in anchor_texts(df).collect()}
+    assert got == {"http://t.com/1": True, "http://t.com/2": False}

@@ -318,3 +318,26 @@ def test_assign_splits_rejects_nonpositive_fractions(spark):
         assign_splits(df, {"train": 0.5, "test": -0.1})
     with _pytest.raises(ValueError, match="positive"):
         assign_splits(df, {"train": -0.2, "val": 1.2})
+
+
+def test_assign_splits_by_cluster_accepts_docs_carrying_cluster_id(spark):
+    """Post-dedup corpora already have a cluster_id column; the
+    assignments side is authoritative and the docs-side copy must not
+    raise an ambiguous-reference error."""
+    from fuzzycat_spark.operators.mixing import assign_splits_by_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 999), (2, 999), (3, 888)],
+        "doc_id bigint, cluster_id bigint",  # stale docs-side labels
+    )
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id bigint, cluster_id bigint"
+    )
+    out = assign_splits_by_cluster(
+        docs, assignments, {"train": 0.5, "test": 0.5}, seed=3
+    ).collect()
+    labels = {r.doc_id: r.cluster_id for r in out}
+    # authoritative assignments win; absent doc falls back to its own id
+    assert labels == {1: 1, 2: 1, 3: 3}
+    splits = {r.doc_id: r.split for r in out}
+    assert splits[1] == splits[2]

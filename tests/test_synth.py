@@ -174,3 +174,31 @@ def test_page_directives_udf_matches_scalar_on_fixture(spark):
             r.noindex, r.nofollow, r.canonical,
         ), r.doc_id
     assert any(r.noindex for r in rows) and any(r.canonical for r in rows)
+
+
+def test_page_directives_hardening():
+    """Regression pins for the adversarial-markup findings: empty
+    canonical href must not crash, data-* attribute names must not
+    shadow real attributes, and a comment left unterminated by the
+    256 KiB scan cap must not resurrect commented-out directives."""
+    from fuzzycat_spark.sources.html_extract import (
+        _DIRECTIVE_SCAN_CHARS,
+        page_directives,
+    )
+
+    assert page_directives('<link rel="canonical" href="">') == (
+        False, False, None,
+    )
+    assert page_directives(
+        '<link rel="canonical" data-href="/wrong" href="/right">'
+    ) == (False, False, "/right")
+    assert page_directives(
+        '<meta data-name="robots" content="noindex"><p>x</p>'
+    ) == (False, False, None)
+    # comment opens inside the cap, closes beyond it: the commented-out
+    # noindex (also inside the cap) stays dead
+    page = "<p>live</p><!--" + "y" * (_DIRECTIVE_SCAN_CHARS - 100) + \
+        '<meta name="robots" content="noindex">'
+    assert page_directives(page + "x" * 1000 + "-->") == (
+        False, False, None,
+    )

@@ -125,3 +125,15 @@ def test_canonical_link_pairs_semantics(spark):
     }
     # min id over the shared-surt family {0, 1} is the representative
     assert got == {(2, 0), (3, 0), (4, 0)}
+
+
+def test_resolve_href_uppercase_scheme(spark):
+    """URI schemes are case-insensitive (RFC 3986): an uppercase-scheme
+    canonical href must resolve, matching extract_links' (?i) policy."""
+    from fuzzycat_spark.functions.urls import resolve_href
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", "HTTPS://Example.com/X")], "url string, href string"
+    )
+    got = df.select(resolve_href("url", "href").alias("r")).first().r
+    assert got == "HTTPS://Example.com/X"

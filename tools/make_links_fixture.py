@@ -67,10 +67,15 @@ def build() -> pd.DataFrame:
                    '<a href="/relative">rel</a>'
                    '<a href="#frag">frag</a>'
                    '<a href="mailto:x@y.z">mail</a></p>'
-                   # rel-qualified anchors, all pointing at the CDN sink so
-                   # the pinned host-graph weights and pagerank ordering
-                   # are untouched: nofollow/ugc/sponsored flag true, the
-                   # noopener-only anchor stays an endorsement
+                   # rel-qualified anchors: nofollow/ugc/sponsored flag
+                   # true, the noopener-only anchor stays an endorsement.
+                   # They DO add 4 to the portal->cdn host-graph weight
+                   # and shift absolute pagerank scores (extract_links/
+                   # host_graph ignore rel by design) — targets were
+                   # chosen at the CDN sink so no TEST-PINNED weight
+                   # (portal->blog/news/docs) or relative ordering (cdn
+                   # max, portal > shop, lonely/isles teleport-only)
+                   # changes; re-check those pins if you retarget these
                    f'<p><a href="{CDN}/nf.js" rel="nofollow">nf</a>'
                    f'<a href="{CDN}/ugc.js" rel="UGC">u</a>'
                    f'<a rel="sponsored noopener" href="{CDN}/sp.js">s</a>'
