@@ -180,3 +180,36 @@ def test_strip_dup_spans_matches_bruteforce(spark, texts, k):
         for r in strip_dup_spans(df, k=k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.binary(max_size=4096), st.text(max_size=4096)))
+def test_page_directives_total_on_arbitrary_bytes(blob):
+    """The directive scanner is TOTAL: any byte soup (truncated WARC
+    records, binary masquerading as html, hostile attribute shapes)
+    yields (bool, bool, str-or-None) without raising — a single raising
+    row would kill its whole Arrow batch and task at ingest."""
+    from fuzzycat_spark.sources.html_extract import page_directives
+
+    ni, nf, canon = page_directives(blob)
+    assert isinstance(ni, bool) and isinstance(nf, bool)
+    assert canon is None or (isinstance(canon, str) and canon != "")
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(alphabet=st.characters(codec="utf-8"), max_size=120),
+    st.sampled_from(["noindex", "nofollow", "none", "all", "index"]),
+)
+def test_page_directives_detects_planted_robots_meta(junk, directive):
+    """A well-formed robots meta planted inside arbitrary surrounding
+    text is always honored (unless the junk opens an unclosed comment
+    before it, which legitimately comments the tag out)."""
+    from fuzzycat_spark.sources.html_extract import page_directives
+
+    page = junk + f'<meta name="robots" content="{directive}">' + junk
+    truncated_open = "<!--" in junk and "-->" not in junk
+    ni, nf, _ = page_directives(page)
+    if not truncated_open:
+        assert ni == (directive in ("noindex", "none"))
+        assert nf == (directive in ("nofollow", "none"))
