@@ -2349,6 +2349,53 @@ def q_split_contamination_safe(spark, sf_dir):
     return cross_split_contamination(routed, n=5)
 
 
+def q_split_train_screen(spark, sf_dir):
+    """The actionable side of split hygiene (operators/decontaminate.py
+    train_overlap_screen): TRAIN docs sharing a word 5-gram with any
+    held-out doc, flagged `drop` — the GPT-3-style removal that protects
+    val/test integrity by shrinking train, never the eval sets. Same
+    shared gram table and narrow hash semi-join as the audit, roles
+    swapped (the held-out gram set is the DISTINCT/broadcastable side)."""
+    from fuzzycat_spark.operators.decontaminate import train_overlap_screen
+    from fuzzycat_spark.operators.mixing import assign_splits
+
+    docs = assign_splits(
+        _docs(spark, sf_dir), _SPLIT_FRACTIONS, seed=_SPLIT_SEED
+    )
+    return train_overlap_screen(docs, n=5)
+
+
+def _split_train_screen_sql() -> str:
+    from fuzzycat_spark.operators.mixing import split_bounds
+
+    arms = "\n".join(
+        f"WHEN f < {b} THEN '{n}'"
+        for n, b in split_bounds(_SPLIT_FRACTIONS)
+    )
+    return f"""
+WITH sp AS (
+  SELECT doc_id, CASE {arms} END AS split
+  FROM (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SEED}'),
+                          1, 12))::BIGINT AS f
+        FROM documents)),
+rep_toks AS (
+  SELECT doc_id,
+    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
+  FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)),
+g AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)} WHERE gram <> ''),
+hg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id)
+       WHERE sp.split <> 'train'),
+hits AS (SELECT g.doc_id, count(*) AS n
+         FROM g JOIN sp USING (doc_id) JOIN hg USING (gram)
+         WHERE sp.split = 'train' GROUP BY g.doc_id)
+SELECT sp.doc_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_heldout_grams_hit,
+  coalesce(hits.n, 0) > 0 AS "drop"
+FROM sp LEFT JOIN hits USING (doc_id)
+WHERE sp.split = 'train'"""
+
+
 def _split_contamination_sql(routing: str = "doc") -> str:
     from fuzzycat_spark.operators.mixing import split_bounds
 
@@ -4991,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": q_split_leakage_safe,
         "split_contamination": q_split_contamination,
         "split_contamination_safe": q_split_contamination_safe,
+        "split_train_screen": q_split_train_screen,
         "page_directives": q_page_directives,
         "canonical_pairs": q_canonical_pairs,
         "host_components": q_host_components,
@@ -5283,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_safe": _split_leakage_safe_sql(),
         "split_contamination": _split_contamination_sql(),
         "split_contamination_safe": _split_contamination_sql("cluster"),
+        "split_train_screen": _split_train_screen_sql(),
         "page_directives": f"""
             SELECT doc_id, noindex, nofollow, canonical
             FROM '{_HTML_FIXTURE}'""",

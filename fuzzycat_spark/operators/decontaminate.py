@@ -30,7 +30,12 @@ from fuzzycat_spark.functions.normalize import (
     word_shingles_from_tokens,
 )
 
-__all__ = ["eval_ngrams", "decontaminate", "cross_split_contamination"]
+__all__ = [
+    "eval_ngrams",
+    "decontaminate",
+    "cross_split_contamination",
+    "train_overlap_screen",
+]
 
 
 def eval_ngrams(
@@ -46,6 +51,87 @@ def eval_ngrams(
         )
         .filter(F.col("gram") != "")
         .distinct()
+    )
+
+
+def _split_gram_table(
+    docs: DataFrame, id_col: str, text_col: str, split_col: str, n: int
+) -> DataFrame:
+    """Materialized (_id, _split, gh) distinct-per-row gram hashes of
+    every split-assigned doc — the shared input of both cross-split
+    operators. The tokenize+shingle pass dominates cost and feeds BOTH
+    branches of the downstream join; Spark does not CSE across join
+    inputs, so without the materialization the whole corpus would be
+    scanned and shingled twice."""
+    from fuzzycat_spark.functions.hashing import md5_h64
+    from fuzzycat_spark.plans.checkpoint import materialize
+
+    grams = (
+        docs.filter(F.col(split_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(split_col).alias("_split"),
+            tokens_col(text_col).alias("_toks"),
+        )
+        .select(
+            "_id",
+            "_split",
+            F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram") != "")
+        .select("_id", "_split", md5_h64(F.col("gram")).alias("gh"))
+    )
+    return materialize(grams, "xsplit_grams")
+
+
+def train_overlap_screen(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    train_split: str = "train",
+    n: int = 8,
+) -> DataFrame:
+    """The actionable complement of `cross_split_contamination`: TRAIN
+    documents sharing an exact word n-gram with ANY held-out document,
+    flagged for removal. Standard practice drops the TRAIN copy (the
+    GPT-3 appendix C direction, re-targeted from benchmarks to the
+    corpus's own held-out splits) so val/test keep their size and
+    integrity while the model never trains on their content.
+
+    Same scale shape as the audit — shared materialized gram table, both
+    sides reduced to 64-bit hashes, one narrow semi join — with the
+    DISTINCT side now the held-out grams (the smaller side at any
+    realistic split fraction, so AQE can broadcast it). Returns
+    (id, n_heldout_grams_hit, drop) for every train doc; anti-join the
+    `drop` rows against the corpus to apply."""
+    grams = _split_gram_table(docs, id_col, text_col, split_col, n)
+    held_grams = (
+        grams.filter(F.col("_split") != train_split).select("gh").distinct()
+    )
+    train = (
+        grams.filter(F.col("_split") == train_split)
+        .select("_id", "gh")
+        .distinct()
+    )
+    hits = (
+        train.join(held_grams, on="gh", how="left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_heldout_grams_hit"))
+    )
+    return (
+        docs.filter(F.col(split_col) == train_split)
+        .select(F.col(id_col).alias("_id"))
+        .join(hits, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_heldout_grams_hit", F.lit(0))
+            .cast("long")
+            .alias("n_heldout_grams_hit"),
+            (F.coalesce("n_heldout_grams_hit", F.lit(0)) > 0).alias("drop"),
+        )
     )
 
 
@@ -78,30 +164,7 @@ def cross_split_contamination(
     (unassigned remainder) are ignored on both sides. Returns
     (id, split, n_train_grams_hit, contaminated) for held-out docs.
     """
-    from fuzzycat_spark.functions.hashing import md5_h64
-    from fuzzycat_spark.plans.checkpoint import materialize
-
-    grams = (
-        docs.filter(F.col(split_col).isNotNull())
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(split_col).alias("_split"),
-            tokens_col(text_col).alias("_toks"),
-        )
-        .select(
-            "_id",
-            "_split",
-            F.explode(word_shingles_from_tokens(F.col("_toks"), n)).alias(
-                "gram"
-            ),
-        )
-        .filter(F.col("gram") != "")
-        .select("_id", "_split", md5_h64(F.col("gram")).alias("gh"))
-    )
-    # the tokenize+shingle pass dominates cost and feeds BOTH branches of
-    # the join; Spark does not CSE across join inputs, so without this
-    # materialization the whole corpus would be scanned and shingled twice
-    grams = materialize(grams, "xsplit_grams")
+    grams = _split_gram_table(docs, id_col, text_col, split_col, n)
     train_grams = (
         grams.filter(F.col("_split") == train_split).select("gh").distinct()
     )

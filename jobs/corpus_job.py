@@ -251,6 +251,12 @@ def main() -> None:
                         "boundary and splits survive a rerun that picks a "
                         "different canonical representative")
     p.add_argument("--split-seed", type=int, default=0)
+    p.add_argument("--screen-train-overlap", type=int, default=0,
+                   metavar="N",
+                   help="after --splits: drop TRAIN docs sharing an exact "
+                        "word N-gram with any held-out doc (val/test keep "
+                        "their size; the model never trains on their "
+                        "content); 0 = off, requires --splits")
     p.add_argument("--n-shards", type=int, default=64)
     p.add_argument("--shard-seed", type=int, default=0)
     args = p.parse_args()
@@ -260,6 +266,9 @@ def main() -> None:
         p.error("--reference-bands only takes effect with "
                 "--reference-corpus (the screen needs the reference "
                 "texts for exact-Jaccard confirmation)")
+    if args.screen_train_overlap > 0 and not args.splits:
+        p.error("--screen-train-overlap needs --splits (the screen "
+                "compares the stamped train split against held-out docs)")
 
     from fuzzycat_spark.functions.pii import redact_pii
     from fuzzycat_spark.operators.dedup import DedupConfig, select_canonical
@@ -761,6 +770,20 @@ def main() -> None:
             )
 
         docs = ck.stage("split_stamped", split_stamped)
+
+        if args.screen_train_overlap > 0:
+            from fuzzycat_spark.operators.decontaminate import (
+                train_overlap_screen,
+            )
+
+            def train_screened() -> DataFrame:
+                flagged = train_overlap_screen(
+                    docs, id_col=idc, text_col=txt,
+                    n=args.screen_train_overlap,
+                ).filter(F.col("drop")).select(idc)
+                return docs.join(flagged, on=idc, how="left_anti")
+
+            docs = ck.stage("train_screened", train_screened)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

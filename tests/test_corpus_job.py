@@ -877,3 +877,47 @@ def test_use_canonical_arm_clusters_amp_variant(spark, tmp_path, capsys, monkeyp
     assert kept["https://example.com/articles/42"] == 2
     assert kept["https://example.com/other"] == 1
     assert "https://amp.example.com/a42/amp" not in kept
+
+
+def test_screen_train_overlap_arm(spark, tmp_path, capsys, monkeypatch):
+    """--screen-train-overlap: train docs sharing an N-gram with held-out
+    docs are dropped from the shipped shards; held-out docs and clean
+    train docs survive. Requires --splits (validated)."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    leak = "the identical leaking passage about rivers bridges canals"
+    rows = [
+        (f"https://a.example/p{i}",
+         f"distinct article number {i} " + (
+             leak if i in (0, 1) else
+             f"about unrelated topic {i} telescopes comets stars moons"))
+        for i in range(30)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--splits", '{"train": 0.7, "val": 0.3}',
+         "--split-seed", "2", "--screen-train-overlap", "5",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "1"],
+        capsys,
+    )
+    assert "train_screened" in rec["stages"]
+    kept = spark.read.parquet(out_dir).select("url", "split", "text").collect()
+    by_split = {}
+    for r in kept:
+        by_split.setdefault(r.split, []).append(r.text)
+    # any kept train doc shares no 5-gram with any kept held-out doc —
+    # and if the leak pair straddled, the TRAIN copy is the one gone
+    leak_train = [t for t in by_split.get("train", []) if leak in t]
+    leak_val = [t for t in by_split.get("val", []) if leak in t]
+    assert not (leak_train and leak_val)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o2"),
+             "--checkpoint", str(tmp_path / "c2"),
+             "--screen-train-overlap", "5"],
+            capsys,
+        )

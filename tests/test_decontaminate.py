@@ -138,3 +138,32 @@ def test_cross_split_contamination_narrow_shuffle_no_text(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "gram#" not in plan.split("Exchange hashpartitioning(gh")[-1][:200]
+
+
+def test_train_overlap_screen_flags_train_side_only(spark):
+    """The actionable complement: the TRAIN copy of a straddling family
+    is flagged for removal, held-out docs are never in the output, and
+    clean train docs pass. Symmetry pin: a doc flagged by the audit on
+    the held-out side implies its train counterpart is flagged here."""
+    from fuzzycat_spark.operators.decontaminate import (
+        cross_split_contamination,
+        train_overlap_screen,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "train"),
+            (1, "alpha beta gamma delta epsilon eta", "val"),   # shares 5-gram w/ 0
+            (2, "one two three four five six", "train"),        # clean
+            (3, "seven eight nine ten eleven twelve", "test"),  # clean
+        ],
+        "doc_id bigint, text string, split string",
+    )
+    out = {r.doc_id: (r.n_heldout_grams_hit, r.drop)
+           for r in train_overlap_screen(docs, n=5).collect()}
+    assert set(out) == {0, 2}  # train docs only
+    assert out[0][1] is True and out[0][0] == 1
+    assert out[2] == (0, False)
+    audit = {r.doc_id for r in
+             cross_split_contamination(docs, n=5).filter("contaminated").collect()}
+    assert audit == {1}  # the held-out twin of the flagged train doc
