@@ -2365,38 +2365,12 @@ def q_split_train_screen(spark, sf_dir):
     return train_overlap_screen(docs, n=5)
 
 
-def _split_train_screen_sql() -> str:
-    from fuzzycat_spark.operators.mixing import split_bounds
-
-    arms = "\n".join(
-        f"WHEN f < {b} THEN '{n}'"
-        for n, b in split_bounds(_SPLIT_FRACTIONS)
-    )
-    return f"""
-WITH sp AS (
-  SELECT doc_id, CASE {arms} END AS split
-  FROM (SELECT doc_id,
-          ('0x' || substr(md5(doc_id::VARCHAR || ':{_SPLIT_SEED}'),
-                          1, 12))::BIGINT AS f
-        FROM documents)),
-rep_toks AS (
-  SELECT doc_id,
-    CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
-  FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)),
-g AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)} WHERE gram <> ''),
-hg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id)
-       WHERE sp.split <> 'train'),
-hits AS (SELECT g.doc_id, count(*) AS n
-         FROM g JOIN sp USING (doc_id) JOIN hg USING (gram)
-         WHERE sp.split = 'train' GROUP BY g.doc_id)
-SELECT sp.doc_id,
-  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_heldout_grams_hit,
-  coalesce(hits.n, 0) > 0 AS "drop"
-FROM sp LEFT JOIN hits USING (doc_id)
-WHERE sp.split = 'train'"""
-
-
-def _split_contamination_sql(routing: str = "doc") -> str:
+def _split_gram_ctes(routing: str = "doc") -> str:
+    """Shared sp/rep_toks/g CTE block for the two cross-split gram
+    queries (the contamination audit and the train-side screen): split
+    assignment (doc- or cluster-routed md5 draw), slug token arrays, and
+    the distinct per-doc 5-gram table. Both gates consume the SAME gram
+    semantics by construction — a tokenizer or routing fix lands once."""
     from fuzzycat_spark.operators.mixing import split_bounds
 
     arms = "\n".join(
@@ -2423,7 +2397,29 @@ rep_toks AS (
   SELECT doc_id,
     CASE WHEN slug = '' THEN []::VARCHAR[] ELSE string_split(slug, ' ') END AS ws
   FROM (SELECT doc_id, {_SLUG} AS slug FROM documents)),
-g AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)} WHERE gram <> ''),
+g AS (SELECT DISTINCT doc_id, gram FROM {_rep_grams(5)} WHERE gram <> '')"""
+
+
+def _split_train_screen_sql() -> str:
+    # Same gram table as the audit, with the join roles swapped: the
+    # DISTINCT side is the held-out grams and the flagged side is train.
+    return f"""
+{_split_gram_ctes("doc")},
+hg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id)
+       WHERE sp.split <> 'train'),
+hits AS (SELECT g.doc_id, count(*) AS n
+         FROM g JOIN sp USING (doc_id) JOIN hg USING (gram)
+         WHERE sp.split = 'train' GROUP BY g.doc_id)
+SELECT sp.doc_id,
+  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_heldout_grams_hit,
+  coalesce(hits.n, 0) > 0 AS "drop"
+FROM sp LEFT JOIN hits USING (doc_id)
+WHERE sp.split = 'train'"""
+
+
+def _split_contamination_sql(routing: str = "doc") -> str:
+    return f"""
+{_split_gram_ctes(routing)},
 tg AS (SELECT DISTINCT gram FROM g JOIN sp USING (doc_id)
        WHERE sp.split = 'train'),
 hits AS (SELECT g.doc_id, count(*) AS n

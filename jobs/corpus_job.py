@@ -269,6 +269,13 @@ def main() -> None:
     if args.screen_train_overlap > 0 and not args.splits:
         p.error("--screen-train-overlap needs --splits (the screen "
                 "compares the stamped train split against held-out docs)")
+    if args.screen_train_overlap > 0 and "train" not in json.loads(args.splits):
+        # train_overlap_screen filters split == "train"; with custom
+        # split names the train side would be empty and the screen a
+        # silent no-op while the operator believes decontamination ran.
+        p.error('--screen-train-overlap needs a split literally named '
+                '"train" in --splits (the screen drops train-side docs '
+                'overlapping any other split)')
 
     from fuzzycat_spark.functions.pii import redact_pii
     from fuzzycat_spark.operators.dedup import DedupConfig, select_canonical
@@ -689,6 +696,45 @@ def main() -> None:
         # resumes mid-merge-sequence like every other stage.
         ck.stage("bpe_merges", bpe_merge_table)
 
+    if args.splits:
+        from fuzzycat_spark.operators.mixing import assign_splits
+
+        fracs = {k: float(v) for k, v in json.loads(args.splits).items()}
+
+        def split_stamped() -> DataFrame:
+            # docs already carry cluster_id from canonical selection, so
+            # routing by it is pure projection — no join, no shuffle.
+            # Hashing the CLUSTER label (not the doc id) is what keeps a
+            # near-dup family on one side of every split boundary; see
+            # operators/mixing.assign_splits_by_cluster for the general
+            # (docs ⋈ assignments) form.
+            return assign_splits(
+                docs, fracs, id_col="cluster_id", seed=args.split_seed
+            )
+
+        docs = ck.stage("split_stamped", split_stamped)
+
+        if args.screen_train_overlap > 0:
+            from fuzzycat_spark.operators.decontaminate import (
+                train_overlap_screen,
+            )
+
+            def train_screened() -> DataFrame:
+                flagged = train_overlap_screen(
+                    docs, id_col=idc, text_col=txt,
+                    n=args.screen_train_overlap,
+                ).filter(F.col("drop")).select(idc)
+                return docs.join(flagged, on=idc, how="left_anti")
+
+            # This stage REMOVES rows, so it must run before every side
+            # artifact documented as covering the FINAL kept corpus
+            # (postings / sketches / bands / bloom below) — otherwise a
+            # screened-out train doc's id lands in the bloom filter and
+            # its bands in the reference table, and the next crawl
+            # silently drops fresh pages as duplicates of a doc that was
+            # never shipped.
+            docs = ck.stage("train_screened", train_screened)
+
     if args.emit_postings:
         from fuzzycat_spark.operators.retrieval import doc_term_rows
 
@@ -752,38 +798,6 @@ def main() -> None:
         # crawls screen with --seen-bloom (same m/d); filters from
         # successive crawls merge by OR (sketch.bloom_merge)
         ck.stage("bloom", bloom_table)
-
-    if args.splits:
-        from fuzzycat_spark.operators.mixing import assign_splits
-
-        fracs = {k: float(v) for k, v in json.loads(args.splits).items()}
-
-        def split_stamped() -> DataFrame:
-            # docs already carry cluster_id from canonical selection, so
-            # routing by it is pure projection — no join, no shuffle.
-            # Hashing the CLUSTER label (not the doc id) is what keeps a
-            # near-dup family on one side of every split boundary; see
-            # operators/mixing.assign_splits_by_cluster for the general
-            # (docs ⋈ assignments) form.
-            return assign_splits(
-                docs, fracs, id_col="cluster_id", seed=args.split_seed
-            )
-
-        docs = ck.stage("split_stamped", split_stamped)
-
-        if args.screen_train_overlap > 0:
-            from fuzzycat_spark.operators.decontaminate import (
-                train_overlap_screen,
-            )
-
-            def train_screened() -> DataFrame:
-                flagged = train_overlap_screen(
-                    docs, id_col=idc, text_col=txt,
-                    n=args.screen_train_overlap,
-                ).filter(F.col("drop")).select(idc)
-                return docs.join(flagged, on=idc, how="left_anti")
-
-            docs = ck.stage("train_screened", train_screened)
 
     # 5. training shards (optionally annotated with the packing layout —
     # pack_shard_sequences uses the same (id, seed) hash fields, so the

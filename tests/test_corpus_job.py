@@ -921,3 +921,67 @@ def test_screen_train_overlap_arm(spark, tmp_path, capsys, monkeypatch):
              "--screen-train-overlap", "5"],
             capsys,
         )
+    # a --splits JSON without a split literally named "train" would make
+    # the screen a silent no-op (empty train side) — rejected up front
+    with _pytest.raises(SystemExit):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o3"),
+             "--checkpoint", str(tmp_path / "c3"),
+             "--splits", '{"trn": 0.7, "val": 0.3}',
+             "--screen-train-overlap", "5"],
+            capsys,
+        )
+
+
+def test_train_screen_runs_before_side_artifacts(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--screen-train-overlap REMOVES rows, so it must execute before the
+    side artifacts documented as covering the FINAL kept corpus — else a
+    screened-out train doc's id lands in the --emit-bloom filter (and its
+    bands in --emit-bands) and the next crawl screens fresh pages as dups
+    of a doc that was never shipped. Pinned via the stage manifest order
+    AND by checking the bloom filter rejects the screened-out doc."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    leak = "the identical leaking passage about rivers bridges canals"
+    rows = [
+        (f"https://a.example/p{i}",
+         f"distinct article number {i} " + (
+             leak if i in (0, 1) else
+             f"about unrelated topic {i} telescopes comets stars moons"))
+        for i in range(30)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--splits", '{"train": 0.7, "val": 0.3}',
+         "--split-seed", "2", "--screen-train-overlap", "5",
+         "--emit-bloom", "--emit-bands", "--bloom-m-bits", str(1 << 20),
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "1"],
+        capsys,
+    )
+    stages = rec["stages"]
+    assert stages.index("train_screened") < stages.index("bloom")
+    assert stages.index("train_screened") < stages.index("bands")
+    kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    screened = {f"https://a.example/p{i}" for i in range(30)} - kept
+    assert screened  # the leak's train copy was dropped
+    from fuzzycat_spark.operators.sketch import bloom_contains
+
+    bloom = spark.read.parquet(f"{ckpt}/bloom")
+    verdict = bloom_contains(
+        bloom,
+        spark.createDataFrame(
+            [(f"https://a.example/p{i}",) for i in range(30)], "url string"
+        ),
+        "url", m_bits=1 << 20,
+    )
+    member = {r.url: r.may_contain for r in verdict.collect()}
+    # every shipped doc is in the filter (no false negatives); the
+    # screened-out docs are NOT — they were never shipped, so a later
+    # --seen-bloom crawl must not treat fresh copies as already seen
+    assert all(member[u] for u in kept)
+    assert not any(member[u] for u in screened)

@@ -208,8 +208,17 @@ def test_page_directives_detects_planted_robots_meta(junk, directive):
     from fuzzycat_spark.sources.html_extract import page_directives
 
     page = junk + f'<meta name="robots" content="{directive}">' + junk
-    truncated_open = "<!--" in junk and "-->" not in junk
+    # The meta is (legitimately) commented out iff the PREFIX junk leaves
+    # a comment/CDATA region open at the point the tag appears. Simulate
+    # with the scanner's own span regex: non-greedy leftmost matching
+    # removes exactly the spans wholly inside the prefix, so a surviving
+    # opener means the full-page scan would swallow the tag (closing at
+    # the suffix junk's closer, or via the unclosed-comment rule).
+    from fuzzycat_spark.sources.html_extract import _COMMENT_RE
+
+    stripped_prefix = _COMMENT_RE.sub("", junk)
+    dangling_open = "<!--" in stripped_prefix or "<![CDATA[" in stripped_prefix
     ni, nf, _ = page_directives(page)
-    if not truncated_open:
+    if not dangling_open:
         assert ni == (directive in ("noindex", "none"))
         assert nf == (directive in ("nofollow", "none"))
