@@ -1655,6 +1655,115 @@ SELECT emb.vec_id AS id, coalesce(cc.cluster_id, emb.vec_id) AS cluster_id
 FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id"""
 
 
+# Semantic decontamination eval suite: one member of each planted >0.9
+# family (their 3 siblings MUST flag) plus ONE copy of the 210-strong
+# mega vector (vec_id 20). The 209 remaining corpus copies sit at
+# cosine 1.0 to it: the BRUTE screen flags all of them, while the ANN
+# screen's corpus-side bucket cap (209 copies > MAX_BUCKET=200) excludes
+# their bucket — the two gates diverge by exactly those 209 rows, so the
+# cap is exercised non-vacuously on both engines.
+_SEMCON_EVAL_IDS = (0, 4, 8, 12, 16, 20)
+
+
+def _semcon_sides(spark):
+    e = spark.read.parquet(_PLANTED_FIXTURE)
+    ev = e.filter(F.col("vec_id").isin(*_SEMCON_EVAL_IDS))
+    corpus = e.filter(~F.col("vec_id").isin(*_SEMCON_EVAL_IDS))
+    return corpus, ev
+
+
+def q_semantic_contamination(spark, sf_dir):
+    """Embedding-space eval-overlap screen, EXACT brute path
+    (operators/decontaminate.py semantic_contamination — eval suite
+    broadcast, |corpus| x |eval| JVM-side cosines, corpus never
+    shuffles). Eval = one member of each planted >0.9 family + one copy
+    of the mega vector: the 15 family siblings and all 209 remaining
+    mega copies must flag; fillers must not."""
+    from fuzzycat_spark.operators.decontaminate import semantic_contamination
+
+    corpus, ev = _semcon_sides(spark)
+    return semantic_contamination(corpus, ev, threshold=_PLANTED_STRONG)
+
+
+def q_semantic_contamination_ann(spark, sf_dir):
+    """The LSH-bucketed scale path of the semantic screen
+    (semantic_contamination_ann): cosines only within shared hyperplane
+    buckets, CORPUS-side buckets above max_bucket_size=200 excluded.
+    The 209 corpus mega copies exceed the cap, so they are NOT flagged
+    here despite cosine 1.0 to eval vec 20 — the exact divergence from
+    the brute gate that proves the cap is modeled (round-4 ADVICE:
+    vacuous cap agreement), mirrored in the oracle's HAVING clause."""
+    from fuzzycat_spark.operators.decontaminate import (
+        semantic_contamination_ann,
+    )
+
+    corpus, ev = _semcon_sides(spark)
+    return semantic_contamination_ann(
+        corpus,
+        ev,
+        threshold=_PLANTED_STRONG,
+        n_planes=_ANN_PLANES_N,
+        dim=_ANN_DIM,
+        max_bucket_size=MAX_BUCKET,
+    )
+
+
+def _semcon_ids_sql() -> str:
+    return ", ".join(str(i) for i in _SEMCON_EVAL_IDS)
+
+
+def _semantic_contamination_sql() -> str:
+    return f"""
+WITH embeddings AS (SELECT * FROM '{_PLANTED_FIXTURE}'),
+ev AS (SELECT * FROM embeddings WHERE vec_id IN ({_semcon_ids_sql()})),
+corpus AS (SELECT * FROM embeddings WHERE vec_id NOT IN ({_semcon_ids_sql()})),
+scored AS (
+  SELECT a.vec_id AS cid, round({_COS_D}, 6) AS c6,
+         CASE WHEN round({_COS_D}, 9) >= {_PLANTED_STRONG} THEN 1 ELSE 0 END AS hit
+  FROM corpus a CROSS JOIN ev b
+),
+agg AS (
+  SELECT cid, max(c6) AS max_eval_cos,
+         CAST(sum(hit) AS BIGINT) AS n_eval_hits
+  FROM scored GROUP BY cid
+)
+SELECT c.vec_id AS vec_id, agg.max_eval_cos,
+       CAST(coalesce(agg.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       coalesce(agg.n_eval_hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN agg ON c.vec_id = agg.cid"""
+
+
+def _semantic_contamination_ann_sql() -> str:
+    return f"""
+WITH embeddings AS (SELECT * FROM '{_PLANTED_FIXTURE}'),
+bk AS ({_ann_bucket_sql()}),
+ev AS (SELECT vec_id FROM embeddings WHERE vec_id IN ({_semcon_ids_sql()})),
+corpus AS (SELECT vec_id FROM embeddings WHERE vec_id NOT IN ({_semcon_ids_sql()})),
+cbk AS (SELECT bk.vec_id, bk.bucket FROM bk JOIN corpus USING (vec_id)),
+cbkok AS (SELECT bucket FROM cbk GROUP BY bucket HAVING count(*) <= {MAX_BUCKET}),
+ebk AS (SELECT bk.vec_id, bk.bucket FROM bk JOIN ev USING (vec_id)),
+cand AS (
+  SELECT c.vec_id AS cid, e.vec_id AS eid
+  FROM cbk c JOIN cbkok USING (bucket) JOIN ebk e ON c.bucket = e.bucket
+),
+scored AS (
+  SELECT cand.cid, round({_COS_D}, 6) AS c6,
+         CASE WHEN round({_COS_D}, 9) >= {_PLANTED_STRONG} THEN 1 ELSE 0 END AS hit
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.cid
+  JOIN embeddings b ON b.vec_id = cand.eid
+),
+agg AS (
+  SELECT cid, max(c6) AS max_eval_cos,
+         CAST(sum(hit) AS BIGINT) AS n_eval_hits
+  FROM scored GROUP BY cid
+)
+SELECT c.vec_id AS vec_id, agg.max_eval_cos,
+       CAST(coalesce(agg.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       coalesce(agg.n_eval_hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN agg ON c.vec_id = agg.cid"""
+
+
 def q_ann_similar_pairs(spark, sf_dir):
     """Bounded-at-scale threshold pairs: exact cosine only WITHIN
     hyperplane buckets (one shuffle; the all-pairs `similar_embeddings`
@@ -2983,6 +3092,47 @@ def q_page_directives(spark, sf_dir):
 
 
 _PII_FIXTURE = "/root/repo/fixtures/pii_docs.parquet"
+
+
+def q_page_meta(spark, sf_dir):
+    """Head-metadata catalog pass (sources/html_extract.py
+    page_meta_cols): title / meta description (both attribute orders) /
+    charset / first h1 as PURE whole-stage-codegen regexps over the raw
+    bytes — zero UDFs, zero shuffles, the per-page cost a 10^12-page
+    catalog scan can afford. Two-engine oracle: DuckDB runs the
+    IDENTICAL pattern strings (Java-regex ∩ RE2 subset, same discipline
+    as pii_scrub) over the same fixture, including the comment-strip
+    pre-pass (a commented-out <title> must not win on either engine)."""
+    from fuzzycat_spark.sources.html_extract import page_meta_cols
+
+    return spark.read.parquet(_HTML_FIXTURE).select(
+        "doc_id", *page_meta_cols(F.col("html"))
+    )
+
+
+def _page_meta_sql() -> str:
+    from fuzzycat_spark.sources import html_extract as hx
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    def clean(expr: str) -> str:
+        return f"trim(regexp_replace({expr}, {q(hx.PM_WS_RE)}, ' ', 'g'))"
+
+    d1 = f"regexp_extract(s, {q(hx.PM_DESC_NAME_FIRST_RE)}, 1)"
+    d2 = f"regexp_extract(s, {q(hx.PM_DESC_CONTENT_FIRST_RE)}, 1)"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_replace(decode(html), {q(hx.PM_COMMENT_RE)}, '', 'g') AS s
+  FROM '{_HTML_FIXTURE}'
+)
+SELECT doc_id,
+  {clean(f"regexp_extract(s, {q(hx.PM_TITLE_RE)}, 1)")} AS title,
+  {clean(f"CASE WHEN {d1} <> '' THEN {d1} ELSE {d2} END")} AS meta_description,
+  lower(regexp_extract(s, {q(hx.PM_CHARSET_RE)}, 1)) AS charset,
+  {clean(f"regexp_extract(s, {q(hx.PM_H1_RE)}, 1)")} AS h1
+FROM h"""
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -5083,6 +5233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_denylist": q_components_denylist,
         "ann_pairs_planted": q_ann_pairs_planted,
         "components_embedding_planted": q_components_embedding_planted,
+        "semantic_contamination": q_semantic_contamination,
+        "semantic_contamination_ann": q_semantic_contamination_ann,
+        "page_meta": q_page_meta,
         "lang_id_script": q_lang_id_script,
         "nysiis_pairs": q_nysiis_pairs,
         "lev_pairs": q_lev_pairs,
@@ -5302,6 +5455,9 @@ def oracle_sql() -> dict[str, str]:
         "components_denylist": _components_denylist_sql(),
         "ann_pairs_planted": _ann_pairs_planted_sql(),
         "components_embedding_planted": _components_embedding_planted_sql(),
+        "semantic_contamination": _semantic_contamination_sql(),
+        "semantic_contamination_ann": _semantic_contamination_ann_sql(),
+        "page_meta": _page_meta_sql(),
         "lang_id_script": _lang_id_script_sql(),
         "nysiis_pairs": _nysiis_pairs_sql(),
         "lev_pairs": _lev_pairs_sql(),

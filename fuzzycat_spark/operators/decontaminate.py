@@ -35,6 +35,8 @@ __all__ = [
     "decontaminate",
     "cross_split_contamination",
     "train_overlap_screen",
+    "semantic_contamination",
+    "semantic_contamination_ann",
 ]
 
 
@@ -231,5 +233,161 @@ def decontaminate(
             .cast("long")
             .alias("n_eval_grams_hit"),
             (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space eval-overlap screen — the semantic complement of
+    the exact n-gram `decontaminate`: a corpus document is contaminated
+    if its embedding sits within cosine >= `threshold` of ANY eval-suite
+    embedding (paraphrased/reformatted benchmark leakage that exact
+    n-grams miss; the screen used by phi-/FineWeb-style pipelines).
+
+    This is the EXACT brute path: the eval suite is tiny next to the
+    corpus (thousands of prompts vs billions of pages), so it is
+    BROADCAST and every (corpus, eval) cosine is evaluated JVM-side
+    (`cosine_col` — zip_with/aggregate in double precision, no Python).
+    The corpus never shuffles text or vectors; the single narrow shuffle
+    carries (id, max_cos, hits). Cost is |corpus| x |eval| fused
+    multiply-adds inside whole-stage codegen — linear in the corpus, the
+    right shape at 10^12 docs. For eval suites too big to broadcast, use
+    `semantic_contamination_ann`.
+
+    Returns (id_col, max_eval_cos, n_eval_hits, contaminated) for every
+    corpus row; `max_eval_cos` is the max over ALL eval vectors (rounded
+    to 6 dp for cross-engine stability), `n_eval_hits` counts eval
+    vectors at round(cos, 9) >= threshold.
+    """
+    from fuzzycat_spark.operators.knn import cosine_col
+
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    ev = F.broadcast(
+        eval_df.select(F.col(eval_vec_col).alias("_evec"))
+    )
+    cos = cosine_col(F.col("_cvec"), F.col("_evec"))
+    scored = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_cvec"))
+        .join(ev)
+        .select(
+            "_id",
+            F.round(cos, 6).alias("_c6"),
+            (F.round(cos, 9) >= F.lit(threshold)).cast("int").alias("_hit"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.max("_c6").alias("max_eval_cos"),
+            F.sum("_hit").cast("long").alias("n_eval_hits"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("_id"))
+        .join(scored, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "max_eval_cos",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination_ann(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The LSH-bucketed scale path of `semantic_contamination`: both
+    sides hash to random-hyperplane buckets (the shared ANN machinery,
+    `operators/knn.py`), cosines are evaluated only for (corpus, eval)
+    pairs sharing a bucket, and CORPUS-side buckets above
+    `max_bucket_size` are excluded — the same index-side-only skew guard
+    as `hyperplane_knn` (eval probes are never dropped). Only
+    (id, bucket) rows enter the bucket join; vectors join back for the
+    surviving candidates.
+
+    Use when the eval suite itself is too large to broadcast or when
+    |corpus| x |eval| brute cosines are too many; recall is bucket-bound
+    (a >= threshold pair in different buckets is missed — raise
+    `n_planes` granularity or probe more buckets upstream to trade).
+
+    Returns (id_col, max_eval_cos, n_eval_hits, contaminated);
+    `max_eval_cos` is NULL for corpus rows with no same-bucket eval
+    candidate (vs the brute variant's max over all eval vectors).
+    """
+    from fuzzycat_spark.operators.knn import (
+        DEFAULT_MAX_BUCKET,
+        _capped_index_buckets,
+        cosine_col,
+        hyperplane_bucket_col,
+        hyperplane_planes,
+    )
+
+    if dim is None:
+        raise ValueError("semantic_contamination_ann requires dim=")
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    planes = hyperplane_planes(dim, n_planes, seed)
+
+    cb = _capped_index_buckets(
+        corpus,
+        hyperplane_bucket_col(F.col(vec_col), planes),
+        id_col,
+        "_cid",
+        max_bucket_size,
+    )
+    eb = F.broadcast(
+        eval_df.select(
+            F.col(eval_id_col).alias("_eid"),
+            hyperplane_bucket_col(F.col(eval_vec_col), planes).alias("bucket"),
+        )
+    )
+    cand = cb.join(eb, on="bucket").select("_cid", "_eid")
+    cvec = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    evec = F.broadcast(
+        eval_df.select(F.col(eval_id_col).alias("_eid"), F.col(eval_vec_col).alias("_evec"))
+    )
+    cos = cosine_col(F.col("_cvec"), F.col("_evec"))
+    scored = (
+        cand.join(cvec, on="_cid")
+        .join(evec, on="_eid")
+        .select(
+            "_cid",
+            F.round(cos, 6).alias("_c6"),
+            (F.round(cos, 9) >= F.lit(threshold)).cast("int").alias("_hit"),
+        )
+        .groupBy("_cid")
+        .agg(
+            F.max("_c6").alias("max_eval_cos"),
+            F.sum("_hit").cast("long").alias("n_eval_hits"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("_cid"))
+        .join(scored, on="_cid", how="left")
+        .select(
+            F.col("_cid").alias(id_col),
+            "max_eval_cos",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )

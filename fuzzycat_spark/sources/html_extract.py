@@ -266,3 +266,57 @@ def page_directives_udf(html: pd.Series) -> pd.DataFrame:
             "canonical": rows.map(lambda r: r[2]),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# page_meta: head-metadata extraction as PURE Catalyst expressions
+# ---------------------------------------------------------------------------
+# The text extractor above drops the <head>; these pull the indexing/
+# description surface out of it (title, meta description, charset, first
+# h1) with whole-stage-codegen regexps — zero UDFs, zero shuffles, the
+# per-page cost a 10^12-page catalog pass can afford. The patterns live
+# in the Java-regex ∩ RE2 common subset so the driver oracle can run the
+# IDENTICAL strings through DuckDB (same two-engine pattern as pii).
+# Semantics are bounded by design: comments are stripped first (a
+# commented-out <title> never wins), the first match of each field is
+# taken, inner whitespace collapses to single spaces, charset is
+# lowercased, entities are NOT decoded (this is the fast catalog path;
+# route pages through extract_text_udf when decoded text is needed),
+# and an absent field is the empty string (regexp_extract's no-match
+# value in both engines).
+
+PM_COMMENT_RE = r"(?s)<!--.*?-->"
+PM_TITLE_RE = r"(?i)<title\b[^>]*>([^<]*)</title>"
+PM_DESC_NAME_FIRST_RE = (
+    r"(?i)<meta\b[^>]*name\s*=\s*[\"']?description\b"
+    r"[^>]*content\s*=\s*[\"']([^\"']*)"
+)
+PM_DESC_CONTENT_FIRST_RE = (
+    r"(?i)<meta\b[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
+    r"[^>]*name\s*=\s*[\"']?description"
+)
+PM_CHARSET_RE = r"(?i)<meta\b[^>]*charset\s*=\s*[\"']?\s*([A-Za-z0-9][A-Za-z0-9._-]*)"
+PM_H1_RE = r"(?i)<h1\b[^>]*>([^<]*)</h1>"
+PM_WS_RE = r"\s+"
+
+
+def page_meta_cols(html):
+    """[title, meta_description, charset, h1] Columns for a binary/string
+    html column — see the block comment above for the exact semantics.
+    `meta_description` coalesces the name-before-content and
+    content-before-name attribute orders (first non-empty wins)."""
+    from pyspark.sql import functions as F
+
+    s = F.regexp_replace(html.cast("string"), PM_COMMENT_RE, "")
+
+    def _clean(c):
+        return F.trim(F.regexp_replace(c, PM_WS_RE, " "))
+
+    d1 = F.regexp_extract(s, PM_DESC_NAME_FIRST_RE, 1)
+    d2 = F.regexp_extract(s, PM_DESC_CONTENT_FIRST_RE, 1)
+    return [
+        _clean(F.regexp_extract(s, PM_TITLE_RE, 1)).alias("title"),
+        _clean(F.when(d1 != "", d1).otherwise(d2)).alias("meta_description"),
+        F.lower(F.regexp_extract(s, PM_CHARSET_RE, 1)).alias("charset"),
+        _clean(F.regexp_extract(s, PM_H1_RE, 1)).alias("h1"),
+    ]

@@ -26,7 +26,9 @@ Usage:
         --input <pages parquet/table/warc glob> --output <shards dir> \
         --checkpoint <resumable stage dir> [--input-format warc] \
         [--mix-budgets '{"en": 2.5e9}'] [--max-per-domain 1000] \
-        [--eval-path <eval parquet>] [--pii] [--strip-common-lines]
+        [--eval-path <eval parquet>] [--pii] [--strip-common-lines] \
+        [--eval-embeddings <eval vecs> --doc-embeddings <corpus vecs> \
+         [--semantic-ann --embedding-dim N]]
 
 Every stage checkpoints via StageCheckpointer (per-partition lineage +
 counters in the manifest); re-running with the same --checkpoint resumes
@@ -221,6 +223,26 @@ def main() -> None:
     p.add_argument("--eval-path", default=None,
                    help="eval-suite parquet (text col) to decontaminate against")
     p.add_argument("--eval-ngram", type=int, default=8)
+    p.add_argument("--eval-embeddings", default=None, metavar="PATH",
+                   help="eval-suite EMBEDDINGS parquet (--eval-id-col + "
+                        "--vec-col) for the semantic screen: drops kept docs "
+                        "whose embedding sits within --semantic-threshold "
+                        "cosine of any eval vector (paraphrased benchmark "
+                        "leakage exact n-grams miss); requires "
+                        "--doc-embeddings")
+    p.add_argument("--doc-embeddings", default=None, metavar="PATH",
+                   help="corpus embeddings parquet keyed by --id-col; docs "
+                        "without an embedding row are kept (screen can only "
+                        "judge embedded docs)")
+    p.add_argument("--eval-id-col", default="eval_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--semantic-threshold", type=float, default=0.9)
+    p.add_argument("--semantic-ann", action="store_true",
+                   help="use the LSH-bucketed scale path (capped corpus-side "
+                        "hyperplane buckets) instead of the exact broadcast "
+                        "screen; requires --embedding-dim")
+    p.add_argument("--embedding-dim", type=int, default=0)
+    p.add_argument("--semantic-planes", type=int, default=8)
     p.add_argument("--max-per-domain", type=int, default=0,
                    help="0 = no per-domain cap")
     p.add_argument("--mix-budgets", default=None,
@@ -262,6 +284,12 @@ def main() -> None:
     args = p.parse_args()
     if args.flatten_budget > 0 and args.mix_budgets:
         p.error("--flatten-budget and --mix-budgets are mutually exclusive")
+    if args.eval_embeddings and not args.doc_embeddings:
+        p.error("--eval-embeddings requires --doc-embeddings (the corpus "
+                "side of the cosine screen)")
+    if args.semantic_ann and args.embedding_dim <= 0:
+        p.error("--semantic-ann requires --embedding-dim (hyperplane "
+                "generation is dimension-specific)")
     if args.reference_bands and not args.reference_corpus:
         p.error("--reference-bands only takes effect with "
                 "--reference-corpus (the screen needs the reference "
@@ -631,6 +659,36 @@ def main() -> None:
             return docs.join(clean, on=idc, how="left_semi")
 
         docs = ck.stage("decontaminated", decontaminated)
+
+    if args.eval_embeddings:
+        from fuzzycat_spark.operators.decontaminate import (
+            semantic_contamination,
+            semantic_contamination_ann,
+        )
+
+        def semantic_clean() -> DataFrame:
+            emb = spark.read.parquet(args.doc_embeddings)
+            ev = spark.read.parquet(args.eval_embeddings)
+            # judge only docs still alive AND embedded; unembedded docs
+            # pass through (the screen can't see them — counted below)
+            corpus_emb = emb.join(docs.select(idc), on=idc, how="left_semi")
+            if args.semantic_ann:
+                verdict = semantic_contamination_ann(
+                    corpus_emb, ev, id_col=idc, vec_col=args.vec_col,
+                    eval_id_col=args.eval_id_col,
+                    threshold=args.semantic_threshold,
+                    n_planes=args.semantic_planes, dim=args.embedding_dim,
+                )
+            else:
+                verdict = semantic_contamination(
+                    corpus_emb, ev, id_col=idc, vec_col=args.vec_col,
+                    eval_id_col=args.eval_id_col,
+                    threshold=args.semantic_threshold,
+                )
+            dirty = verdict.filter(F.col("contaminated")).select(idc)
+            return docs.join(dirty, on=idc, how="left_anti")
+
+        docs = ck.stage("semantic_clean", semantic_clean)
 
     if args.max_per_domain > 0:
         from fuzzycat_spark.functions.urls import surt_host

@@ -985,3 +985,78 @@ def test_train_screen_runs_before_side_artifacts(
     # --seen-bloom crawl must not treat fresh copies as already seen
     assert all(member[u] for u in kept)
     assert not any(member[u] for u in screened)
+
+
+def test_semantic_screen_arm_drops_eval_near_dup(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--eval-embeddings/--doc-embeddings: a kept doc whose embedding
+    matches an eval vector at cosine ~1 is dropped by the semantic
+    screen; unembedded docs pass through untouched (the screen can only
+    judge embedded docs); the ANN arm without --embedding-dim is
+    rejected at parse time."""
+    import numpy as np
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rng = np.random.default_rng(7)
+    docs = [
+        (f"https://sem.example/p{i}",
+         f"semantic screen corpus document number {i} with unique words "
+         f"alpha{i} beta{i} gamma{i}")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(docs, "url string, text string").write.parquet(src)
+
+    # embed only p0..p7; p0 IS the eval vector, the rest are random units
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    vecs = {f"https://sem.example/p{i}": unit(rng.normal(size=16))
+            for i in range(8)}
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(u, v) for u, v in vecs.items()], "url string, embedding array<float>"
+    ).write.parquet(emb_dir)
+    ev_dir = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("e0", vecs["https://sem.example/p0"])],
+        "eval_id string, embedding array<float>",
+    ).write.parquet(ev_dir)
+
+    argv = [
+        "--input", src, "--output", str(tmp_path / "o"),
+        "--checkpoint", str(tmp_path / "c"),
+        "--strategies", "exact",
+        "--eval-embeddings", ev_dir, "--doc-embeddings", emb_dir,
+        "--semantic-threshold", "0.95",
+    ]
+    rec = _run(argv, capsys)
+    assert "semantic_clean" in rec["stages"]
+    kept = {r.url for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert "https://sem.example/p0" not in kept
+    # every other doc survives: random 16-dim units stay under 0.95,
+    # and the four UNembedded docs p8..p11 must pass through
+    assert {f"https://sem.example/p{i}" for i in range(1, 12)} <= kept
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        _run(argv + ["--semantic-ann"], capsys)  # no --embedding-dim
+    with _pytest.raises(SystemExit):
+        _run(["--input", src, "--output", str(tmp_path / "o2"),
+              "--checkpoint", str(tmp_path / "c2"),
+              "--eval-embeddings", ev_dir], capsys)  # no --doc-embeddings
+
+    # the ANN arm with dim given agrees on this corpus
+    argv2 = [
+        "--input", src, "--output", str(tmp_path / "o3"),
+        "--checkpoint", str(tmp_path / "c3"),
+        "--strategies", "exact",
+        "--eval-embeddings", ev_dir, "--doc-embeddings", emb_dir,
+        "--semantic-threshold", "0.95",
+        "--semantic-ann", "--embedding-dim", "16",
+    ]
+    _run(argv2, capsys)
+    kept3 = {r.url for r in spark.read.parquet(str(tmp_path / "o3")).collect()}
+    assert "https://sem.example/p0" not in kept3

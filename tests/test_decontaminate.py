@@ -167,3 +167,60 @@ def test_train_overlap_screen_flags_train_side_only(spark):
     audit = {r.doc_id for r in
              cross_split_contamination(docs, n=5).filter("contaminated").collect()}
     assert audit == {1}  # the held-out twin of the flagged train doc
+
+
+_PLANTED = "/root/repo/fixtures/embeddings_planted.parquet"
+_SEMCON_EVAL = (0, 4, 8, 12, 16, 20)
+
+
+def _semcon_sides(spark):
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(_PLANTED)
+    ev = e.filter(F.col("vec_id").isin(*_SEMCON_EVAL))
+    corpus = e.filter(~F.col("vec_id").isin(*_SEMCON_EVAL))
+    return corpus, ev
+
+
+def test_semantic_contamination_brute_flags_families_and_megas(spark):
+    """Brute screen at 0.9 over the planted fixture: every family
+    sibling of an eval member and every corpus copy of the eval'd mega
+    vector flags; fillers stay clean with max cosine well below 0.9."""
+    from fuzzycat_spark.operators.decontaminate import semantic_contamination
+
+    corpus, ev = _semcon_sides(spark)
+    rows = {r.vec_id: r for r in
+            semantic_contamination(corpus, ev, threshold=0.9).collect()}
+    assert len(rows) == 270 - len(_SEMCON_EVAL)
+    flagged = {i for i, r in rows.items() if r.contaminated}
+    family_sibs = {i for i in range(20) if i not in _SEMCON_EVAL}
+    megas = set(range(21, 230))
+    assert flagged == family_sibs | megas
+    for i in megas:
+        assert rows[i].max_eval_cos == 1.0 and rows[i].n_eval_hits == 1
+    for i in range(230, 270):  # fillers
+        assert rows[i].max_eval_cos < 0.6 and rows[i].n_eval_hits == 0
+
+
+def test_semantic_contamination_ann_cap_excludes_mega_bucket(spark):
+    """The bucketed scale path agrees with brute on the family siblings
+    but EXCLUDES the 209-copy mega bucket (> max_bucket_size=200): the
+    divergence is exactly those 209 rows, with NULL max_eval_cos (no
+    same-bucket candidate survived the cap)."""
+    from fuzzycat_spark.operators.decontaminate import (
+        semantic_contamination_ann,
+    )
+
+    corpus, ev = _semcon_sides(spark)
+    rows = {r.vec_id: r for r in semantic_contamination_ann(
+        corpus, ev, threshold=0.9, n_planes=8, dim=64, max_bucket_size=200,
+    ).collect()}
+    flagged = {i for i, r in rows.items() if r.contaminated}
+    assert flagged == {i for i in range(20) if i not in _SEMCON_EVAL}
+    for i in range(21, 230):
+        assert rows[i].max_eval_cos is None and rows[i].n_eval_hits == 0
+    # raising the cap above the mega bucket restores brute behavior
+    rows2 = {r.vec_id: r for r in semantic_contamination_ann(
+        corpus, ev, threshold=0.9, n_planes=8, dim=64, max_bucket_size=250,
+    ).collect()}
+    assert all(rows2[i].contaminated for i in range(21, 230))

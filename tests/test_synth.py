@@ -202,3 +202,30 @@ def test_page_directives_hardening():
     assert page_directives(page + "x" * 1000 + "-->") == (
         False, False, None,
     )
+
+
+def test_page_meta_cols_fixture_values_and_plan(spark):
+    """page_meta_cols over the committed fixture: commented-out titles
+    never win, both description attribute orders are found, charset is
+    lowercased from both <meta charset> and legacy http-equiv forms,
+    whitespace collapses — and the plan is pure codegen (no UDF, no
+    exchange): this is the 10^12-page catalog fast path."""
+    from fuzzycat_spark.sources.html_extract import page_meta_cols
+
+    df = spark.read.parquet("/root/repo/fixtures/html_docs.parquet").select(
+        "doc_id", *page_meta_cols(F.col("html"))
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[18].title == "Deep Sea Mining — an Overview"
+    assert rows[18].meta_description == (
+        "Impacts of deep sea mining on benthic fauna."
+    )
+    assert rows[18].charset == "utf-8" and rows[18].h1 == "Deep Sea Mining"
+    assert rows[19].meta_description == "Reversed attr order still found"
+    assert rows[19].charset == "iso-8859-1"
+    assert rows[20].charset == "windows-1252" and rows[20].h1 == ""
+    assert rows[21].title == "Real Title"  # ghost title was commented out
+    assert rows[22] == (22, "", "", "", "")
+    assert rows[23].title == "Spaced Title"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "pythonUDF" not in plan.lower()

@@ -68,6 +68,31 @@ PAGES: list[str] = [
     # first canonical wins over a later conflicting one
     "<link href=/first rel=canonical><link rel=canonical href=/second>"
     "<p>c</p>",
+    # --- page_meta rows (title / meta description / charset / h1) ---
+    # full head: attributed title, name-first description, charset meta
+    '<html><head><meta charset="utf-8">'
+    '<title id="t">Deep Sea Mining — an Overview</title>'
+    '<meta name="description" content="Impacts of deep sea mining '
+    'on benthic fauna.">'
+    '</head><body><h1 class="hero">Deep Sea Mining</h1>'
+    "<p>body text</p></body></html>",
+    # reversed attr order on the description; unquoted charset value
+    "<head><meta content='Reversed attr order still found' "
+    "name='description'><meta charset=iso-8859-1>"
+    "<title>Reversed</title></head><body><h1>Plain H1</h1></body>",
+    # legacy http-equiv charset declaration; no h1
+    '<head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=Windows-1252">'
+    "<title>Legacy charset page</title></head><p>x</p>",
+    # commented-out title must NOT win over the real one after it
+    "<!-- <title>ghost title</title> --><title>Real Title</title>"
+    "<p>y</p>",
+    # no head metadata at all -> every meta field empty
+    "<body><p>no head here</p></body>",
+    # uppercase tags + attrs, whitespace soup inside the title
+    "<HTML><HEAD><TITLE>\n  Spaced   Title  \n</TITLE>"
+    '<META NAME="DESCRIPTION" CONTENT="Upper case attrs">'
+    "</HEAD><BODY><H1>UPPER</H1></BODY></HTML>",
 ]
 
 
