@@ -3135,6 +3135,127 @@ SELECT doc_id,
 FROM h"""
 
 
+_ROBOTS_FIXTURE = "/root/repo/fixtures/robots_docs.parquet"
+_ROBOTS_PAGES_FIXTURE = "/root/repo/fixtures/robots_pages.parquet"
+
+
+def q_robots_rules(spark, sf_dir):
+    """Site-level opt-out parsing (operators/robots.py robots_rules):
+    User-agent:* groups with UA stacking, comment/CRLF normalization,
+    wildcard + pre-group + empty-value rule exclusion — native line
+    explode + two same-partitioning windows, hosts-sized shuffle only.
+    The fixture plants every branch (tools/make_robots_fixture.py)."""
+    from fuzzycat_spark.operators.robots import robots_rules
+
+    return robots_rules(spark.read.parquet(_ROBOTS_FIXTURE))
+
+
+def q_robots_decisions(spark, sf_dir):
+    """Per-URL robots allow/deny (robots_decisions): longest-prefix
+    match, Allow wins length ties, default-allow for unmatched URLs and
+    robots-less hosts; `rule_path` NULL distinguishes 'allowed by rule'
+    from 'allowed by default'. Pages join rules on the SURT host key —
+    an equi-join plus prefix post-filter, one per-URL window."""
+    from fuzzycat_spark.operators.robots import (
+        robots_decisions,
+        robots_rules,
+    )
+
+    rules = robots_rules(spark.read.parquet(_ROBOTS_FIXTURE))
+    return robots_decisions(
+        spark.read.parquet(_ROBOTS_PAGES_FIXTURE), rules
+    )
+
+
+def _robots_surt_sql(raw: str) -> str:
+    h1 = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract(trim({raw}), "
+        f"{_HOST_HRE}, 1)), '^www\\.', ''), ':(80|443)$', '')"
+    )
+    return _surt_host_col_sql(h1)
+
+
+def _robots_rules_cte() -> str:
+    from fuzzycat_spark.operators import robots as rb
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    return f"""
+rlines AS (
+  SELECT host, unnest(generate_series(1, len(ls))) AS pos, unnest(ls) AS raw
+  FROM (
+    SELECT {_robots_surt_sql("host")} AS host,
+           string_split(robots_txt, chr(10)) AS ls
+    FROM '{_ROBOTS_FIXTURE}'
+  )
+),
+rfeat AS (
+  SELECT host, pos,
+    lower(regexp_extract(line, {q(rb.UA_RE)}, 1)) AS ua,
+    lower(regexp_extract(line, {q(rb.DIRECTIVE_RE)}, 1)) AS directive,
+    regexp_extract(line, {q(rb.RULE_PATH_RE)}, 1) AS path
+  FROM (
+    SELECT host, pos,
+      trim(regexp_replace(regexp_replace(raw, chr(13), '', 'g'),
+                          '#.*$', '')) AS line
+    FROM rlines
+  )
+),
+rlag AS (
+  SELECT host, pos, ua, directive, path,
+    CASE WHEN ua <> '' AND NOT coalesce(
+          lag(ua <> '') OVER (PARTITION BY host ORDER BY pos), FALSE)
+        THEN 1 ELSE 0 END AS block_start
+  FROM rfeat
+),
+rgrp AS (
+  SELECT host, pos, ua, directive, path,
+    sum(block_start) OVER (PARTITION BY host ORDER BY pos) AS gid
+  FROM rlag
+),
+rstar AS (SELECT DISTINCT host, gid FROM rgrp WHERE ua = '*'),
+rrules AS (
+  SELECT DISTINCT g.host, g.path, g.directive = 'allow' AS allow,
+         CAST(length(g.path) AS BIGINT) AS specificity
+  FROM rgrp g JOIN rstar s ON g.host = s.host AND g.gid = s.gid
+  WHERE g.directive <> '' AND g.gid > 0 AND starts_with(g.path, '/')
+    AND NOT contains(g.path, '*') AND NOT contains(g.path, '$')
+)"""
+
+
+def _robots_rules_sql() -> str:
+    return f"""
+WITH {_robots_rules_cte()}
+SELECT host, path, allow, specificity FROM rrules"""
+
+
+def _robots_decisions_sql() -> str:
+    from fuzzycat_spark.operators import robots as rb
+
+    path_re = "'" + rb._PATH_RE.replace("'", "''") + "'"
+    return f"""
+WITH {_robots_rules_cte()},
+rpages AS (
+  SELECT url, {_robots_surt_sql("url")} AS host,
+    CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+  FROM (
+    SELECT url, regexp_extract(trim(url), {path_re}, 1) AS p0
+    FROM '{_ROBOTS_PAGES_FIXTURE}'
+  )
+),
+rmatch AS (
+  SELECT p.url, r.path AS rule_path, r.allow,
+    row_number() OVER (PARTITION BY p.url
+      ORDER BY r.specificity DESC, r.allow DESC, r.path ASC) AS rk
+  FROM rpages p
+  JOIN rrules r ON p.host = r.host AND starts_with(p.path, r.path)
+)
+SELECT p.url, coalesce(w.allow, TRUE) AS allowed, w.rule_path
+FROM rpages p
+LEFT JOIN (SELECT * FROM rmatch WHERE rk = 1) w ON p.url = w.url"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction + per-class counts (functions/pii.py): email/IPv4/
     phone as ONE whole-stage-codegen regexp chain — zero shuffles, zero
@@ -5236,6 +5357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": q_semantic_contamination,
         "semantic_contamination_ann": q_semantic_contamination_ann,
         "page_meta": q_page_meta,
+        "robots_rules": q_robots_rules,
+        "robots_decisions": q_robots_decisions,
         "lang_id_script": q_lang_id_script,
         "nysiis_pairs": q_nysiis_pairs,
         "lev_pairs": q_lev_pairs,
@@ -5458,6 +5581,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_contamination": _semantic_contamination_sql(),
         "semantic_contamination_ann": _semantic_contamination_ann_sql(),
         "page_meta": _page_meta_sql(),
+        "robots_rules": _robots_rules_sql(),
+        "robots_decisions": _robots_decisions_sql(),
         "lang_id_script": _lang_id_script_sql(),
         "nysiis_pairs": _nysiis_pairs_sql(),
         "lev_pairs": _lev_pairs_sql(),

@@ -261,6 +261,12 @@ def main() -> None:
                         "declared ('exact', CANONICAL_LINK) edges — "
                         "AMP/print/session variants cluster with zero "
                         "text comparison")
+    p.add_argument("--robots", default=None, metavar="PATH",
+                   help="robots.txt parquet (host, robots_txt): drop pages "
+                        "whose URL a User-agent:* rule disallows "
+                        "(longest-prefix match, Allow wins ties) before any "
+                        "other stage — the site-level opt-out next to "
+                        "--honor-noindex's in-page one")
     p.add_argument("--honor-noindex", action="store_true",
                    help="drop pages whose <meta name=robots> declares "
                         "noindex (or none) — the publisher's opt-out; "
@@ -343,6 +349,22 @@ def main() -> None:
     # 1. ingest + admission (+ optional hygiene) — one checkpointed table
     def filtered() -> DataFrame:
         raw = ingest()
+        if args.robots:
+            from fuzzycat_spark.operators.robots import (
+                robots_decisions,
+                robots_rules,
+            )
+
+            # the site-level opt-out screens FIRST, before even the
+            # in-page directive scan: a disallowed URL must not reach
+            # any downstream stage, score, or sketch
+            rules = robots_rules(spark.read.parquet(args.robots))
+            allowed = (
+                robots_decisions(raw.select(idc), rules, url_col=idc)
+                .filter(F.col("allowed"))
+                .select(F.col("url").alias(idc))
+            )
+            raw = raw.join(allowed, on=idc, how="left_semi")
         if args.honor_noindex or args.use_canonical:
             from fuzzycat_spark.sources.html_extract import (
                 page_directives_udf,

@@ -1060,3 +1060,39 @@ def test_semantic_screen_arm_drops_eval_near_dup(
     _run(argv2, capsys)
     kept3 = {r.url for r in spark.read.parquet(str(tmp_path / "o3")).collect()}
     assert "https://sem.example/p0" not in kept3
+
+
+def test_robots_screen_arm_drops_disallowed_urls(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--robots: a URL a User-agent:* rule disallows leaves before any
+    other stage; allowed siblings and robots-less hosts flow through."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    base = "the quick brown fox jumps over the lazy dog item number"
+    docs = (
+        [(f"https://rb.example/keep/{i}", f"{base} keep {i}") for i in range(4)]
+        + [(f"https://rb.example/private/{i}", f"{base} priv {i}")
+           for i in range(3)]
+        + [(f"https://other.example/x{i}", f"{base} other {i}")
+           for i in range(2)]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(docs, "url string, text string").write.parquet(src)
+    robots_dir = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("rb.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_dir)
+
+    rec = _run(
+        ["--input", src, "--output", str(tmp_path / "o"),
+         "--checkpoint", str(tmp_path / "c"),
+         "--strategies", "exact", "--min-tokens", "3",
+         "--robots", robots_dir],
+        capsys,
+    )
+    kept = {r.url for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert not [u for u in kept if "/private/" in u]
+    assert {f"https://rb.example/keep/{i}" for i in range(4)} <= kept
+    assert {f"https://other.example/x{i}" for i in range(2)} <= kept
+    assert rec["docs_out"] == 6
