@@ -299,3 +299,35 @@ def test_pagerank_shuffles_are_host_int64_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "html" not in line and "dst_url" not in line, line
+
+
+def test_semantic_contamination_brute_is_broadcast_no_shuffle_of_corpus(spark):
+    """The brute semantic screen must evaluate |corpus| x |eval| cosines
+    via a BROADCAST nested-loop join — the corpus side never shuffles
+    vectors, and no Python UDF appears (cosine is zip_with/aggregate)."""
+    from fuzzycat_spark.operators.decontaminate import semantic_contamination
+
+    e = spark.read.parquet("/root/repo/fixtures/embeddings_planted.parquet")
+    out = semantic_contamination(
+        e.filter("vec_id >= 20"), e.filter("vec_id < 20"), threshold=0.9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_robots_rules_single_hosts_shuffle_no_udf(spark):
+    """robots.txt parsing is native Catalyst end-to-end: the two group-
+    tracking windows share ONE (host) exchange and no Python UDF ever
+    touches a line."""
+    from fuzzycat_spark.operators.robots import robots_rules
+
+    rules = robots_rules(
+        spark.read.parquet("/root/repo/fixtures/robots_docs.parquet")
+    )
+    plan = rules._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan.lower()
+    # lag + running sum share the (host, pos-sorted) partitioning: one
+    # hashpartitioning(host) exchange feeds both windows; the trailing
+    # exchanges belong to the distinct aggregate, not the line pass
+    assert plan.count("Exchange hashpartitioning(host") <= 2
