@@ -3659,6 +3659,38 @@ def _training_shards_sql() -> str:
             FROM keyed"""
 
 
+def q_jsonl_manifest(spark, sf_dir):
+    """Per-shard integrity manifest of the loader-facing JSONL export
+    (operators/sharding.py jsonl_shard_manifest): (shard, n_docs,
+    n_chars, content_h) where content_h is the bit_xor of a 48-bit md5
+    over (id, 0x01, text) — order-free (identical under any task
+    reduction) and engine-portable. One partial-aggregated shuffle of
+    n_shards groups; text never moves. The file layout itself (one
+    deterministic gzip JSONL file per shard, byte-stable across reruns)
+    is pinned by tests/test_jsonl_export.py; this gate pins the
+    manifest every receiver verifies those files against."""
+    from fuzzycat_spark.operators.sharding import jsonl_shard_manifest
+
+    return jsonl_shard_manifest(
+        _docs(spark, sf_dir), _SHARD_N, seed=_SHARD_SEED
+    )
+
+
+def _jsonl_manifest_sql() -> str:
+    h = f"md5(doc_id::VARCHAR || ':{_SHARD_SEED}')"
+    return f"""
+            WITH keyed AS (
+              SELECT CAST((('0x' || substr({h}, 1, 12))::BIGINT % {_SHARD_N}) AS INT) AS shard,
+                     length(text)::BIGINT AS nc,
+                     ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text), 1, 12))::BIGINT AS h
+              FROM documents
+            )
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   bit_xor(h) AS content_h
+            FROM keyed GROUP BY shard"""
+
+
 # dup-span removal: k=5 at gate scale so the synthetic corpus's repeated
 # passages actually trip it (57-71 docs of 500 carry a duplicated 5-gram;
 # production default is k=50 per Lee et al.)
@@ -5323,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "length_quantiles": q_length_quantiles,
         "training_shards": q_training_shards,
+        "jsonl_manifest": q_jsonl_manifest,
         "dup_spans": q_dup_spans,
         "packed_sequences": q_packed_sequences,
         "vocab_top": q_vocab_top,
@@ -5547,6 +5580,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _temperature_mix_sql(),
         "length_quantiles": _length_quantiles_sql(),
         "training_shards": _training_shards_sql(),
+        "jsonl_manifest": _jsonl_manifest_sql(),
         "dup_spans": _dup_spans_sql(),
         "packed_sequences": _packed_sequences_sql(),
         "vocab_top": _vocab_sql(1, _VOCAB_K, 1),

@@ -135,3 +135,96 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    compression: str = "gzip",
+    extra_cols: tuple[str, ...] = (),
+) -> None:
+    """Write `<path>/shard=K/` compressed JSONL — the loader-facing twin
+    of `write_training_shards` (training readers and tokenizer pipelines
+    stream line-delimited JSON, not parquet). Same reproducible layout:
+    shard and within-shard order are the two 48-bit md5 fields, so the
+    parquet shards, the packing layout (`pack_shard_sequences`) and this
+    export all agree row-for-row on placement AND order.
+
+    Scale shape: ONE shuffle (repartition by shard id), sort within
+    partition only. Each shard's rows land in exactly one task (integer
+    hash of the shard id), and `partitionBy` splits co-hosted shards into
+    their own directories — so every `shard=K/` holds exactly ONE file
+    whose bytes are a pure function of (rows, seed): rerunning the export
+    reproduces identical files, which is what makes shard md5s usable as
+    a transfer/integrity manifest at 10^12 docs. Compression defaults to
+    gzip (the one codec every downstream JSONL reader speaks; this
+    Spark's text writer has no zstd codec — parquet artifacts keep zstd).
+    Per-file gzip is stream-decodable; shards are the parallelism unit,
+    so non-splittable compressed files cost nothing here.
+    """
+    shard, order_key = shard_columns(id_col, n_shards, seed)
+    cols = [id_col, text_col, *extra_cols]
+    (
+        df.withColumn("shard", shard)
+        .withColumn("_order_key", order_key)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_order_key", id_col)
+        .select(
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+            "shard",
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", compression)
+        .text(path)
+    )
+
+
+def jsonl_shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-shard integrity manifest for `export_jsonl_shards`: (shard,
+    n_docs, n_chars, content_h). content_h is the bit_xor of a 48-bit
+    md5 over (id, 0x01, text) — order-free, so it is identical however
+    tasks reduce it, and engine-portable (the oracle recomputes it in
+    DuckDB). One partial-aggregated shuffle of n_shards groups; the
+    text never moves (hash + length are computed inside the scan).
+    Receivers verify a shard by recomputing the xor over the lines they
+    decoded — any dropped/duplicated/corrupted row flips it."""
+    shard, _ = shard_columns(id_col, n_shards, seed)
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("\x01"),
+                    F.col(text_col),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.length(text_col).cast("long").alias("_nc"),
+            row_h.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.bit_xor("_h").alias("content_h"),
+        )
+    )

@@ -287,6 +287,12 @@ def main() -> None:
                         "content); 0 = off, requires --splits")
     p.add_argument("--n-shards", type=int, default=64)
     p.add_argument("--shard-seed", type=int, default=0)
+    p.add_argument("--export-jsonl", metavar="DIR", default=None,
+                   help="also emit the kept corpus as compressed JSONL "
+                        "shards (loader-facing twin of the parquet "
+                        "shards; same seed/placement/order) plus a "
+                        "DIR/_manifest parquet of per-shard integrity "
+                        "hashes")
     args = p.parse_args()
     if args.flatten_budget > 0 and args.mix_budgets:
         p.error("--flatten-budget and --mix-budgets are mutually exclusive")
@@ -897,6 +903,22 @@ def main() -> None:
     write_training_shards(
         docs, args.output, args.n_shards, id_col=idc, seed=args.shard_seed
     )
+    if args.export_jsonl:
+        from fuzzycat_spark.operators.sharding import (
+            export_jsonl_shards,
+            jsonl_shard_manifest,
+        )
+
+        export_jsonl_shards(
+            docs, args.export_jsonl, args.n_shards,
+            id_col=idc, text_col=txt, seed=args.shard_seed,
+        )
+        jsonl_shard_manifest(
+            docs, args.n_shards, id_col=idc, text_col=txt,
+            seed=args.shard_seed,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            args.export_jsonl.rstrip("/") + "/_manifest"
+        )
     n_out = spark.read.parquet(args.output).count()
     print(json.dumps({
         "stages": list(ck._manifest),

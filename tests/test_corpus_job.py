@@ -1096,3 +1096,46 @@ def test_robots_screen_arm_drops_disallowed_urls(
     assert {f"https://rb.example/keep/{i}" for i in range(4)} <= kept
     assert {f"https://other.example/x{i}" for i in range(2)} <= kept
     assert rec["docs_out"] == 6
+
+
+def test_export_jsonl_arm(spark, corpus_dir, tmp_path, capsys, monkeypatch):
+    """--export-jsonl emits the loader-facing gzip JSONL twin of the
+    parquet shards plus a _manifest whose per-shard xor matches a
+    recompute over the decoded lines."""
+    import glob
+    import gzip
+    import hashlib
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    jz = str(tmp_path / "jsonl")
+    rec = _run(
+        ["--input", corpus_dir, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact,slug", "--n-shards", "3",
+         "--export-jsonl", jz],
+        capsys,
+    )
+    assert rec["docs_out"] > 0
+    man = {
+        r["shard"]: (r["n_docs"], r["content_h"])
+        for r in spark.read.parquet(jz + "/_manifest").collect()
+    }
+    # the jsonl rows ARE the kept corpus, shard by shard
+    kept_ids = {r["url"] for r in spark.read.parquet(out_dir).select("url").collect()}
+    seen_ids, n_checked = set(), 0
+    for d in glob.glob(jz + "/shard=*"):
+        shard = int(d.rsplit("=", 1)[1])
+        xor, n = 0, 0
+        for f in glob.glob(d + "/part-*"):
+            if f.endswith(".crc"):
+                continue
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for ln in fh:
+                    r = json.loads(ln)
+                    seen_ids.add(r["url"])
+                    payload = (r["url"] + "\x01" + r["text"]).encode("utf-8")
+                    xor ^= int(hashlib.md5(payload).hexdigest()[:12], 16)
+                    n += 1
+        assert man[shard] == (n, xor)
+        n_checked += n
+    assert seen_ids == kept_ids and n_checked == rec["docs_out"]
