@@ -2315,6 +2315,36 @@ _CRAWL_DELTA_SQL = """
     FROM old o FULL OUTER JOIN new n ON o.key = n.key"""
 
 
+def q_content_moves(spark, sf_dir):
+    """Moved-content detection (operators/delta.py content_moves): the
+    crawl_delta fixture's doc_id ≡ 11 (mod 45) pages are BOTH removed
+    (mod-5 drop) and re-added under a shifted URL with identical text —
+    a URL move a key-based delta misreads as destroy+create. Exact
+    duplicate families add hashes with several gone/added keys, so the
+    min-key representative and both counts are exercised non-trivially.
+    Two partial-agg groupBys over the thin removed/added tails + one
+    hash equi join; page text never reaches the operator."""
+    from fuzzycat_spark.operators.delta import content_moves
+
+    return content_moves(q_crawl_delta(spark, sf_dir))
+
+
+def _content_moves_sql() -> str:
+    return f"""
+        WITH delta AS ({_CRAWL_DELTA_SQL}),
+        gone AS (
+          SELECT old_hash AS content_h, min(key) AS old_key,
+                 CAST(COUNT(*) AS BIGINT) AS n_old_gone
+          FROM delta WHERE status = 'removed' GROUP BY old_hash),
+        came AS (
+          SELECT new_hash AS content_h, min(key) AS new_key,
+                 CAST(COUNT(*) AS BIGINT) AS n_new_added
+          FROM delta WHERE status = 'added' GROUP BY new_hash)
+        SELECT g.content_h, g.old_key, c.new_key, g.n_old_gone,
+               c.n_new_added
+        FROM gone g JOIN came c ON g.content_h = c.content_h"""
+
+
 def q_host_components(spark, sf_dir):
     """Site clusters: connected components over the UNDIRECTED host link
     graph (operators/linkgraph.host_graph → operators/components) —
@@ -5333,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "image_dup_pairs": q_image_dup_pairs,
         "crawl_delta": q_crawl_delta,
+        "content_moves": q_content_moves,
         "split_assign": q_split_assign,
         "split_leakage_safe": q_split_leakage_safe,
         "split_contamination": q_split_contamination,
@@ -5638,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE kind = 'image'""",
         "image_dup_pairs": _image_dup_pairs_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
+        "content_moves": _content_moves_sql(),
         "split_assign": _split_assign_sql(),
         "split_leakage_safe": _split_leakage_safe_sql(),
         "split_contamination": _split_contamination_sql(),

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from fuzzycat_spark.functions.hashing import content_hash
 
-__all__ = ["crawl_delta"]
+__all__ = ["crawl_delta", "content_moves"]
 
 
 def crawl_delta(
@@ -82,4 +82,46 @@ def crawl_delta(
         .alias("status"),
         "old_hash",
         "new_hash",
+    )
+
+
+def content_moves(delta: DataFrame) -> DataFrame:
+    """Moved content between the two snapshots of a `crawl_delta`:
+    content whose md5 left at least one URL ('removed') AND appeared at
+    at least one new URL ('added') — the recrawl case URL-keyed deltas
+    misread as destroy+create. A downstream pipeline lets the new URL
+    inherit the old page's cluster/admission instead of re-running
+    extraction + dedup on it.
+
+    One row per moved content hash: (content_h, old_key, new_key,
+    n_old_gone, n_new_added) with the lexicographically-smallest key on
+    each side as the deterministic representative. Content that ALSO
+    still lives unchanged at a third URL still reports — the signal is
+    "this added URL carries known bytes", which holds regardless.
+
+    Scale shape: two filters over the already-reduced delta rows (key +
+    two md5s — text never reaches this operator), two partial-aggregated
+    groupBys on the hash, one equi join of the (small) removed side
+    against the (small) added side. Nothing here is corpus-sized on a
+    weekly recrawl, where added/removed are the thin tails."""
+    gone = (
+        delta.where(F.col("status") == "removed")
+        .select(F.col("old_hash").alias("content_h"), "key")
+        .groupBy("content_h")
+        .agg(
+            F.min("key").alias("old_key"),
+            F.count("*").cast("long").alias("n_old_gone"),
+        )
+    )
+    came = (
+        delta.where(F.col("status") == "added")
+        .select(F.col("new_hash").alias("content_h"), "key")
+        .groupBy("content_h")
+        .agg(
+            F.min("key").alias("new_key"),
+            F.count("*").cast("long").alias("n_new_added"),
+        )
+    )
+    return gone.join(came, "content_h").select(
+        "content_h", "old_key", "new_key", "n_old_gone", "n_new_added"
     )

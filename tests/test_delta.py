@@ -88,3 +88,34 @@ def test_duplicate_keys_collapse_instead_of_multiplying(spark):
     assert len(rows) == 3  # one row per key, never |old_k| x |new_k|
     got = {r.key: r.status for r in rows}
     assert got == {"a": "unchanged", "b": "unchanged", "c": "changed"}
+
+
+def test_content_moves_detects_url_move(spark):
+    from fuzzycat_spark.operators.delta import content_moves
+
+    old = _pages(spark, [("a", "stable"), ("m", "payload")])
+    new = _pages(spark, [("a", "stable"), ("z", "payload")])
+    rows = content_moves(crawl_delta(old, new)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.old_key, r.new_key, r.n_old_gone, r.n_new_added) == ("m", "z", 1, 1)
+
+
+def test_content_moves_min_key_and_counts(spark):
+    from fuzzycat_spark.operators.delta import content_moves
+
+    # two old copies vanish, three new copies appear; representatives
+    # are the smallest key on each side
+    old = _pages(spark, [("m2", "dup"), ("m1", "dup")])
+    new = _pages(spark, [("n3", "dup"), ("n1", "dup"), ("n2", "dup")])
+    r = content_moves(crawl_delta(old, new)).collect()[0]
+    assert (r.old_key, r.new_key, r.n_old_gone, r.n_new_added) == ("m1", "n1", 2, 3)
+
+
+def test_content_moves_ignores_changed_and_pure_adds(spark):
+    from fuzzycat_spark.operators.delta import content_moves
+
+    old = _pages(spark, [("a", "v1"), ("b", "gone-forever")])
+    new = _pages(spark, [("a", "v2"), ("c", "brand-new")])
+    # b removed, c added, but hashes differ -> no move rows
+    assert content_moves(crawl_delta(old, new)).count() == 0
