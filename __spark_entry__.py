@@ -985,6 +985,90 @@ def q_url_dup_pairs(spark, sf_dir):
     )
 
 
+_PARAM_FIXTURE = "/root/repo/fixtures/param_docs.parquet"
+
+
+def q_tracking_params(spark, sf_dir):
+    """Data-driven tracking-param mining (functions/urls.py
+    mine_tracking_params): a query param is tracking-like on a host when
+    stripping it merges distinct URLs over IDENTICAL content (session
+    ids), and not when the merge changes the bytes (pagination) or never
+    happens (real query params). The fixture plants all five verdicts:
+    sid (mixed evidence, rate ~0.86 → tracking), page (dirty merges),
+    q (no merges), flag (clean but support 1), once (clean but support 2
+    < 3). Replaces hand-curation of the reference's literal param
+    blacklists (fuzzycat/data.py) with corpus evidence."""
+    from fuzzycat_spark.functions.urls import mine_tracking_params
+
+    return mine_tracking_params(spark.read.parquet(_PARAM_FIXTURE))
+
+
+def _tracking_params_sql() -> str:
+    host = _surt_host_col_sql("h1")
+    return rf"""
+WITH parsed0 AS (
+  SELECT
+    lower(regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)) AS host0,
+    regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(t, '^[^?#]*\?([^#]*)', 1) AS query0,
+    md5(text) AS h
+  FROM (SELECT trim(url) AS t, text FROM '{_PARAM_FIXTURE}')),
+parsed AS (
+  SELECT {host} AS host,
+    {host} || ')' ||
+      regexp_replace(regexp_replace(path0, '/index\.(html?|php)$', ''),
+                     '/+$', '') AS base,
+    params, h
+  FROM (SELECT
+      regexp_replace(regexp_replace(host0, '^www\.', ''),
+                     ':(80|443)$', '') AS h1,
+      path0,
+      list_filter(string_split(query0, '&'), p -> p <> '') AS params,
+      h
+    FROM parsed0)),
+keyed AS (
+  SELECT host, base, params, h,
+    base || CASE WHEN len(params) > 0
+      THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END AS fullkey
+  FROM parsed),
+targets AS (
+  SELECT fullkey AS residual, min(h) AS t_hash,
+         count(DISTINCT h) AS n_t_hashes
+  FROM keyed GROUP BY fullkey),
+carried AS (
+  SELECT host, fullkey, h, param,
+    base || CASE WHEN len(rest) > 0
+      THEN '?' || array_to_string(list_sort(rest), '&') ELSE '' END AS residual
+  FROM (SELECT host, base, fullkey, h, param,
+          list_filter(params, p -> string_split(p, '=')[1] <> param) AS rest
+        FROM (SELECT host, base, fullkey, h, params,
+                unnest(list_distinct(list_transform(params,
+                  p -> string_split(p, '=')[1]))) AS param
+              FROM keyed))),
+judged AS (
+  SELECT g.host, g.param, g.n_keys,
+    (g.n_keys >= 2 OR t.t_hash IS NOT NULL) AS merged,
+    ((g.n_keys >= 2 OR t.t_hash IS NOT NULL) AND g.n_hashes = 1
+      AND (t.t_hash IS NULL
+           OR (t.n_t_hashes = 1 AND t.t_hash = g.g_hash))) AS clean
+  FROM (SELECT host, param, residual,
+          count(DISTINCT fullkey) AS n_keys,
+          count(DISTINCT h) AS n_hashes,
+          min(h) AS g_hash
+        FROM carried GROUP BY host, param, residual) g
+  LEFT JOIN targets t ON g.residual = t.residual)
+SELECT host, param, n_urls, n_merged, n_clean,
+  CAST(n_clean AS DOUBLE) / n_urls AS clean_rate,
+  (n_urls >= 3 AND CAST(n_clean AS DOUBLE) / n_urls >= 0.8) AS is_tracking
+FROM (SELECT host, param,
+        CAST(sum(n_keys) AS BIGINT) AS n_urls,
+        CAST(sum(CASE WHEN merged THEN n_keys ELSE 0 END) AS BIGINT)
+          AS n_merged,
+        CAST(sum(CASE WHEN clean THEN n_keys ELSE 0 END) AS BIGINT)
+          AS n_clean
+      FROM judged GROUP BY host, param)"""
+
+
 def _doc_shingles(spark, sf_dir):
     """(doc_id, sh) with tokens materialized first — shingling over an
     attribute, not the tokenize expression (see prepare_pages)."""
@@ -5323,6 +5407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "url_canonical": q_url_canonical,
         "url_dup_pairs": q_url_dup_pairs,
+        "tracking_params": q_tracking_params,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5469,6 +5554,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _DOMAIN_CAP_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dup_pairs": _URL_DUP_PAIRS_SQL,
+        "tracking_params": _tracking_params_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["surt_host", "surt_key", "url_dup_pairs", "TRACKING_PARAM_RE"]
+__all__ = [
+    "surt_host",
+    "surt_key",
+    "url_dup_pairs",
+    "mine_tracking_params",
+    "TRACKING_PARAM_RE",
+]
 
 # one pattern per URL part — group 1 is always the payload
 _HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)"
@@ -163,6 +169,149 @@ def url_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "surt"
         )
+    )
+
+
+def mine_tracking_params(
+    docs: DataFrame,
+    id_col: str = "url_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_support: int = 3,
+    min_clean_rate: float = 0.8,
+) -> DataFrame:
+    """Mine site-specific tracking parameters from crawl evidence, instead
+    of trusting only the static utm_*/fbclid list `surt_key` strips. The
+    reference hard-codes its equivalents as curated literal tables
+    (fuzzycat/data.py's blacklists); at web scale the curation itself has
+    to be computed from the corpus.
+
+    A query param is *tracking-like* on a host when removing it merges
+    previously distinct URLs AND the merged pages carry identical content
+    — `?sid=abc` vs `?sid=def` over the same bytes. Pagination and real
+    query params fail the content test: stripping `page=` also merges
+    URLs, but the pages differ, so the merge is not clean.
+
+    Per (host, param): every URL carrying the param lands in a *residual
+    group* (its canonical key with that param removed). A group is a
+    MERGE when it holds >=2 distinct full keys, or when its residual key
+    is itself a crawled URL (`?sid=x` vs the bare page). A merge is CLEAN
+    when every member — and the bare-residual target, if any — hashes to
+    the same content. Verdict: `is_tracking` when the param has
+    `min_support`+ URLs and >= `min_clean_rate` of them sit in clean
+    merges.
+
+    Output: (host, param, n_urls, n_merged, n_clean, clean_rate,
+    is_tracking), one row per (host, param) observed with a query value.
+
+    Scale shape: text is reduced to one md5 in the first projection and
+    never travels again; the explode multiplies thin (key, hash) rows by
+    the URL's distinct-param count (single digits on real crawls); then
+    two partially-aggregated groupBys and ONE equi join of residual
+    groups against the (equally thin) distinct-fullkey table. Per-host
+    verdicts are naturally partition-local after the first shuffle."""
+    t = F.trim(F.col(url_col))
+    path = F.regexp_extract(t, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/index\.(html?|php)$", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(t, _QUERY_RE, 1)
+    # raw params on purpose: we are MINING the strip list, so the static
+    # TRACKING_PARAM_RE pre-filter must not hide its own candidates
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    base = F.concat(surt_host(t), F.lit(")"), path)
+
+    def keyed(ps: Column) -> Column:
+        # canonical key relative to the row's own `base` column
+        return F.concat(
+            F.col("base"),
+            F.when(
+                F.size(ps) > 0,
+                F.concat(F.lit("?"), F.array_join(F.array_sort(ps), "&")),
+            ).otherwise(F.lit("")),
+        )
+
+    parsed = (
+        docs.select(
+            surt_host(t).alias("host"),
+            base.alias("base"),
+            params.alias("params"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+        .withColumn("fullkey", keyed(F.col("params")))
+    )
+
+    # distinct full URLs, for the "residual is itself a crawled page" arm
+    targets = parsed.groupBy(F.col("fullkey").alias("residual")).agg(
+        F.min("h").alias("t_hash"),
+        F.count_distinct("h").alias("n_t_hashes"),
+    )
+
+    carried = (
+        parsed.select(
+            "host",
+            "base",
+            "fullkey",
+            "h",
+            "params",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.col("params"), lambda p: F.split(p, "=").getItem(0)
+                    )
+                )
+            ).alias("param"),
+        )
+        .withColumn(
+            "residual",
+            keyed(
+                F.filter(
+                    F.col("params"),
+                    lambda p: F.split(p, "=").getItem(0) != F.col("param"),
+                )
+            ),
+        )
+        .drop("base", "params")
+    )
+
+    groups = (
+        carried.groupBy("host", "param", "residual")
+        .agg(
+            F.count_distinct("fullkey").alias("n_keys"),
+            F.count_distinct("h").alias("n_hashes"),
+            F.min("h").alias("g_hash"),
+        )
+        .join(targets, on="residual", how="left")
+    )
+    merged = (F.col("n_keys") >= 2) | F.col("t_hash").isNotNull()
+    clean = (
+        merged
+        & (F.col("n_hashes") == 1)
+        & (
+            F.col("t_hash").isNull()
+            | ((F.col("n_t_hashes") == 1) & (F.col("t_hash") == F.col("g_hash")))
+        )
+    )
+    out = groups.groupBy("host", "param").agg(
+        F.sum("n_keys").cast("long").alias("n_urls"),
+        F.sum(F.when(merged, F.col("n_keys")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_merged"),
+        F.sum(F.when(clean, F.col("n_keys")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_clean"),
+    )
+    clean_rate = F.col("n_clean") / F.col("n_urls")
+    return out.select(
+        "host",
+        "param",
+        "n_urls",
+        "n_merged",
+        "n_clean",
+        clean_rate.alias("clean_rate"),
+        (
+            (F.col("n_urls") >= F.lit(min_support))
+            & (clean_rate >= F.lit(min_clean_rate))
+        ).alias("is_tracking"),
     )
 
 

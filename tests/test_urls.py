@@ -137,3 +137,90 @@ def test_resolve_href_uppercase_scheme(spark):
     )
     got = df.select(resolve_href("url", "href").alias("r")).first().r
     assert got == "HTTPS://Example.com/X"
+
+
+class TestMineTrackingParams:
+    def _mine(self, spark, rows, **kw):
+        from fuzzycat_spark.functions.urls import mine_tracking_params
+
+        df = spark.createDataFrame(
+            [(i, u, t) for i, (u, t) in enumerate(rows)],
+            "url_id long, url string, text string",
+        )
+        return {
+            (r.host, r.param): r
+            for r in mine_tracking_params(df, **kw).collect()
+        }
+
+    def test_session_param_flagged(self, spark):
+        rows = [
+            (f"https://a.com/p/{i}?s={i}{v}", f"body {i}")
+            for i in range(3)
+            for v in "xyz"
+        ]
+        got = self._mine(spark, rows)
+        r = got[("com,a", "s")]
+        assert (r.n_urls, r.n_merged, r.n_clean, r.is_tracking) == (9, 9, 9, True)
+
+    def test_pagination_merges_dirty_not_flagged(self, spark):
+        rows = [
+            (f"https://a.com/list?page={i}", f"page {i} content")
+            for i in range(5)
+        ]
+        r = self._mine(spark, rows)[("com,a", "page")]
+        assert (r.n_urls, r.n_merged, r.n_clean, r.is_tracking) == (5, 5, 0, False)
+
+    def test_bare_page_is_a_merge_target(self, spark):
+        rows = [
+            ("https://a.com/p?sid=1", "same"),
+            ("https://a.com/p?sid=2", "same"),
+            ("https://a.com/p?sid=3", "same"),
+            ("https://a.com/p", "same"),
+        ]
+        r = self._mine(spark, rows)[("com,a", "sid")]
+        assert (r.n_urls, r.n_clean, r.is_tracking) == (3, 3, True)
+
+    def test_bare_target_with_different_text_is_dirty(self, spark):
+        rows = [
+            ("https://a.com/p?v=1", "same"),
+            ("https://a.com/p?v=2", "same"),
+            ("https://a.com/p?v=3", "same"),
+            ("https://a.com/p", "DIFFERENT"),
+        ]
+        r = self._mine(spark, rows)[("com,a", "v")]
+        assert (r.n_merged, r.n_clean, r.is_tracking) == (3, 0, False)
+
+    def test_min_support_gates_verdict(self, spark):
+        rows = [
+            ("https://a.com/p?once=1", "same"),
+            ("https://a.com/p?once=2", "same"),
+        ]
+        r = self._mine(spark, rows)[("com,a", "once")]
+        assert (r.n_clean, r.is_tracking) == (2, False)
+        r2 = self._mine(spark, rows, min_support=2)[("com,a", "once")]
+        assert r2.is_tracking is True
+
+    def test_per_host_isolation(self, spark):
+        # same param name, tracking on one host, meaningful on the other
+        rows = [
+            ("https://a.com/p?k=1", "same"),
+            ("https://a.com/p?k=2", "same"),
+            ("https://a.com/p?k=3", "same"),
+            ("https://b.com/p?k=1", "one"),
+            ("https://b.com/p?k=2", "two"),
+            ("https://b.com/p?k=3", "three"),
+        ]
+        got = self._mine(spark, rows)
+        assert got[("com,a", "k")].is_tracking is True
+        assert got[("com,b", "k")].is_tracking is False
+
+    def test_duplicate_param_names_collapse(self, spark):
+        # ?a=1&a=2 contributes ONE mining row for 'a', and the residual
+        # removes every a= entry at once
+        rows = [
+            ("https://a.com/p?a=1&a=2&keep=1", "same"),
+            ("https://a.com/p?a=3&keep=1", "same"),
+            ("https://a.com/p?a=4&keep=1", "same"),
+        ]
+        r = self._mine(spark, rows)[("com,a", "a")]
+        assert (r.n_urls, r.n_clean, r.is_tracking) == (3, 3, True)
