@@ -1069,6 +1069,91 @@ FROM (SELECT host, param,
       FROM judged GROUP BY host, param)"""
 
 
+_SITEMAP_FIXTURE = "/root/repo/fixtures/sitemap_docs.parquet"
+_SITEMAP_PAGES = "/root/repo/fixtures/sitemap_pages.parquet"
+
+
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap XML parsing (operators/sitemap.py sitemap_entries):
+    `<urlset>` entries and `<sitemapindex>` children from fetched
+    sitemap bodies — loc (CDATA unwrapped, XML entities decoded),
+    lastmod, lowercased changefreq, try-cast priority. The fixture
+    plants entity/CDATA/whitespace/garbage-priority/missing-loc/
+    uppercase-tag cases. Pure Catalyst regexp pipeline, no UDF."""
+    from fuzzycat_spark.operators.sitemap import sitemap_entries
+
+    return sitemap_entries(spark.read.parquet(_SITEMAP_FIXTURE))
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl reconciliation (operators/sitemap.py
+    sitemap_coverage): distinct canonical SURT keys on each side, one
+    full-outer join, per-host counts of both/frontier-gap/discovery-
+    stray. Sitemap duplicates and crawl revisit variants (www/scheme/
+    param-order) must not inflate either side."""
+    from fuzzycat_spark.operators.sitemap import (
+        sitemap_coverage,
+        sitemap_entries,
+    )
+
+    return sitemap_coverage(
+        sitemap_entries(spark.read.parquet(_SITEMAP_FIXTURE)),
+        spark.read.parquet(_SITEMAP_PAGES),
+    )
+
+
+def _sitemap_entries_cte() -> str:
+    return rf"""
+blocks AS (
+  SELECT url AS sitemap_url, 'url' AS kind,
+         unnest(regexp_extract_all(body, '(?is)<url>(.*?)</url>', 1)) AS block
+  FROM '{_SITEMAP_FIXTURE}'
+  UNION ALL
+  SELECT url, 'index',
+         unnest(regexp_extract_all(body,
+                '(?is)<sitemap>(.*?)</sitemap>', 1))
+  FROM '{_SITEMAP_FIXTURE}'),
+fields AS (
+  SELECT sitemap_url, kind,
+    regexp_extract(block, '(?is)<loc>\s*(.*?)\s*</loc>', 1) AS raw_loc,
+    nullif(regexp_extract(block,
+      '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+    nullif(lower(regexp_extract(block,
+      '(?is)<changefreq>\s*(.*?)\s*</changefreq>', 1)), '') AS changefreq,
+    TRY_CAST(regexp_extract(block,
+      '(?is)<priority>\s*(.*?)\s*</priority>', 1) AS DOUBLE) AS priority
+  FROM blocks),
+entries AS (
+  SELECT sitemap_url, kind,
+    replace(replace(replace(replace(replace(
+      regexp_replace(raw_loc, '(?s)^<!\[CDATA\[(.*)\]\]>$', '\1'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      '&amp;', '&') AS loc,
+    lastmod, changefreq, priority
+  FROM fields WHERE raw_loc <> '')"""
+
+
+def _sitemap_coverage_sql() -> str:
+    return f"""
+WITH {_sitemap_entries_cte()},
+{_surt_cte("SELECT loc AS url_id, trim(loc) AS t FROM entries "
+           "WHERE kind = 'url'", "s")},
+{_surt_cte(f"SELECT url AS url_id, trim(url) AS t FROM '{_SITEMAP_PAGES}'",
+           "c")},
+sm AS (SELECT DISTINCT surt FROM ssurts),
+cr AS (SELECT DISTINCT surt FROM csurts),
+j AS (SELECT coalesce(sm.surt, cr.surt) AS surt,
+        (sm.surt IS NOT NULL)::INT AS s, (cr.surt IS NOT NULL)::INT AS c
+      FROM sm FULL OUTER JOIN cr ON sm.surt = cr.surt)
+SELECT regexp_extract(surt, '^([^)]*)', 1) AS host,
+  CAST(sum(s) AS BIGINT) AS n_sitemap,
+  CAST(sum(c) AS BIGINT) AS n_crawled,
+  CAST(sum(s * c) AS BIGINT) AS n_both,
+  CAST(sum(s * (1 - c)) AS BIGINT) AS n_sitemap_only,
+  CAST(sum(c * (1 - s)) AS BIGINT) AS n_crawled_only
+FROM j GROUP BY host"""
+
+
 def _doc_shingles(spark, sf_dir):
     """(doc_id, sh) with tokens materialized first — shingling over an
     attribute, not the tokenize expression (see prepare_pages)."""
@@ -5408,6 +5493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dup_pairs": q_url_dup_pairs,
         "tracking_params": q_tracking_params,
+        "sitemap_entries": q_sitemap_entries,
+        "sitemap_coverage": q_sitemap_coverage,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5555,6 +5642,11 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dup_pairs": _URL_DUP_PAIRS_SQL,
         "tracking_params": _tracking_params_sql(),
+        "sitemap_entries": (
+            f"WITH {_sitemap_entries_cte()} SELECT sitemap_url, kind, loc,"
+            " lastmod, changefreq, priority FROM entries"
+        ),
+        "sitemap_coverage": _sitemap_coverage_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,
