@@ -1154,6 +1154,136 @@ SELECT regexp_extract(surt, '^([^)]*)', 1) AS host,
 FROM j GROUP BY host"""
 
 
+_WEBFILTER_FIXTURE = "/root/repo/fixtures/webfilter_docs.parquet"
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText A1 quality rules, non-repetition half
+    (functions/webfilters.gopher_rule_cols): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-stopword hits — one planted failing
+    document per rule plus one page that passes all seven. The
+    repetition half is the `repetition` gate. Pure per-row Catalyst,
+    zero shuffles."""
+    from fuzzycat_spark.functions.webfilters import gopher_rules
+
+    out = gopher_rules(spark.read.parquet(_WEBFILTER_FIXTURE))
+    # doubles round before hashing, same policy as the quality gate
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stop_hits",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet",
+        "ok_ellipsis",
+        "ok_alpha_words",
+        "ok_stop_words",
+        "keep",
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 §2.2 line cleanup (functions/webfilters.c4_clean_cols):
+    terminal-punctuation / >=5-word / no-javascript line retention, then
+    the page-level lorem-ipsum, curly-brace, and >=3-sentence verdicts.
+    Fixture plants each drop arm and a page that cleans but survives."""
+    from fuzzycat_spark.functions.webfilters import c4_clean
+
+    return c4_clean(spark.read.parquet(_WEBFILTER_FIXTURE))
+
+
+_WEBFILTER_WORDS = """
+  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       ELSE regexp_split_to_array(trim(text), '\\s+') END"""
+
+_WEBFILTER_LINES = """
+  list_filter(list_transform(string_split(text, chr(10)),
+              ln -> trim(ln)), ln -> ln <> '')"""
+
+
+def _gopher_rules_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in (
+        "the", "be", "to", "of", "and", "that", "have", "with"
+    ))
+    return rf"""
+WITH sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    coalesce(CAST(list_sum(list_transform(words, w -> length(w)))
+             AS DOUBLE), 0.0) / greatest(len(words), 1) AS mean_word_len,
+    ((length(text) - length(replace(text, '#', ''))) / 1
+     + (length(text) - length(replace(text, '…', ''))) / 1
+     + (length(text) - length(replace(text, '...', ''))) / 3)
+      / CAST(greatest(len(words), 1) AS DOUBLE) AS symbol_ratio,
+    len(list_filter(lines, ln -> regexp_matches(ln, '^[•\-\*]')))
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_frac,
+    len(list_filter(lines, ln -> regexp_matches(ln, '(\.\.\.|…)$')))
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_frac,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      / CAST(greatest(len(words), 1) AS DOUBLE) AS alpha_word_frac,
+    CAST(len(list_intersect(list_transform(words, w -> lower(w)),
+             [{stop_list}])) AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, text, {_WEBFILTER_WORDS} AS words,
+               {_WEBFILTER_LINES} AS lines
+        FROM '{_WEBFILTER_FIXTURE}'))
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_word_frac, 6) AS alpha_word_frac,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+  (bullet_frac <= 0.9) AS ok_bullet,
+  (ellipsis_frac <= 0.3) AS ok_ellipsis,
+  (alpha_word_frac >= 0.8) AS ok_alpha_words,
+  (stop_hits >= 2) AS ok_stop_words,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+   AND stop_hits >= 2) AS keep
+FROM sig"""
+
+
+def _c4_clean_sql() -> str:
+    return rf"""
+WITH cleaned AS (
+  SELECT doc_id, text,
+    coalesce(array_to_string(
+      list_filter(lines, ln -> regexp_matches(ln, '[.!?"]$')
+        AND len(regexp_split_to_array(ln, '\s+')) >= 5
+        AND NOT contains(lower(ln), 'javascript')), chr(10)),
+      '') AS text_clean,
+    CAST(len(list_filter(lines, ln -> regexp_matches(ln, '[.!?"]$')
+        AND len(regexp_split_to_array(ln, '\s+')) >= 5
+        AND NOT contains(lower(ln), 'javascript'))) AS BIGINT) AS n_lines_kept,
+    CAST(len(lines) AS BIGINT) AS n_lines_total
+  FROM (SELECT doc_id, text, {_WEBFILTER_LINES} AS lines
+        FROM '{_WEBFILTER_FIXTURE}'))
+SELECT doc_id, text_clean, n_lines_kept,
+  (n_lines_total - n_lines_kept) AS n_lines_dropped,
+  CAST(length(text_clean)
+       - length(regexp_replace(text_clean, '[.!?]', '', 'g'))
+       AS BIGINT) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{{') AS has_curly_brace,
+  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{{')
+   AND length(text_clean)
+       - length(regexp_replace(text_clean, '[.!?]', '', 'g')) >= 3
+   AND n_lines_kept >= 1) AS keep
+FROM cleaned"""
+
+
 def _doc_shingles(spark, sf_dir):
     """(doc_id, sh) with tokens materialized first — shingling over an
     attribute, not the tokenize expression (see prepare_pages)."""
@@ -5495,6 +5625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_params": q_tracking_params,
         "sitemap_entries": q_sitemap_entries,
         "sitemap_coverage": q_sitemap_coverage,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5647,6 +5779,8 @@ def oracle_sql() -> dict[str, str]:
             " lastmod, changefreq, priority FROM entries"
         ),
         "sitemap_coverage": _sitemap_coverage_sql(),
+        "gopher_rules": _gopher_rules_sql(),
+        "c4_clean": _c4_clean_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,
