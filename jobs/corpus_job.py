@@ -104,6 +104,15 @@ def main() -> None:
     p.add_argument("--fix-encoding", action="store_true",
                    help="repair UTF-8-as-cp1252 mojibake before anything "
                    "keys or filters on the text")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="C4 §2.2 hygiene: rewrite the text to its "
+                   "terminal-punctuated >=5-word non-javascript lines and "
+                   "drop lorem-ipsum/curly-brace/<3-sentence pages")
+    p.add_argument("--gopher-rules", action="store_true",
+                   help="drop pages failing any Gopher A1 non-repetition "
+                   "rule (word count/length, symbols, bullets, ellipses, "
+                   "alpha words, stopwords); composes with the default "
+                   "repetition filter for the full suite")
     p.add_argument("--min-host-centrality", type=int, default=0, metavar="FP",
                    help="compute fixed-point PageRank over the crawl's own "
                         "host link graph (scale 1e9; a host nobody links to "
@@ -400,12 +409,25 @@ def main() -> None:
             # repair FIRST: damaged bytes would otherwise fragment slugs,
             # shingles, and the admission scores
             raw = raw.withColumn(txt, fix_mojibake(txt))
+        if args.c4_clean:
+            from fuzzycat_spark.functions.webfilters import c4_clean_cols
+
+            # clean BEFORE admission so scores judge the text that will
+            # actually ship; page verdict first, then the line rewrite
+            cc = c4_clean_cols(txt)
+            raw = raw.filter(cc["keep"]).withColumn(
+                txt, c4_clean_cols(txt)["text_clean"]
+            )
         pages = admission_filter(
             raw, txt,
             min_tokens=args.min_tokens,
             min_quality=args.min_quality,
             repetition=not args.no_repetition_filter,
         )
+        if args.gopher_rules:
+            from fuzzycat_spark.functions.webfilters import gopher_rule_cols
+
+            pages = pages.filter(gopher_rule_cols(txt)["keep"])
         if args.strip_common_lines:
             pages = strip_common_lines(
                 pages, id_col=idc, text_col=txt, min_docs=args.min_line_docs

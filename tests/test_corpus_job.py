@@ -1139,3 +1139,42 @@ def test_export_jsonl_arm(spark, corpus_dir, tmp_path, capsys, monkeypatch):
         assert man[shard] == (n, xor)
         n_checked += n
     assert seen_ids == kept_ids and n_checked == rec["docs_out"]
+
+
+def test_c4_and_gopher_arms(spark, tmp_path, capsys, monkeypatch):
+    """--c4-clean rewrites pages to their terminal-punctuated lines and
+    drops lorem-ipsum pages whole; --gopher-rules then drops the page
+    that is all bullets. The ordinary prose pages survive both."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    prose = "\n".join(
+        f"The article paragraph number {j} carries the usual amount of "
+        f"plain prose words that have to survive both filters intact."
+        for j in range(4)
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"u{i}", prose + f"\nUnique closing sentence number {i} ends the page.")
+         for i in range(10)]
+        + [("lorem", "Lorem ipsum dolor sit amet fills the template page.\n" * 4)]
+        + [("menu", prose + "\nMenu")]  # unterminated junk line cleaned away
+        + [("bullets", "\n".join(
+            f"- bullet item {j} with the usual words here." for j in range(30)))],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--c4-clean", "--gopher-rules",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = spark.read.parquet(out_dir)
+    ids = {r.url for r in kept.select("url").collect()}
+    assert "lorem" not in ids        # C4 page verdict
+    assert "bullets" not in ids      # Gopher bullet rule
+    assert {f"u{i}" for i in range(10)} <= ids
+    # the junk line is cleaned out of the kept page, prose stays
+    menu = kept.filter(F.col("url") == "menu").collect()
+    assert len(menu) == 1 and "Menu" not in menu[0].text
+    assert rec["docs_out"] == len(ids)
