@@ -3496,6 +3496,33 @@ def q_robots_decisions(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (operators/robots.py
+    robots_sitemaps): group-independent `Sitemap:` declarations — the
+    fixture plants pre-UA, inside-named-group, duplicate (one row),
+    uppercase+CRLF+comment, and a relative value that must drop. One
+    line explode + distinct; feeds operators/sitemap.py."""
+    from fuzzycat_spark.operators.robots import robots_sitemaps
+
+    return robots_sitemaps(spark.read.parquet(_ROBOTS_FIXTURE))
+
+
+def _robots_sitemaps_sql() -> str:
+    from fuzzycat_spark.operators import robots as rb
+
+    sm_re = "'" + rb.SITEMAP_RE.replace("'", "''") + "'"
+    return f"""
+WITH smlines AS (
+  SELECT host, trim(regexp_replace(regexp_replace(raw, chr(13), ''),
+                    '#.*$', '')) AS line
+  FROM (SELECT {_robots_surt_sql("host")} AS host,
+               unnest(string_split(robots_txt, chr(10))) AS raw
+        FROM '{_ROBOTS_FIXTURE}'))
+SELECT DISTINCT host, regexp_extract(line, {sm_re}, 1) AS sitemap_url
+FROM smlines
+WHERE regexp_matches(regexp_extract(line, {sm_re}, 1), '^(?i)https?://')"""
+
+
 def _robots_surt_sql(raw: str) -> str:
     h1 = (
         f"regexp_replace(regexp_replace(lower(regexp_extract(trim({raw}), "
@@ -5627,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "gopher_rules": q_gopher_rules,
         "c4_clean": q_c4_clean,
+        "robots_sitemaps": q_robots_sitemaps,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5781,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_coverage": _sitemap_coverage_sql(),
         "gopher_rules": _gopher_rules_sql(),
         "c4_clean": _c4_clean_sql(),
+        "robots_sitemaps": _robots_sitemaps_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

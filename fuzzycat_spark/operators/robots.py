@@ -41,12 +41,18 @@ from pyspark.sql.window import Window
 
 from fuzzycat_spark.functions.urls import surt_host
 
-__all__ = ["robots_rules", "robots_decisions", "url_path_col"]
+__all__ = [
+    "robots_rules",
+    "robots_decisions",
+    "robots_sitemaps",
+    "url_path_col",
+]
 
 # group 1 = the path part of a URL (same pattern family as functions/urls)
 _PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)"
 
 UA_RE = r"(?i)^user-agent\s*:\s*(\S+)"
+SITEMAP_RE = r"(?i)^sitemap\s*:\s*(\S+)"
 DIRECTIVE_RE = r"(?i)^(allow|disallow)\s*:"
 RULE_PATH_RE = r"(?i)^(?:allow|disallow)\s*:\s*(\S+)"
 
@@ -162,4 +168,39 @@ def robots_decisions(
             F.coalesce("_allow", F.lit(True)).alias("allowed"),
             "rule_path",
         )
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url) — the `Sitemap:` declarations robots.txt
+    carries for the crawler's frontier (the discovery input of
+    operators/sitemap.py). Per RFC 9309 / sitemaps.org these lines are
+    GROUP-INDEPENDENT: they count wherever they appear, including before
+    any User-agent line, so no group tracking is needed — one line
+    explode, one extract, distinct. Only absolute http(s) URLs are kept
+    (the protocol requires absolute locations; a relative value is a
+    publisher bug we drop deterministically). Same comment/CRLF
+    normalization as `robots_rules` — which means a `#fragment` inside a
+    declared URL is treated as a comment, exactly as the rule parser
+    would treat it (fragments are meaningless in sitemap URLs anyway).
+
+    Scale: hosts-sized input, one projection + one distinct; the output
+    joins `sitemap_entries` on sitemap_url or feeds the fetch frontier."""
+    lines = robots.select(
+        surt_host(F.col(host_col)).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    )
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace("raw", "\r", ""), "#.*$", "")
+    )
+    return (
+        lines.select(
+            "host", F.regexp_extract(clean, SITEMAP_RE, 1).alias("sitemap_url")
+        )
+        .filter(F.col("sitemap_url").rlike("^(?i)https?://"))
+        .distinct()
     )

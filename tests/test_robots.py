@@ -82,3 +82,46 @@ def test_rules_table_shape(spark):
     # the googlebot-only group's 'Disallow: /' must be absent
     assert not [r for r in rows
                 if r.host == "net,example,bots" and r.path == "/"]
+
+
+class TestRobotsSitemaps:
+    def _sm(self, spark, txt: str):
+        from fuzzycat_spark.operators.robots import robots_sitemaps
+
+        df = spark.createDataFrame(
+            [("h.com", txt)], "host string, robots_txt string"
+        )
+        return {
+            (r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()
+        }
+
+    def test_group_independent_and_dedup(self, spark):
+        txt = (
+            "Sitemap: https://h.com/pre.xml\n"
+            "User-agent: bot\n"
+            "Disallow: /\n"
+            "Sitemap: https://h.com/in-group.xml\n"
+            "Sitemap: https://h.com/pre.xml\n"
+        )
+        assert self._sm(spark, txt) == {
+            ("com,h", "https://h.com/pre.xml"),
+            ("com,h", "https://h.com/in-group.xml"),
+        }
+
+    def test_case_crlf_comment_and_relative(self, spark):
+        txt = (
+            "SITEMAP: https://h.com/a.xml  # weekly\r\n"
+            "Sitemap: /relative.xml\n"
+            "Sitemap: ftp://h.com/b.xml\n"
+        )
+        assert self._sm(spark, txt) == {("com,h", "https://h.com/a.xml")}
+
+    def test_sitemap_lines_do_not_leak_into_rules(self, spark):
+        from fuzzycat_spark.operators.robots import robots_rules
+
+        df = spark.createDataFrame(
+            [("h.com", "User-agent: *\nSitemap: https://h.com/s.xml\nDisallow: /x\n")],
+            "host string, robots_txt string",
+        )
+        rows = robots_rules(df).collect()
+        assert [(r.path, r.allow) for r in rows] == [("/x", False)]

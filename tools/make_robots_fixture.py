@@ -12,7 +12,10 @@ every branch of operators/robots.py is non-vacuous:
 - CRLF line endings, uppercase directive names, comment lines;
 - rules BEFORE any User-agent line are invalid and ignored;
 - empty `Disallow:` emits no rule;
-- a page on a host with no robots.txt at all -> default allow.
+- a page on a host with no robots.txt at all -> default allow;
+- Sitemap: declarations (group-independent): pre-UA, inside a named-bot
+  group, duplicated (-> one row), uppercase+CRLF+comment, and a relative
+  value that must be dropped.
 
 Pure pyarrow; the committed parquet, not this script, is the gate input.
 Run: python tools/make_robots_fixture.py
@@ -26,6 +29,8 @@ import pyarrow.parquet as pq
 ROBOTS: list[tuple[str, str]] = [
     (
         "example.com",
+        # Sitemap BEFORE any User-agent line: group-independent, counts
+        "Sitemap: https://example.com/sitemap.xml\n"
         "User-agent: *\n"
         "Disallow: /private/\n"
         "Allow: /private/public/\n"
@@ -35,12 +40,16 @@ ROBOTS: list[tuple[str, str]] = [
         "bots.example.net",
         "User-agent: googlebot\n"
         "Disallow: /\n"
+        # inside a named-bot group: STILL counts (group-independent)
+        "Sitemap: https://bots.example.net/sm-main.xml\n"
         "\n"
         "User-agent: foo\n"
         "User-agent: *\n"
         "Disallow: /blocked/\n"
         "# a comment line\n"
-        "Disallow:\n",
+        "Disallow:\n"
+        # duplicate declaration -> one row
+        "Sitemap: https://bots.example.net/sm-main.xml\n",
     ),
     (
         "tie.example.org",
@@ -52,13 +61,17 @@ ROBOTS: list[tuple[str, str]] = [
         "wild.example.com",
         "User-agent: *\n"
         "Disallow: /*.pdf$\n"
-        "Disallow: /real/\n",
+        "Disallow: /real/\n"
+        # relative value: the protocol requires absolute URLs -> dropped
+        "Sitemap: /relative-sitemap.xml\n",
     ),
     (
         "crlf.example.com",
         "User-Agent: *\r\n"
         "DISALLOW: /UP/  # trailing comment\r\n"
-        "ALLOW: /UP/ok\r\n",
+        "ALLOW: /UP/ok\r\n"
+        # uppercase name + CRLF + trailing comment all normalize away
+        "SITEMAP: https://crlf.example.com/s.xml  # weekly\r\n",
     ),
     (
         "norules.example.com",
