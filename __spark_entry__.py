@@ -1069,6 +1069,63 @@ FROM (SELECT host, param,
       FROM judged GROUP BY host, param)"""
 
 
+def q_url_canonical_mined(spark, sf_dir):
+    """The apply half of tracking-param mining (functions/urls.py
+    canonicalize_with_mined): canonical keys with each host's MINED
+    params stripped on top of the static utm_* list — tracknews.com's
+    session ids collapse their article variants while pagination, real
+    query params, below-support params, and other hosts keep plain
+    surt_key semantics. Strip lists broadcast; the corpus side is one
+    BroadcastHashJoin with key arithmetic in codegen (zero shuffles)."""
+    from fuzzycat_spark.functions.urls import (
+        canonicalize_with_mined,
+        mine_tracking_params,
+    )
+
+    docs = spark.read.parquet(_PARAM_FIXTURE)
+    return canonicalize_with_mined(docs, mine_tracking_params(docs))
+
+
+def _url_canonical_mined_sql() -> str:
+    host = _surt_host_col_sql("h1")
+    static = (
+        "'^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)"
+        "(=.*)?$'"
+    )
+    return rf"""
+WITH mined AS ({_tracking_params_sql()}),
+strip AS (
+  SELECT host, list_sort(list_distinct(list(param))) AS ps
+  FROM mined WHERE is_tracking GROUP BY host),
+parts0 AS (
+  SELECT url_id,
+    lower(regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)) AS host0,
+    regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(t, '^[^?#]*\?([^#]*)', 1) AS query0
+  FROM (SELECT url_id, trim(url) AS t FROM '{_PARAM_FIXTURE}')),
+parts AS (
+  SELECT url_id, {host} AS host,
+    {host} || ')' ||
+      regexp_replace(regexp_replace(path0, '/index\.(html?|php)$', ''),
+                     '/+$', '') AS base,
+    list_filter(string_split(query0, '&'), p -> p <> '') AS params
+  FROM (SELECT url_id, path0, query0,
+          regexp_replace(regexp_replace(host0, '^www\.', ''),
+                         ':(80|443)$', '') AS h1
+        FROM parts0)),
+j AS (
+  SELECT p.url_id, p.base,
+    list_sort(list_filter(p.params, q ->
+      NOT regexp_matches(q, {static})
+      AND NOT coalesce(list_contains(s.ps, string_split(q, '=')[1]),
+                       false))) AS fp
+  FROM parts p LEFT JOIN strip s ON p.host = s.host)
+SELECT url_id AS id,
+  base || CASE WHEN len(fp) > 0
+    THEN '?' || array_to_string(fp, '&') ELSE '' END AS surt
+FROM j"""
+
+
 _SITEMAP_FIXTURE = "/root/repo/fixtures/sitemap_docs.parquet"
 _SITEMAP_PAGES = "/root/repo/fixtures/sitemap_pages.parquet"
 
@@ -5655,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_clean": q_c4_clean,
         "robots_sitemaps": q_robots_sitemaps,
+        "url_canonical_mined": q_url_canonical_mined,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5810,6 +5868,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _gopher_rules_sql(),
         "c4_clean": _c4_clean_sql(),
         "robots_sitemaps": _robots_sitemaps_sql(),
+        "url_canonical_mined": _url_canonical_mined_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

@@ -38,6 +38,7 @@ __all__ = [
     "surt_key",
     "url_dup_pairs",
     "mine_tracking_params",
+    "canonicalize_with_mined",
     "TRACKING_PARAM_RE",
 ]
 
@@ -68,18 +69,29 @@ def surt_host(col: Column | str) -> Column:
     )
 
 
-def surt_key(col: Column | str) -> Column:
-    """Full SURT-style canonical key: `reversed,host)/path?sortedquery`."""
+def surt_key(col: Column | str, strip: Column | None = None) -> Column:
+    """Full SURT-style canonical key: `reversed,host)/path?sortedquery`.
+
+    `strip` (optional, array<string>) names ADDITIONAL query params to
+    drop beyond the static tracking list — the per-host output of
+    `mine_tracking_params`, threaded per row by
+    `canonicalize_with_mined`. NULL/absent means "nothing extra"."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
     path = F.regexp_extract(t, _PATH_RE, 1)
     path = F.regexp_replace(path, r"/index\.(html?|php)$", "")
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(t, _QUERY_RE, 1)
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
-    )
+    if strip is None:
+        keep = lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)  # noqa: E731
+    else:
+        safe = F.coalesce(strip, F.array().cast("array<string>"))
+        keep = (  # noqa: E731
+            lambda p: (p != "")
+            & ~p.rlike(TRACKING_PARAM_RE)
+            & ~F.array_contains(safe, F.split(p, "=").getItem(0))
+        )
+    params = F.filter(F.split(query, "&"), keep)
     qnorm = F.array_join(F.array_sort(params), "&")
     return F.concat(
         surt_host(c),
@@ -312,6 +324,40 @@ def mine_tracking_params(
             (F.col("n_urls") >= F.lit(min_support))
             & (clean_rate >= F.lit(min_clean_rate))
         ).alias("is_tracking"),
+    )
+
+
+def canonicalize_with_mined(
+    docs: DataFrame,
+    mined: DataFrame,
+    id_col: str = "url_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """(id, surt) canonical keys with each host's MINED tracking params
+    stripped on top of the static list — the apply half of
+    `mine_tracking_params`: mine once per crawl, canonicalize every URL
+    with the learned per-host strip lists, and the session-id variants
+    the static utm_* list can't know collapse before any text loads.
+
+    `mined` is `mine_tracking_params` output (or any (host, param,
+    is_tracking) table). The strip lists aggregate to one sorted array
+    per host — a hosts-sized table that BROADCASTS; the corpus side pays
+    zero shuffle (plan: one BroadcastHashJoin, key arithmetic in
+    codegen). Hosts without mined params keep plain `surt_key`
+    semantics bit-for-bit."""
+    strip = (
+        mined.filter(F.col("is_tracking"))
+        .groupBy("host")
+        .agg(F.sort_array(F.collect_set("param")).alias("_strip"))
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("_u"),
+        surt_host(url_col).alias("host"),
+    )
+    return (
+        keyed.join(F.broadcast(strip), on="host", how="left")
+        .select("id", surt_key(F.col("_u"), F.col("_strip")).alias("surt"))
     )
 
 

@@ -3,6 +3,8 @@ every normalization rule, and the rules that must NOT fire."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fuzzycat_spark.functions.urls import surt_key, url_dup_pairs
 
 CASES = [
@@ -224,3 +226,41 @@ class TestMineTrackingParams:
         ]
         r = self._mine(spark, rows)[("com,a", "a")]
         assert (r.n_urls, r.n_clean, r.is_tracking) == (3, 3, True)
+
+
+class TestCanonicalizeWithMined:
+    def test_mined_params_strip_and_others_survive(self, spark):
+        from fuzzycat_spark.functions.urls import (
+            canonicalize_with_mined,
+            mine_tracking_params,
+        )
+
+        rows = [
+            (f"https://a.com/p/{i}?s={i}{v}", f"body {i}")
+            for i in range(3)
+            for v in "xyz"
+        ] + [("https://a.com/q?real=1", "other"), ("https://b.com/x?s=1", "b")]
+        df = spark.createDataFrame(
+            [(i, u, t) for i, (u, t) in enumerate(rows)],
+            "url_id long, url string, text string",
+        )
+        out = canonicalize_with_mined(df, mine_tracking_params(df))
+        got = {r.id: r.surt for r in out.collect()}
+        # s= stripped on a.com: three variants per page share one key
+        assert got[0] == got[1] == got[2] == "com,a)/p/0"
+        # real param survives; b.com never mined -> plain surt semantics
+        assert got[9] == "com,a)/q?real=1"
+        assert got[10] == "com,b)/x?s=1"
+
+    def test_null_strip_matches_plain_surt(self, spark):
+        from fuzzycat_spark.functions.urls import surt_key
+
+        df = spark.createDataFrame(
+            [("https://h.com/p?a=1&utm_source=x", None)],
+            "url string, strip array<string>",
+        )
+        r = df.select(
+            surt_key("url").alias("plain"),
+            surt_key(F.col("url"), F.col("strip")).alias("dyn"),
+        ).first()
+        assert r.plain == r.dyn == "com,h)/p?a=1"
