@@ -823,6 +823,65 @@ def q_lang_id(spark, sf_dir):
     return lang_id_table(_docs(spark, sf_dir), "doc_id", "text")
 
 
+_TB_BUDGETS = {"en": 3000, "fr": 1500, "es": 999_999, "zh": 1}
+
+
+def q_token_budget(spark, sf_dir):
+    """Ranked token-budget selection (operators/mixing.py
+    token_budget_select): per language, the highest-quality docs fill a
+    token budget — whole score-bins keep/cut via a TINY bins-table
+    cumulative window, only the straddling bin's rows pay the
+    deterministic (md5, id)-ordered admission window. Budgets exercise
+    every arm: en/fr straddle a bin, es keeps everything, zh's budget of
+    1 admits nobody from its boundary bin, de is absent (all cut).
+    Scores are floor(quality*100) — integer bins, so cross-engine float
+    ordering never decides membership."""
+    from fuzzycat_spark.operators.mixing import token_budget_select
+
+    cols = quality_score_cols("text")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        cols["n_tokens"].alias("n_tokens"),
+        F.floor(F.round(cols["quality"], 6) * 100).cast("long").alias("score"),
+    )
+    return token_budget_select(base, _TB_BUDGETS, score_col="score")
+
+
+def _token_budget_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in _TB_BUDGETS.items())
+    draw = "('0x' || substr(md5(id::VARCHAR || ':0'), 1, 12))::BIGINT"
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+rows AS (
+  SELECT d.doc_id AS id, d.lang AS key, q.n_tokens AS w,
+         CAST(floor(q.quality * 100) AS BIGINT) AS s
+  FROM documents d JOIN q USING (doc_id)),
+b(key, budget) AS (VALUES {vals}),
+cum AS (
+  SELECT key, s, bw,
+    sum(bw) OVER (PARTITION BY key ORDER BY s DESC) AS c
+  FROM (SELECT key, s, sum(w) AS bw FROM rows GROUP BY key, s)),
+st AS (
+  SELECT cum.key, s, c - bw AS prev, coalesce(b.budget, 0) AS budget,
+    CASE WHEN c <= coalesce(b.budget, 0) THEN 'full'
+         WHEN c - bw >= coalesce(b.budget, 0) THEN 'cut'
+         ELSE 'boundary' END AS status
+  FROM cum LEFT JOIN b ON cum.key = b.key),
+lab AS (
+  SELECT r.id, r.key, r.w, r.s, st.prev, st.budget, st.status
+  FROM rows r JOIN st ON r.key = st.key AND r.s = st.s)
+SELECT id, key, w, s,
+  CASE WHEN status = 'full' THEN true
+       WHEN status = 'cut' THEN false
+       ELSE prev + sum(w) OVER (
+              PARTITION BY key, s ORDER BY {draw} ASC, id ASC
+              ROWS UNBOUNDED PRECEDING) <= budget
+  END AS kept,
+  status
+FROM lab"""
+
+
 def q_quality(spark, sf_dir):
     cols = quality_score_cols("text")
     return _docs(spark, sf_dir).select(
@@ -5713,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "robots_sitemaps": q_robots_sitemaps,
         "url_canonical_mined": q_url_canonical_mined,
+        "token_budget": q_token_budget,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5869,6 +5929,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _c4_clean_sql(),
         "robots_sitemaps": _robots_sitemaps_sql(),
         "url_canonical_mined": _url_canonical_mined_sql(),
+        "token_budget": _token_budget_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

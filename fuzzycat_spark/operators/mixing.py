@@ -286,3 +286,88 @@ def sqrt_temperature_rates(
             / (F.col("s").cast("double") * F.col("n").cast("double")),
         ).alias("rate"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    weight_col: str = "n_tokens",
+    score_col: str = "score",
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Ranked token-budget selection: per key, keep the HIGHEST-scoring
+    documents until their token weights fill `budgets[key]` — the "best
+    1B tokens per language" form a training-mix spec states when quality
+    ranking (not a uniform draw) should decide who makes the cut.
+    Returns (id, key, w, s, kept, status), status in full/boundary/cut.
+
+    `score_col` must be an INTEGER score (fixed-point-quantize floats
+    first, like every exact ranking in this repo): equal scores form one
+    bin, so cross-engine float ordering never decides membership.
+
+    Semantics: score bins sort descending per key; bins whose cumulative
+    weight fits the budget are kept whole ('full'); bins past it are
+    dropped whole ('cut'); the ONE bin straddling the budget
+    ('boundary') admits documents in deterministic (md5(id, seed), id)
+    order while the running total still fits — weights are positive so
+    the running total is monotone and the kept set is a prefix. A
+    rerun, resume, or cluster resize reproduces the identical set;
+    adding/removing a document only perturbs its own bin.
+
+    Scale: one corpus shuffle to (key, score) bins — a table of
+    keys x distinct-scores rows, so the cumulative window runs over the
+    TINY bin table, never the corpus. Budgets ride a broadcast. The
+    corpus pays one join back on (key, score) and ONLY boundary-bin
+    rows enter the admission window: with scores quantized to ~1e4
+    steps a boundary bin is ~1e-4 of a key's rows. Degenerate scoring
+    (every doc the same score) collapses to one bin = one window
+    partition — quantize finer, or fall back to `sample_quota`, if a
+    key's score column can be constant at corpus scale."""
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("w"),
+        F.col(score_col).cast("long").alias("s"),
+    )
+    bdf = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()], "key string, budget bigint"
+    )
+    wb = Window.partitionBy("key").orderBy(F.col("s").desc())
+    bins = (
+        rows.groupBy("key", "s")
+        .agg(F.sum("w").alias("_bw"))
+        .withColumn("_cum", F.sum("_bw").over(wb))
+        .withColumn("_prev", F.col("_cum") - F.col("_bw"))
+        .join(F.broadcast(bdf), "key", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(0)))
+        .withColumn(
+            "status",
+            F.when(F.col("_cum") <= F.col("budget"), F.lit("full"))
+            .when(F.col("_prev") >= F.col("budget"), F.lit("cut"))
+            .otherwise(F.lit("boundary")),
+        )
+    )
+    labeled = rows.join(
+        bins.select("key", "s", "_prev", "budget", "status"), ["key", "s"]
+    )
+    out_cols = ["id", "key", "w", "s", "kept", "status"]
+    # whole-bin verdicts never touch a window; ONLY the straddling bin's
+    # rows pay the admission shuffle
+    settled = labeled.filter(F.col("status") != "boundary").select(
+        "id", "key", "w", "s",
+        (F.col("status") == "full").alias("kept"), "status",
+    )
+    wr = Window.partitionBy("key", "s").orderBy(
+        md5_field48("id", seed).asc(), F.col("id").asc()
+    )
+    run = F.col("_prev") + F.sum("w").over(
+        wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        labeled.filter(F.col("status") == "boundary")
+        .withColumn("kept", run <= F.col("budget"))
+        .select(*out_cols)
+    )
+    return settled.unionByName(edge)

@@ -341,3 +341,51 @@ def test_assign_splits_by_cluster_accepts_docs_carrying_cluster_id(spark):
     assert labels == {1: 1, 2: 1, 3: 3}
     splits = {r.doc_id: r.split for r in out}
     assert splits[1] == splits[2]
+
+
+class TestTokenBudgetSelect:
+    def _run(self, spark, rows, budgets, **kw):
+        from fuzzycat_spark.operators.mixing import token_budget_select
+
+        df = spark.createDataFrame(
+            rows, "doc_id string, lang string, n_tokens long, score long"
+        )
+        out = token_budget_select(df, budgets, score_col="score", **kw)
+        return {r.id: r for r in out.collect()}
+
+    def test_whole_bin_keep_and_cut(self, spark):
+        rows = [("a", "en", 10, 9), ("b", "en", 10, 8), ("c", "en", 10, 7)]
+        got = self._run(spark, rows, {"en": 20})
+        assert got["a"].kept and got["a"].status == "full"
+        assert got["b"].kept and got["b"].status == "full"
+        assert not got["c"].kept and got["c"].status == "cut"
+
+    def test_boundary_prefix_fits_budget(self, spark):
+        # one bin of 5 docs x 10 tokens, budget 25 -> exactly 2 admitted
+        rows = [(f"d{i}", "en", 10, 5) for i in range(5)]
+        got = self._run(spark, rows, {"en": 25})
+        kept = [r for r in got.values() if r.kept]
+        assert len(kept) == 2
+        assert all(r.status == "boundary" for r in got.values())
+
+    def test_absent_key_all_cut(self, spark):
+        got = self._run(spark, [("a", "xx", 5, 1)], {"en": 100})
+        assert not got["a"].kept and got["a"].status == "cut"
+
+    def test_determinism_and_monotone_budget(self, spark):
+        rows = [(f"d{i}", "en", 3 + (i % 4), 50 - i // 7) for i in range(40)]
+        a = self._run(spark, rows, {"en": 60})
+        b = self._run(spark, rows, {"en": 60})
+        assert {k: r.kept for k, r in a.items()} == {
+            k: r.kept for k, r in b.items()
+        }
+        bigger = self._run(spark, rows, {"en": 90})
+        # growing the budget never evicts a previously kept doc
+        for k, r in a.items():
+            if r.kept:
+                assert bigger[k].kept
+
+    def test_total_never_exceeds_budget(self, spark):
+        rows = [(f"d{i}", "en", 7, 5) for i in range(30)]
+        got = self._run(spark, rows, {"en": 100})
+        assert sum(r.w for r in got.values() if r.kept) <= 100
