@@ -264,6 +264,12 @@ def main() -> None:
                         "rates clamp at 1, so tail langs are never "
                         "up-sampled. Requires a lang column; mutually "
                         "exclusive with --mix-budgets; 0 = off")
+    p.add_argument("--token-budgets", default=None, metavar="JSON",
+                   help='JSON {"lang": token_budget}: keep the HIGHEST-'
+                        "quality docs per lang until the budget fills "
+                        "(ranked selection, not a uniform draw); requires "
+                        "a lang column; mutually exclusive with "
+                        "--mix-budgets/--flatten-budget")
     p.add_argument("--use-canonical", action="store_true",
                    help="extract <link rel=canonical> hrefs from the html "
                         "column and feed them to dedup as publisher-"
@@ -305,6 +311,11 @@ def main() -> None:
     args = p.parse_args()
     if args.flatten_budget > 0 and args.mix_budgets:
         p.error("--flatten-budget and --mix-budgets are mutually exclusive")
+    if args.token_budgets and (args.flatten_budget > 0 or args.mix_budgets):
+        p.error(
+            "--token-budgets is mutually exclusive with "
+            "--mix-budgets/--flatten-budget"
+        )
     if args.eval_embeddings and not args.doc_embeddings:
         p.error("--eval-embeddings requires --doc-embeddings (the corpus "
                 "side of the cosine screen)")
@@ -780,6 +791,29 @@ def main() -> None:
             )
 
         docs = ck.stage("flattened", flattened)
+
+    if args.token_budgets:
+        tb = {k: int(v) for k, v in json.loads(args.token_budgets).items()}
+
+        def token_budgeted() -> DataFrame:
+            from fuzzycat_spark.functions.text import quality_score_cols
+            from fuzzycat_spark.operators.mixing import token_budget_select
+
+            cols = quality_score_cols(txt)
+            scored = docs.withColumn("_w", cols["n_tokens"]).withColumn(
+                "_s", F.floor(F.round(cols["quality"], 6) * 100).cast("long")
+            )
+            keep = (
+                token_budget_select(
+                    scored, tb, weight_col="_w", score_col="_s",
+                    key_col="lang", id_col=idc, seed=args.mix_seed,
+                )
+                .filter(F.col("kept"))
+                .select(F.col("id").alias(idc))
+            )
+            return docs.join(keep, on=idc, how="left_semi")
+
+        docs = ck.stage("token_budgeted", token_budgeted)
 
     if args.vocab_top_k > 0:
         from fuzzycat_spark.operators.vocab import token_ngram_counts

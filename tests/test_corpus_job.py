@@ -1178,3 +1178,47 @@ def test_c4_and_gopher_arms(spark, tmp_path, capsys, monkeypatch):
     menu = kept.filter(F.col("url") == "menu").collect()
     assert len(menu) == 1 and "Menu" not in menu[0].text
     assert rec["docs_out"] == len(ids)
+
+
+def test_token_budgets_arm_keeps_best_until_full(spark, tmp_path, capsys, monkeypatch):
+    """--token-budgets keeps the highest-quality docs per lang until the
+    token budget fills; the low-quality digit-spam docs go first."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with the pack for a while before running again")
+    spam = "4491 8472 9920 1038 5561 7203 9984 2217 6645 3390 8854 1121"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"g{i}", good + f" unique tail {i}", "en") for i in range(10)]
+        + [(f"s{i}", spam + f" {i}", "en") for i in range(10)],
+        "url string, text string, lang string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    # each good doc ~24 tokens: budget 120 admits ~5 good docs, no spam
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--token-budgets", '{"en": 120}',
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert kept and all(u.startswith("g") for u in kept)
+    assert rec["docs_out"] == len(kept) <= 6
+
+
+def test_token_budgets_exclusive_with_mix(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("u", "text", "en")], "url string, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _run(
+            ["--input", src, "--output", str(tmp_path / "o"),
+             "--checkpoint", str(tmp_path / "c"),
+             "--token-budgets", '{"en": 10}', "--mix-budgets", '{"en": 10}'],
+            capsys,
+        )
