@@ -882,6 +882,35 @@ SELECT id, key, w, s,
 FROM lab"""
 
 
+def q_host_quality(spark, sf_dir):
+    """Host-level quality screen verdicts (operators/domains.py
+    host_quality_stats): exact fixed-point per-host mean quality
+    (truncating integer division — reduction-order-free, unlike a float
+    mean) with a 0.666 threshold that splits the corpus's sources both
+    ways. ONE partial-aggregated (host, int64) shuffle."""
+    from fuzzycat_spark.operators.domains import host_quality_stats
+
+    return host_quality_stats(
+        _docs(spark, sf_dir).withColumnRenamed("source", "host"),
+        host_col="host",
+        min_mean_quality_fp=666_000,
+    )
+
+
+def _host_quality_sql() -> str:
+    return f"""
+WITH q AS ({_QUALITY_SQL})
+SELECT host, n_docs, mean_quality_fp,
+  (n_docs >= 1 AND mean_quality_fp >= 666000) AS keep
+FROM (
+  SELECT d.source AS host,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CAST(floor(q.quality * 1000000) AS BIGINT))
+         // count(*) AS BIGINT) AS mean_quality_fp
+  FROM documents d JOIN q USING (doc_id)
+  GROUP BY d.source)"""
+
+
 def q_quality(spark, sf_dir):
     cols = quality_score_cols("text")
     return _docs(spark, sf_dir).select(
@@ -5773,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "url_canonical_mined": q_url_canonical_mined,
         "token_budget": q_token_budget,
+        "host_quality": q_host_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5930,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _robots_sitemaps_sql(),
         "url_canonical_mined": _url_canonical_mined_sql(),
         "token_budget": _token_budget_sql(),
+        "host_quality": _host_quality_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

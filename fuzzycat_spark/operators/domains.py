@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from fuzzycat_spark.functions.text import quality_score_cols
 
-__all__ = ["domain_cap"]
+__all__ = ["domain_cap", "host_quality_stats", "host_quality_screen"]
 
 
 def domain_cap(
@@ -69,3 +69,68 @@ def domain_cap(
         .filter(F.col("rank") <= max_per_domain)
         .select("id", "domain", "quality", "rank")
     )
+
+
+def host_quality_stats(
+    docs: DataFrame,
+    host_col: str,
+    text_col: str = "text",
+    min_mean_quality_fp: int = 0,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Host-level quality verdicts — the RefinedWeb/FineWeb-style screen
+    that drops WHOLE sites, not single pages: a content farm's every
+    page scores mediocre, and page-level thresholds leak its long tail.
+    Returns (host, n_docs, mean_quality_fp, keep) with keep = host has
+    >= min_docs pages AND mean quality >= the threshold.
+
+    The mean is exact integer arithmetic: per-page quality quantizes to
+    1e6 fixed point (floor), the per-host sum is int64, and the mean is
+    TRUNCATING integer division (`div`) — reduction-order-free and
+    hash-matchable cross-engine, unlike a float mean. Thresholds are
+    fixed-point too (666000 = 0.666).
+
+    Scale: ONE partial-aggregated shuffle of (host, int64) rows; the
+    verdict table is hosts-sized and broadcastable into
+    `host_quality_screen`."""
+    q = quality_score_cols(text_col)["quality"]
+    fp = F.floor(F.round(q, 6) * F.lit(1_000_000)).cast("long")
+    agg = (
+        docs.select(F.col(host_col).alias("host"), fp.alias("_qfp"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_qfp").alias("_sum"),
+        )
+    )
+    mean = F.expr("_sum div n_docs")
+    return agg.select(
+        "host",
+        "n_docs",
+        mean.alias("mean_quality_fp"),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            & (mean >= F.lit(min_mean_quality_fp))
+        ).alias("keep"),
+    )
+
+
+def host_quality_screen(
+    docs: DataFrame,
+    host_col: str,
+    text_col: str = "text",
+    min_mean_quality_fp: int = 0,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Drop every page of every host failing `host_quality_stats` — the
+    verdict table broadcasts (hosts-sized), the corpus pays one
+    BroadcastHashJoin left-semi, zero extra shuffles on the page side
+    beyond the stats aggregation itself."""
+    kept = (
+        host_quality_stats(
+            docs, host_col, text_col, min_mean_quality_fp, min_docs
+        )
+        .filter(F.col("keep"))
+        .select(F.col("host").alias(host_col))
+    )
+    return docs.join(F.broadcast(kept), on=host_col, how="left_semi")

@@ -119,6 +119,13 @@ def main() -> None:
                         "scores the teleport base 150000000) and drop pages "
                         "whose host scores below FP; kept pages gain a "
                         "host_centrality column (0 disables)")
+    p.add_argument("--min-host-quality", type=int, default=0, metavar="FP",
+                   help="drop WHOLE hosts whose mean page quality (1e6 "
+                        "fixed point, exact integer mean) is below FP "
+                        "(e.g. 600000 = 0.6); 0 disables")
+    p.add_argument("--min-host-docs", type=int, default=1,
+                   help="with --min-host-quality: also drop hosts with "
+                        "fewer than this many pages")
     p.add_argument("--min-lm-score", type=int, default=0, metavar="FP",
                    help="CCNet-style fluency floor: score every page under "
                         "the corpus's own bigram LM (integer fixed point, "
@@ -528,6 +535,24 @@ def main() -> None:
             )
 
         pages = ck.stage("host_filtered", host_filtered)
+
+    if args.min_host_quality > 0:
+        # 1b1b. host-level quality: drop WHOLE sites whose mean page
+        # quality (exact fixed point) falls under the floor — content
+        # farms leak through page-level thresholds via their long tail
+        def host_quality_filtered() -> DataFrame:
+            from fuzzycat_spark.functions.urls import surt_host
+            from fuzzycat_spark.operators.domains import host_quality_screen
+
+            return host_quality_screen(
+                pages.withColumn("_hq_host", surt_host(F.col(idc))),
+                "_hq_host",
+                text_col=txt,
+                min_mean_quality_fp=args.min_host_quality,
+                min_docs=args.min_host_docs,
+            ).drop("_hq_host")
+
+        pages = ck.stage("host_quality_filtered", host_quality_filtered)
 
     # 1b2. optional learned quality filter: integer linear score over
     # hashed n-gram features against a pinned vocabulary, BEFORE dedup —

@@ -1222,3 +1222,30 @@ def test_token_budgets_exclusive_with_mix(spark, tmp_path, capsys, monkeypatch):
              "--token-budgets", '{"en": 10}', "--mix-budgets", '{"en": 10}'],
             capsys,
         )
+
+
+def test_min_host_quality_arm_drops_spam_host(spark, tmp_path, capsys, monkeypatch):
+    """--min-host-quality removes every page of the digit-farm host,
+    including its one decent-looking page, while the prose host stays."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with the pack for a good long while")
+    spam = "4491 8472 9920 1038 5561 7203 9984 2217 6645 3390"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"https://prose.com/{i}", good + f" {i}") for i in range(5)]
+        + [(f"https://farm.net/{i}", spam + f" {i}") for i in range(5)]
+        + [("https://farm.net/decoy", good)],  # dragged down by its host
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--min-host-quality", "500000",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {f"https://prose.com/{i}" for i in range(5)}
+    assert rec["docs_out"] == 5

@@ -42,3 +42,63 @@ def test_ties_break_on_min_id_and_under_cap_domains_survive(spark):
     out = domain_cap(docs, "src", max_per_domain=2, quality_col="q", salt=2)
     got = sorted((r.domain, r.rank, r.id) for r in out.collect())
     assert got == [("a", 1, 3), ("a", 2, 7), ("b", 1, 1)]
+
+
+class TestHostQuality:
+    GOOD = ("the quick brown fox jumps over the lazy dog and it then "
+            "rests with the pack of hounds for a while")
+    SPAM = "9482 1038 7261 5540 8823 1902 6674 3319 7248 5561"
+
+    def _df(self, spark):
+        rows = [(f"g{i}", "good.com", self.GOOD + f" {i}") for i in range(4)]
+        rows += [(f"s{i}", "spam.net", self.SPAM + f" {i}") for i in range(4)]
+        rows += [("lone", "tiny.org", self.GOOD)]
+        return spark.createDataFrame(
+            rows, "doc_id string, host string, text string"
+        )
+
+    def test_stats_and_threshold(self, spark):
+        from fuzzycat_spark.operators.domains import host_quality_stats
+
+        got = {
+            r.host: r
+            for r in host_quality_stats(
+                self._df(spark), "host", min_mean_quality_fp=500_000
+            ).collect()
+        }
+        assert got["good.com"].keep is True
+        assert got["spam.net"].keep is False
+        assert got["good.com"].mean_quality_fp > got["spam.net"].mean_quality_fp
+        assert got["good.com"].n_docs == 4
+
+    def test_min_docs_drops_sparse_hosts(self, spark):
+        from fuzzycat_spark.operators.domains import host_quality_stats
+
+        got = {
+            r.host: r.keep
+            for r in host_quality_stats(
+                self._df(spark), "host", min_docs=2
+            ).collect()
+        }
+        assert got["tiny.org"] is False and got["good.com"] is True
+
+    def test_screen_removes_whole_host(self, spark):
+        from fuzzycat_spark.operators.domains import host_quality_screen
+
+        kept = host_quality_screen(
+            self._df(spark), "host", min_mean_quality_fp=500_000
+        )
+        hosts = {r.host for r in kept.select("host").distinct().collect()}
+        assert hosts == {"good.com", "tiny.org"}
+        assert kept.count() == 5
+
+    def test_mean_is_exact_integer_division(self, spark):
+        from fuzzycat_spark.operators.domains import host_quality_stats
+
+        df = spark.createDataFrame(
+            [("a", "h", "the fox and the dog"), ("b", "h", "9913 8820 1039")],
+            "doc_id string, host string, text string",
+        )
+        r = host_quality_stats(df, "host").collect()[0]
+        # truncating div of the two fixed-point scores, never a float mean
+        assert isinstance(r.mean_quality_fp, int)
