@@ -186,7 +186,6 @@ def url_dup_pairs(
 
 def mine_tracking_params(
     docs: DataFrame,
-    id_col: str = "url_id",
     url_col: str = "url",
     text_col: str = "text",
     min_support: int = 3,

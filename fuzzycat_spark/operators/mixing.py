@@ -301,7 +301,9 @@ def token_budget_select(
     documents until their token weights fill `budgets[key]` — the "best
     1B tokens per language" form a training-mix spec states when quality
     ranking (not a uniform draw) should decide who makes the cut.
-    Returns (id, key, w, s, kept, status), status in full/boundary/cut.
+    Returns (id, key, w, s, kept, status), status in
+    full/boundary/cut/invalid (invalid = NULL key or score: never kept,
+    but never silently dropped either).
 
     `score_col` must be an INTEGER score (fixed-point-quantize floats
     first, like every exact ranking in this repo): equal scores form one
@@ -325,11 +327,19 @@ def token_budget_select(
     (every doc the same score) collapses to one bin = one window
     partition — quantize finer, or fall back to `sample_quota`, if a
     key's score column can be constant at corpus scale."""
-    rows = df.select(
+    allrows = df.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("w"),
         F.col(score_col).cast("long").alias("s"),
+    )
+    # NULL keys/scores can never join back onto a bin (null != null in an
+    # equi-join) — report them as 'invalid' instead of dropping them
+    valid = F.col("key").isNotNull() & F.col("s").isNotNull()
+    rows = allrows.filter(valid)
+    invalid = allrows.filter(~valid).select(
+        "id", "key", "w", "s", F.lit(False).alias("kept"),
+        F.lit("invalid").alias("status"),
     )
     bdf = df.sparkSession.createDataFrame(
         [(k, int(v)) for k, v in budgets.items()], "key string, budget bigint"
@@ -370,4 +380,4 @@ def token_budget_select(
         .withColumn("kept", run <= F.col("budget"))
         .select(*out_cols)
     )
-    return settled.unionByName(edge)
+    return settled.unionByName(edge).unionByName(invalid)

@@ -57,6 +57,14 @@ DIRECTIVE_RE = r"(?i)^(allow|disallow)\s*:"
 RULE_PATH_RE = r"(?i)^(?:allow|disallow)\s*:\s*(\S+)"
 
 
+def _clean_line(raw: Column | str) -> Column:
+    """Shared robots.txt line normalization: drop \\r (CRLF), strip
+    `#` comments, trim — one definition so `robots_rules` and
+    `robots_sitemaps` can never diverge."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    return F.trim(F.regexp_replace(F.regexp_replace(c, "\r", ""), "#.*$", ""))
+
+
 def url_path_col(col: Column | str) -> Column:
     """Path of a URL column for robots matching; empty path -> '/'."""
     c = F.col(col) if isinstance(col, str) else col
@@ -79,8 +87,7 @@ def robots_rules(
         surt_host(F.col(host_col)).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
     )
-    # normalize: drop \r (CRLF), strip comments, trim
-    clean = F.trim(F.regexp_replace(F.regexp_replace("raw", "\r", ""), "#.*$", ""))
+    clean = _clean_line("raw")
     lines = lines.select(
         "host",
         "pos",
@@ -194,12 +201,12 @@ def robots_sitemaps(
         surt_host(F.col(host_col)).alias("host"),
         F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
     )
-    clean = F.trim(
-        F.regexp_replace(F.regexp_replace("raw", "\r", ""), "#.*$", "")
-    )
     return (
         lines.select(
-            "host", F.regexp_extract(clean, SITEMAP_RE, 1).alias("sitemap_url")
+            "host",
+            F.regexp_extract(_clean_line("raw"), SITEMAP_RE, 1).alias(
+                "sitemap_url"
+            ),
         )
         .filter(F.col("sitemap_url").rlike("^(?i)https?://"))
         .distinct()

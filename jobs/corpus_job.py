@@ -433,9 +433,7 @@ def main() -> None:
             # clean BEFORE admission so scores judge the text that will
             # actually ship; page verdict first, then the line rewrite
             cc = c4_clean_cols(txt)
-            raw = raw.filter(cc["keep"]).withColumn(
-                txt, c4_clean_cols(txt)["text_clean"]
-            )
+            raw = raw.filter(cc["keep"]).withColumn(txt, cc["text_clean"])
         pages = admission_filter(
             raw, txt,
             min_tokens=args.min_tokens,

@@ -389,3 +389,17 @@ class TestTokenBudgetSelect:
         rows = [(f"d{i}", "en", 7, 5) for i in range(30)]
         got = self._run(spark, rows, {"en": 100})
         assert sum(r.w for r in got.values() if r.kept) <= 100
+
+    def test_null_key_or_score_reported_invalid(self, spark):
+        from fuzzycat_spark.operators.mixing import token_budget_select
+
+        df = spark.createDataFrame(
+            [("a", "en", 10, 9), ("b", None, 10, 9), ("c", "en", 10, None)],
+            "doc_id string, lang string, n_tokens long, score long",
+        )
+        out = token_budget_select(df, {"en": 100}, score_col="score")
+        got = {r.id: r for r in out.collect()}
+        assert len(got) == 3  # nothing silently dropped
+        assert got["a"].kept is True
+        for k in ("b", "c"):
+            assert got[k].kept is False and got[k].status == "invalid"
