@@ -1214,6 +1214,61 @@ SELECT url_id AS id,
 FROM j"""
 
 
+_TRAP_FIXTURE = "/root/repo/fixtures/trap_docs.parquet"
+
+
+def q_crawler_traps(spark, sf_dir):
+    """Crawler-trap detection (functions/urls.crawler_traps): digit-run
+    URL templates that explode into many URLs over few contents —
+    planted infinite calendar (30 urls / 3 texts) and faceted search
+    (12/2) flag; real content families (/post/N 10/10, /guide/N 4/4)
+    and below-support singletons don't. ONE partial-agg shuffle of
+    (key, hash) pairs per (host, template)."""
+    from fuzzycat_spark.functions.urls import crawler_traps
+
+    return crawler_traps(spark.read.parquet(_TRAP_FIXTURE))
+
+
+def _crawler_traps_sql() -> str:
+    host = _surt_host_col_sql("h1")
+    static = (
+        "'^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)"
+        "(=.*)?$'"
+    )
+    return rf"""
+WITH parsed0 AS (
+  SELECT
+    lower(regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)) AS host0,
+    regexp_extract(t, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(t, '^[^?#]*\?([^#]*)', 1) AS query0,
+    md5(text) AS h
+  FROM (SELECT trim(url) AS t, text FROM '{_TRAP_FIXTURE}')),
+parsed AS (
+  SELECT {host} AS host,
+    regexp_replace(path0 || CASE WHEN query0 <> ''
+      THEN '?' || query0 ELSE '' END, '[0-9]+', 'N', 'g') AS template,
+    {host} || ')' ||
+      regexp_replace(regexp_replace(path0, '/index\.(html?|php)$', ''),
+                     '/+$', '')
+      || CASE WHEN len(params) > 0
+         THEN '?' || array_to_string(list_sort(params), '&')
+         ELSE '' END AS k,
+    h
+  FROM (SELECT host0, path0, query0, h,
+          regexp_replace(regexp_replace(host0, '^www\.', ''),
+                         ':(80|443)$', '') AS h1,
+          list_sort(list_filter(string_split(query0, '&'),
+            p -> p <> '' AND NOT regexp_matches(p, {static}))) AS params
+        FROM parsed0))
+SELECT host, template, n_urls, n_contents,
+  CAST(n_contents AS DOUBLE) / n_urls AS content_ratio,
+  (n_urls >= 8 AND CAST(n_contents AS DOUBLE) / n_urls <= 0.5) AS is_trap
+FROM (SELECT host, template,
+        CAST(count(DISTINCT k) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT h) AS BIGINT) AS n_contents
+      FROM parsed GROUP BY host, template)"""
+
+
 _SITEMAP_FIXTURE = "/root/repo/fixtures/sitemap_docs.parquet"
 _SITEMAP_PAGES = "/root/repo/fixtures/sitemap_pages.parquet"
 
@@ -5803,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_mined": q_url_canonical_mined,
         "token_budget": q_token_budget,
         "host_quality": q_host_quality,
+        "crawler_traps": q_crawler_traps,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -5961,6 +6017,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_mined": _url_canonical_mined_sql(),
         "token_budget": _token_budget_sql(),
         "host_quality": _host_quality_sql(),
+        "crawler_traps": _crawler_traps_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

@@ -39,6 +39,8 @@ __all__ = [
     "url_dup_pairs",
     "mine_tracking_params",
     "canonicalize_with_mined",
+    "crawler_traps",
+    "url_template",
     "TRACKING_PARAM_RE",
 ]
 
@@ -323,6 +325,69 @@ def mine_tracking_params(
             (F.col("n_urls") >= F.lit(min_support))
             & (clean_rate >= F.lit(min_clean_rate))
         ).alias("is_tracking"),
+    )
+
+
+def url_template(col: Column | str) -> Column:
+    """Digit-run URL template: path?query with every [0-9]+ run
+    collapsed to `N` — the family key `crawler_traps` aggregates on,
+    exported so a screen can re-key pages against a trap table."""
+    t = F.trim(F.col(col) if isinstance(col, str) else col)
+    path = F.regexp_extract(t, _PATH_RE, 1)
+    query = F.regexp_extract(t, _QUERY_RE, 1)
+    tail = F.concat(
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.regexp_replace(tail, r"[0-9]+", "N")
+
+
+def crawler_traps(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_urls: int = 8,
+    max_content_ratio: float = 0.5,
+) -> DataFrame:
+    """Crawler-trap detection: URL TEMPLATES (digit runs in path+query
+    collapsed to `N`) that explode into many distinct URLs while serving
+    few distinct contents — infinite calendars, faceted search,
+    session-path mazes. The frontier-hygiene complement of
+    `mine_tracking_params`: that one learns which PARAMS to strip, this
+    one learns which URL FAMILIES to stop fetching.
+
+    Per (host, template): n_urls distinct canonical keys, n_contents
+    distinct content hashes, content_ratio = n_contents/n_urls;
+    `is_trap` when n_urls >= min_urls and content_ratio <=
+    max_content_ratio. A real content family (/post/N with N real
+    posts) keeps ratio ~1 and never flags.
+
+    Scale shape: text reduces to one md5 in the first projection, the
+    template is a per-row regexp, ONE partial-aggregated shuffle on
+    (host, template) of (key, hash) pairs — counts via distinct
+    aggregation, no pair expansion anywhere."""
+    t = F.trim(F.col(url_col))
+    parsed = docs.select(
+        surt_host(t).alias("host"),
+        url_template(t).alias("template"),
+        surt_key(F.col(url_col)).alias("_k"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    agg = parsed.groupBy("host", "template").agg(
+        F.count_distinct("_k").alias("n_urls"),
+        F.count_distinct("_h").alias("n_contents"),
+    )
+    ratio = F.col("n_contents") / F.col("n_urls")
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_contents",
+        ratio.alias("content_ratio"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (ratio <= F.lit(max_content_ratio))
+        ).alias("is_trap"),
     )
 
 

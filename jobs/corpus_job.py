@@ -119,6 +119,12 @@ def main() -> None:
                         "scores the teleport base 150000000) and drop pages "
                         "whose host scores below FP; kept pages gain a "
                         "host_centrality column (0 disables)")
+    p.add_argument("--drop-crawler-traps", type=int, default=0,
+                   metavar="MIN_URLS",
+                   help="drop every page of a (host, digit-template) URL "
+                        "family with >= MIN_URLS distinct canonical URLs "
+                        "but <= half as many distinct contents (infinite "
+                        "calendars, faceted search); 0 disables")
     p.add_argument("--min-host-quality", type=int, default=0, metavar="FP",
                    help="drop WHOLE hosts whose mean page quality (1e6 "
                         "fixed point, exact integer mean) is below FP "
@@ -533,6 +539,38 @@ def main() -> None:
             )
 
         pages = ck.stage("host_filtered", host_filtered)
+
+    if args.drop_crawler_traps > 0:
+        # 1b1a. URL-family trap screen: the trap table is (host,
+        # template)-sized and broadcasts; pages pay one left-anti join
+        def trap_screened() -> DataFrame:
+            from fuzzycat_spark.functions.urls import (
+                crawler_traps,
+                surt_host,
+                url_template,
+            )
+
+            traps = (
+                crawler_traps(
+                    pages.select(
+                        F.col(idc).alias("url"), F.col(txt).alias("text")
+                    ),
+                    min_urls=args.drop_crawler_traps,
+                )
+                .filter(F.col("is_trap"))
+                .select("host", "template")
+            )
+            keyed = pages.withColumn(
+                "_trap_host", surt_host(F.col(idc))
+            ).withColumn("_trap_tpl", url_template(F.col(idc)))
+            return keyed.join(
+                F.broadcast(traps),
+                on=(keyed["_trap_host"] == traps["host"])
+                & (keyed["_trap_tpl"] == traps["template"]),
+                how="left_anti",
+            ).drop("_trap_host", "_trap_tpl")
+
+        pages = ck.stage("trap_screened", trap_screened)
 
     if args.min_host_quality > 0:
         # 1b1b. host-level quality: drop WHOLE sites whose mean page

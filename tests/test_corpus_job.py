@@ -1249,3 +1249,30 @@ def test_min_host_quality_arm_drops_spam_host(spark, tmp_path, capsys, monkeypat
     kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
     assert kept == {f"https://prose.com/{i}" for i in range(5)}
     assert rec["docs_out"] == 5
+
+
+def test_drop_crawler_traps_arm(spark, tmp_path, capsys, monkeypatch):
+    """--drop-crawler-traps removes the infinite-calendar family while
+    the real content family on the same host survives."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with the pack for a while")
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(f"https://a.com/cal?d={i}", f"{good} calendar {i % 2}")
+         for i in range(12)]
+        + [(f"https://a.com/post/{i}", f"{good} real post {i}")
+           for i in range(6)],
+        "url string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--drop-crawler-traps", "8",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
+    assert kept == {f"https://a.com/post/{i}" for i in range(6)}
+    assert rec["docs_out"] == 6

@@ -264,3 +264,45 @@ class TestCanonicalizeWithMined:
             surt_key(F.col("url"), F.col("strip")).alias("dyn"),
         ).first()
         assert r.plain == r.dyn == "com,h)/p?a=1"
+
+
+class TestCrawlerTraps:
+    def _run(self, spark, rows, **kw):
+        from fuzzycat_spark.functions.urls import crawler_traps
+
+        df = spark.createDataFrame(
+            [(i, u, t) for i, (u, t) in enumerate(rows)],
+            "url_id long, url string, text string",
+        )
+        return {
+            (r.host, r.template): r for r in crawler_traps(df, **kw).collect()
+        }
+
+    def test_calendar_trap_flags(self, spark):
+        rows = [
+            (f"https://a.com/cal?d={i}", f"rotating {i % 2}") for i in range(10)
+        ]
+        r = self._run(spark, rows)[("com,a", "/cal?d=N")]
+        assert (r.n_urls, r.n_contents, r.is_trap) == (10, 2, True)
+
+    def test_real_content_family_does_not_flag(self, spark):
+        rows = [(f"https://a.com/post/{i}", f"post {i}") for i in range(10)]
+        r = self._run(spark, rows)[("com,a", "/post/N")]
+        assert (r.n_urls, r.n_contents, r.is_trap) == (10, 10, False)
+
+    def test_min_urls_support(self, spark):
+        rows = [(f"https://a.com/x?p={i}", "same") for i in range(3)]
+        r = self._run(spark, rows)[("com,a", "/x?p=N")]
+        assert r.is_trap is False  # ratio 1/3 but support 3 < 8
+        r2 = self._run(spark, rows, min_urls=3)[("com,a", "/x?p=N")]
+        assert r2.is_trap is True
+
+    def test_distinct_keys_not_raw_urls(self, spark):
+        # tracking-param variants collapse to one canonical key, so a
+        # utm farm does not inflate n_urls
+        rows = [
+            (f"https://a.com/page?id=7&utm_source=s{i}", "same")
+            for i in range(10)
+        ]
+        r = self._run(spark, rows)[("com,a", "/page?id=N&utm_source=sN")]
+        assert r.n_urls == 1 and r.is_trap is False
