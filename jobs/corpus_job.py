@@ -119,6 +119,13 @@ def main() -> None:
                         "scores the teleport base 150000000) and drop pages "
                         "whose host scores below FP; kept pages gain a "
                         "host_centrality column (0 disables)")
+    p.add_argument("--collapse-revisits", default=None, metavar="TS_COL",
+                   help="collapse crawl revisits BEFORE any text stage: "
+                        "keep one row per canonical SURT key — the newest "
+                        "TS_COL snapshot, timestamp ties to lowest id "
+                        "(functions/urls.latest_revision); on a recrawled "
+                        "corpus this stops revisit pairs from ever "
+                        "reaching dedup")
     p.add_argument("--drop-crawler-traps", type=int, default=0,
                    metavar="MIN_URLS",
                    help="drop every page of a (host, digit-template) URL "
@@ -427,6 +434,21 @@ def main() -> None:
             if args.use_canonical:
                 raw = raw.withColumn("canonical", F.col("_dir.canonical"))
             raw = raw.drop("_dir")
+        if args.collapse_revisits:
+            from fuzzycat_spark.functions.urls import latest_revision
+
+            # URL-level first: one (id, ts) winner per canonical key,
+            # joined back on BOTH columns so older snapshots of the same
+            # URL leave too (id alone would readmit them)
+            winners = latest_revision(
+                raw, url_col=idc, ts_col=args.collapse_revisits, id_col=idc
+            ).select(
+                F.col("id").alias(idc),
+                F.col(args.collapse_revisits),
+            )
+            raw = raw.join(
+                winners, on=[idc, args.collapse_revisits], how="left_semi"
+            )
         if args.fix_encoding:
             from fuzzycat_spark.functions.encoding import fix_mojibake
 

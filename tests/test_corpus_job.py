@@ -1276,3 +1276,38 @@ def test_drop_crawler_traps_arm(spark, tmp_path, capsys, monkeypatch):
     kept = {r.url for r in spark.read.parquet(out_dir).select("url").collect()}
     assert kept == {f"https://a.com/post/{i}" for i in range(6)}
     assert rec["docs_out"] == 6
+
+
+def test_collapse_revisits_arm(spark, tmp_path, capsys, monkeypatch):
+    """--collapse-revisits keeps one newest snapshot per canonical URL:
+    the www/scheme respellings and older fetches all leave before dedup."""
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    good = ("the quick brown fox jumps over the lazy dog and rests "
+            "with the pack for a while")
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            ("https://a.com/page", "2026-01-01", good + " v1"),
+            ("https://a.com/page", "2026-03-01", good + " v3"),   # winner
+            ("http://www.a.com/page", "2026-02-01", good + " v2"),
+            ("https://a.com/other", "2026-01-15", good + " other"),
+        ],
+        "url string, warc_ts string, text string",
+    ).write.mode("overwrite").parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rec = _run(
+        ["--input", src, "--output", out_dir, "--checkpoint", ckpt,
+         "--strategies", "exact", "--collapse-revisits", "warc_ts",
+         "--min-quality", "0", "--min-tokens", "1",
+         "--no-repetition-filter", "--n-shards", "2"],
+        capsys,
+    )
+    kept = {
+        (r.url, r.text[-2:])
+        for r in spark.read.parquet(out_dir).select("url", "text").collect()
+    }
+    assert kept == {
+        ("https://a.com/page", "v3"),
+        ("https://a.com/other", "er"),
+    }
+    assert rec["docs_out"] == 2
