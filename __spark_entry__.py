@@ -3750,7 +3750,9 @@ rfeat AS (
   SELECT host, pos,
     lower(regexp_extract(line, {q(rb.UA_RE)}, 1)) AS ua,
     lower(regexp_extract(line, {q(rb.DIRECTIVE_RE)}, 1)) AS directive,
-    regexp_extract(line, {q(rb.RULE_PATH_RE)}, 1) AS path
+    regexp_extract(line, {q(rb.RULE_PATH_RE)}, 1) AS path,
+    TRY_CAST(regexp_extract(line, {q(rb.CRAWL_DELAY_RE)}, 1) AS DOUBLE)
+      AS delay
   FROM (
     SELECT host, pos,
       trim(regexp_replace(regexp_replace(raw, chr(13), '', 'g'),
@@ -3759,14 +3761,14 @@ rfeat AS (
   )
 ),
 rlag AS (
-  SELECT host, pos, ua, directive, path,
+  SELECT host, pos, ua, directive, path, delay,
     CASE WHEN ua <> '' AND NOT coalesce(
           lag(ua <> '') OVER (PARTITION BY host ORDER BY pos), FALSE)
         THEN 1 ELSE 0 END AS block_start
   FROM rfeat
 ),
 rgrp AS (
-  SELECT host, pos, ua, directive, path,
+  SELECT host, pos, ua, directive, path, delay,
     sum(block_start) OVER (PARTITION BY host ORDER BY pos) AS gid
   FROM rlag
 ),
@@ -3784,6 +3786,26 @@ def _robots_rules_sql() -> str:
     return f"""
 WITH {_robots_rules_cte()}
 SELECT host, path, allow, specificity FROM rrules"""
+
+
+def q_robots_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction (operators/robots.py robots_crawl_delays):
+    group-DEPENDENT unlike Sitemap — the fixture plants a named-bot
+    delay that must NOT apply, two *-group values (min wins), an
+    uppercase+CRLF+comment form, and a non-numeric value that try-cast
+    drops. Same gid machinery as robots_rules."""
+    from fuzzycat_spark.operators.robots import robots_crawl_delays
+
+    return robots_crawl_delays(spark.read.parquet(_ROBOTS_FIXTURE))
+
+
+def _robots_crawl_delays_sql() -> str:
+    return f"""
+WITH {_robots_rules_cte()}
+SELECT g.host, min(g.delay) AS crawl_delay
+FROM rgrp g JOIN rstar s ON g.host = s.host AND g.gid = s.gid
+WHERE g.delay IS NOT NULL AND g.gid > 0
+GROUP BY g.host"""
 
 
 def _robots_decisions_sql() -> str:
@@ -5859,6 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "host_quality": q_host_quality,
         "crawler_traps": q_crawler_traps,
+        "robots_crawl_delays": q_robots_crawl_delays,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "minhash_sigs": q_minhash_sigs,
@@ -6018,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": _token_budget_sql(),
         "host_quality": _host_quality_sql(),
         "crawler_traps": _crawler_traps_sql(),
+        "robots_crawl_delays": _robots_crawl_delays_sql(),
         "fingerprint": f"""
             WITH {_BASE_CTES}
             SELECT doc_id,

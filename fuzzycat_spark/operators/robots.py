@@ -45,6 +45,7 @@ __all__ = [
     "robots_rules",
     "robots_decisions",
     "robots_sitemaps",
+    "robots_crawl_delays",
     "url_path_col",
 ]
 
@@ -53,6 +54,7 @@ _PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)"
 
 UA_RE = r"(?i)^user-agent\s*:\s*(\S+)"
 SITEMAP_RE = r"(?i)^sitemap\s*:\s*(\S+)"
+CRAWL_DELAY_RE = r"(?i)^crawl-delay\s*:\s*(\S+)"
 DIRECTIVE_RE = r"(?i)^(allow|disallow)\s*:"
 RULE_PATH_RE = r"(?i)^(?:allow|disallow)\s*:\s*(\S+)"
 
@@ -72,17 +74,13 @@ def url_path_col(col: Column | str) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
-def robots_rules(
-    robots: DataFrame,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
-) -> DataFrame:
-    """(host, path, allow, specificity) literal-prefix rules from every
-    `User-agent: *` group — see the module docstring for the exact
-    subset. `host` is the SURT host key (so it co-keys with
-    `robots_decisions`' page side); `specificity` = length(path), the
-    longest-match ranking key, precomputed once here instead of per
-    page-rule pair."""
+def _star_grouped(
+    robots: DataFrame, host_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared group machinery: normalized lines with their UA-group id
+    (`grouped`: host, pos, line, ua, directive, path, gid) and the set
+    of `User-agent: *` groups (`star_groups`: host, gid) — one
+    definition behind `robots_rules` and `robots_crawl_delays`."""
     lines = robots.select(
         surt_host(F.col(host_col)).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
@@ -112,6 +110,21 @@ def robots_rules(
         .select("host", "gid")
         .distinct()
     )
+    return grouped, star_groups
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, path, allow, specificity) literal-prefix rules from every
+    `User-agent: *` group — see the module docstring for the exact
+    subset. `host` is the SURT host key (so it co-keys with
+    `robots_decisions`' page side); `specificity` = length(path), the
+    longest-match ranking key, precomputed once here instead of per
+    page-rule pair."""
+    grouped, star_groups = _star_grouped(robots, host_col, text_col)
     return (
         grouped.filter(
             (F.col("directive") != "")
@@ -211,3 +224,28 @@ def robots_sitemaps(
         .filter(F.col("sitemap_url").rlike("^(?i)https?://"))
         .distinct()
     )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) — the `Crawl-delay:` politeness hint from each
+    host's `User-agent: *` groups. Unlike `Sitemap:` this directive is
+    GROUP-DEPENDENT: a delay inside a named-bot group does not apply to
+    us, exactly like its Allow/Disallow siblings (same gid machinery as
+    `robots_rules`, so pre-UA lines are invalid too). Non-numeric values
+    drop via try-cast; several `*`-group declarations take the MIN
+    (most conservative politeness, deterministic). Hosts with no valid
+    declaration are absent — the fetcher's default applies."""
+    grouped, star_groups = _star_grouped(robots, host_col, text_col)
+    delays = (
+        grouped.withColumn(
+            "_delay",
+            F.regexp_extract("line", CRAWL_DELAY_RE, 1).try_cast("double"),
+        )
+        .filter(F.col("_delay").isNotNull() & (F.col("gid") > 0))
+        .join(star_groups, on=["host", "gid"], how="left_semi")
+    )
+    return delays.groupBy("host").agg(F.min("_delay").alias("crawl_delay"))

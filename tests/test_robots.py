@@ -125,3 +125,28 @@ class TestRobotsSitemaps:
         )
         rows = robots_rules(df).collect()
         assert [(r.path, r.allow) for r in rows] == [("/x", False)]
+
+
+class TestCrawlDelays:
+    def _delays(self, spark, txt: str):
+        from fuzzycat_spark.operators.robots import robots_crawl_delays
+
+        df = spark.createDataFrame(
+            [("h.com", txt)], "host string, robots_txt string"
+        )
+        return {r.host: r.crawl_delay for r in robots_crawl_delays(df).collect()}
+
+    def test_group_dependent_and_min(self, spark):
+        txt = (
+            "User-agent: bigbot\nCrawl-delay: 60\n\n"
+            "User-agent: *\nDisallow: /x\nCrawl-delay: 4\nCrawl-delay: 2.5\n"
+        )
+        assert self._delays(spark, txt) == {"com,h": 2.5}
+
+    def test_named_group_only_does_not_apply(self, spark):
+        txt = "User-agent: bigbot\nCrawl-delay: 60\n"
+        assert self._delays(spark, txt) == {}
+
+    def test_pre_ua_and_garbage_dropped(self, spark):
+        txt = "Crawl-delay: 7\nUser-agent: *\nCrawl-delay: soon\n"
+        assert self._delays(spark, txt) == {}

@@ -15,7 +15,10 @@ every branch of operators/robots.py is non-vacuous:
 - a page on a host with no robots.txt at all -> default allow;
 - Sitemap: declarations (group-independent): pre-UA, inside a named-bot
   group, duplicated (-> one row), uppercase+CRLF+comment, and a relative
-  value that must be dropped.
+  value that must be dropped;
+- Crawl-delay (group-DEPENDENT): in the * group (applies), in a
+  named-bot group only (must NOT apply), several *-group values (min
+  wins), uppercase+CRLF+comment, and a non-numeric value (dropped).
 
 Pure pyarrow; the committed parquet, not this script, is the gate input.
 Run: python tools/make_robots_fixture.py
@@ -34,7 +37,9 @@ ROBOTS: list[tuple[str, str]] = [
         "User-agent: *\n"
         "Disallow: /private/\n"
         "Allow: /private/public/\n"
-        "Disallow: /tmp\n",
+        "Disallow: /tmp\n"
+        # group-dependent: inside the * group -> applies
+        "Crawl-delay: 2\n",
     ),
     (
         "bots.example.net",
@@ -42,10 +47,15 @@ ROBOTS: list[tuple[str, str]] = [
         "Disallow: /\n"
         # inside a named-bot group: STILL counts (group-independent)
         "Sitemap: https://bots.example.net/sm-main.xml\n"
+        # named-bot Crawl-delay must NOT apply to * (group-DEPENDENT)
+        "Crawl-delay: 10\n"
         "\n"
         "User-agent: foo\n"
         "User-agent: *\n"
         "Disallow: /blocked/\n"
+        "Crawl-delay: 1.5\n"
+        # several *-group values -> MIN wins
+        "Crawl-delay: 3\n"
         "# a comment line\n"
         "Disallow:\n"
         # duplicate declaration -> one row
@@ -71,13 +81,16 @@ ROBOTS: list[tuple[str, str]] = [
         "DISALLOW: /UP/  # trailing comment\r\n"
         "ALLOW: /UP/ok\r\n"
         # uppercase name + CRLF + trailing comment all normalize away
-        "SITEMAP: https://crlf.example.com/s.xml  # weekly\r\n",
+        "SITEMAP: https://crlf.example.com/s.xml  # weekly\r\n"
+        "CRAWL-DELAY: 5  # polite\r\n",
     ),
     (
         "norules.example.com",
         "Disallow: /everything\n"
         "User-agent: *\n"
-        "Allow: /\n",
+        "Allow: /\n"
+        # non-numeric value drops via try-cast -> host absent
+        "Crawl-delay: fast\n",
     ),
 ]
 
