@@ -102,11 +102,21 @@ ALL_CFG = DedupConfig(
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from fuzzycat_spark.config import fan_out_scan
+
+    return fan_out_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cache_key=f"{sf_dir}/documents.parquet",
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from fuzzycat_spark.config import fan_out_scan
+
+    return fan_out_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        cache_key=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1486,12 +1496,14 @@ FROM cleaned"""
 
 def _doc_shingles(spark, sf_dir):
     """(doc_id, sh) with tokens materialized first — shingling over an
-    attribute, not the tokenize expression (see prepare_pages)."""
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", tokens_col("text").alias("toks"))
-        .localCheckpoint()
-    )
+    attribute, not the tokenize expression (see prepare_pages). The
+    attribute comes from a Generate barrier (explode of a one-struct
+    array, same trick as verify._gen_barrier): evaluate-once semantics
+    inside ONE stage, where the round-5 localCheckpoint paid an eager
+    extra pass plus block-manager round-trips for the same guarantee."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array(F.struct(tokens_col("text").alias("toks")))).alias("_g")
+    ).select("doc_id", F.col("_g.toks").alias("toks"))
     return toks.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), SHINGLE_N).alias("sh")
     )
@@ -1508,17 +1520,24 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    # the exchange between the two projections is a CollapseProject barrier:
-    # the 32 per-bit aggregates read the materialized `hashes` attribute
-    # instead of re-hashing every token 32x. No localCheckpoint (round 1's
-    # version used one and was the lone driver-gate hash mismatch — block-
-    # manager round-trips don't guarantee a canonical layout); the final
-    # global sort makes the output row order deterministic and identical to
-    # the oracle's ORDER BY.
+    # Generate barrier (explode of a one-struct array) between the two
+    # projections: the 32 per-bit aggregates read the materialized `hashes`
+    # attribute instead of re-hashing every token 32x, with NO exchange —
+    # round 5 used repartition("doc_id") as the CollapseProject barrier and
+    # paid a full shuffle for it. No localCheckpoint (round 1's version
+    # used one and was the lone driver-gate hash mismatch — block-manager
+    # round-trips don't guarantee a canonical layout); the final global
+    # sort makes the output row order deterministic and identical to the
+    # oracle's ORDER BY.
     staged = (
         _docs(spark, sf_dir)
-        .select("doc_id", token_hashes32(tokens_col("text")).alias("hashes"))
-        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.struct(token_hashes32(tokens_col("text")).alias("hashes")))
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.hashes").alias("hashes"))
     )
     return staged.select(
         "doc_id", simhash32_from_hashes(F.col("hashes")).alias("simhash")
@@ -1776,7 +1795,12 @@ def q_components(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     prep = prepare_pages(docs, "doc_id", "text")
     cands = candidate_pairs(docs, DOC_CFG, prep=prep)
-    verified = verify_pairs(cands, prep).localCheckpoint()
+    # no localCheckpoint: the verified frame has exactly ONE consumer here
+    # (connected_components' own first checkpoint write materializes the
+    # filtered edge set), so an eager extra materialization of the full
+    # verdict table bought nothing — the tier tables inside verify_pairs
+    # are already parquet-backed, keeping the recompute-on-action cheap.
+    verified = verify_pairs(cands, prep)
     edges = verified.filter(F.col("status").isin("exact", "strong"))
     cc = connected_components(edges)
     return (

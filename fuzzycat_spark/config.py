@@ -14,6 +14,43 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# scan-parallelism cache for fan_out_scan: (applicationId, key) -> n_parts.
+# Physical-planning a frame to count its scan partitions costs ~100 ms; a
+# given input path's layout is stable within an application, so pay it once.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def fan_out_scan(df, cache_key: str | None = None):
+    """Scale-adaptive fan-out for small or unsplittable inputs.
+
+    A parquet file with one row group (or a handful of small files) scans
+    as a single task, so every expression chain composed over it — slug
+    normalization, shingling, per-shingle hashing — runs on ONE core while
+    the rest of the machine idles (the "one huge unsplittable file" input-
+    skew case). When the scan's partition count cannot fill half the
+    available slots, round-robin repartition to the default parallelism;
+    otherwise return the frame untouched. At production scale the input is
+    thousands of row groups, the condition never fires, and no shuffle is
+    added — the decision derives from the actual input layout, not a
+    constant tuned to either environment.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    n = None
+    key = (sc.applicationId, cache_key) if cache_key else None
+    if key is not None:
+        n = _SCAN_PARTS.get(key)
+    if n is None:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        if key is not None:
+            _SCAN_PARTS[key] = n
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df
+
 
 def _free_bytes(path: str) -> int:
     try:

@@ -75,9 +75,13 @@ def connected_components(
 
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     eobs = Observation("cc_n_edges")
+    # NO distinct on the symmetrized input: it cost a full shuffle+sort of
+    # the largest table this loop ever touches and bought nothing — the
+    # round-0 neighborhood min is duplicate-insensitive (groupBy), and the
+    # first contraction's own distinct removes any input dups from the
+    # surviving edge set. The write below is therefore shuffle-free.
     sym = ck.write(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .observe(eobs, F.count(F.lit(1)).alias("n")),
         "cc_edges_0",
     )

@@ -519,8 +519,6 @@ def dedup_stages(
         raise ValueError(f"no blocking strategies enabled: {cfg.strategies}")
 
     def build_verified() -> DataFrame:
-        from pyspark.sql.window import Window
-
         unioned = parts[0]
         for p in parts[1:]:
             unioned = unioned.unionByName(p)
@@ -535,11 +533,26 @@ def dedup_stages(
             .when(F.col("reason") == "CANONICAL_LINK", 2)
             .otherwise(3)
         )
-        wp = Window.partitionBy("id_a", "id_b").orderBy(prio.asc(), F.col("reason"))
+        # min(struct) instead of a row_number window: same winner per pair
+        # (struct ordering is lexicographic, and reason → status is a
+        # function, so (prio, reason, status) ordering ≡ the old
+        # (prio, reason) window order), but an aggregate does map-side
+        # partial aggregation — duplicate verdicts collapse BEFORE the
+        # exchange — and needs no per-partition sort on the reduce side.
+        best = F.min(
+            F.struct(
+                prio.alias("p"), F.col("reason").alias("r"), F.col("status").alias("s")
+            )
+        ).alias("_b")
         return (
-            unioned.withColumn("_rn", F.row_number().over(wp))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            unioned.groupBy("id_a", "id_b")
+            .agg(best)
+            .select(
+                "id_a",
+                "id_b",
+                F.col("_b.s").alias("status"),
+                F.col("_b.r").alias("reason"),
+            )
         )
 
     verified = stage("verified", build_verified)
@@ -547,8 +560,13 @@ def dedup_stages(
     def build_assignments() -> DataFrame:
         edges = verified.filter(F.col("status").isin(*cfg.edge_statuses))
         cc = connected_components(edges, checkpointer=cc_checkpointer)
+        # id universe from the PREP checkpoint, not the raw pages: prep is
+        # row-for-row with the input (pure projections, no filter), so the
+        # id multiset is identical — and reading one narrow column of the
+        # feature parquet replaces a second full scan of the text corpus
+        # (column pruning cannot reach an opaque/localCheckpointed source).
         return (
-            pages.select(F.col(cfg.id_col).alias("id"))
+            prep.select("id")
             .join(cc, on="id", how="left")
             .select(
                 "id", F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id")
@@ -566,8 +584,16 @@ def dedup_stages(
 
 # stages every caller must hard-materialize (plan-statistics / lineage-cut
 # boundaries); "prepared" checkpoints inside prepare_pages itself and
-# "assignments" is terminal, so the ephemeral path skips re-writing those
-HARD_STAGES = frozenset({"candidates", "emb_pairs", "verified"})
+# "assignments" is terminal, so the ephemeral path skips re-writing those.
+# "verified" is soft here: its only in-pipeline consumer is connected
+# components, whose own first checkpoint write materializes the filtered
+# edge set — a second eager write of the full verdict table cost ~2s per
+# 105k-doc run and bought nothing (the tier tables inside verify_pairs are
+# parquet-backed, so recompute-on-action for a caller reading the returned
+# verified frame is a cheap union over checkpoints, not a re-verify). The
+# durable CLI path (plans.pipeline) still names and checkpoints every
+# stage, including verified.
+HARD_STAGES = frozenset({"candidates", "emb_pairs"})
 
 
 def dedup_pages(
