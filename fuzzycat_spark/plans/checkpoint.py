@@ -239,6 +239,17 @@ class StageCheckpointer:
         self.base_dir = base_dir or tempfile.mkdtemp(
             prefix="fuzzycat_ckpt_", dir=_ephemeral_root()
         )
+        # EPHEMERAL checkpoints living on tmpfs skip parquet compression:
+        # the pages are RAM-resident either way, so the codec is pure CPU
+        # in the write+read round trip (measured ~1s/query on the CC-heavy
+        # paths at sf0.1). Durable checkpoints (explicit base_dir — disk or
+        # object store at production scale) keep the session codec, where
+        # compression buys real IO. FUZZYCAT_CKPT_CODEC overrides both ways.
+        self.codec: str | None = os.environ.get("FUZZYCAT_CKPT_CODEC")
+        if self.codec is None and base_dir is None and self.base_dir.startswith(
+            "/dev/shm"
+        ):
+            self.codec = "uncompressed"
         self._manifest_path = os.path.join(self.base_dir, "_manifest.json")
         self._manifest: dict[str, dict] = {}
         if os.path.exists(self._manifest_path):
@@ -253,7 +264,10 @@ class StageCheckpointer:
         path = os.path.join(self.base_dir, name)
         t0 = time.time()
         _touch_heartbeat(self.base_dir)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if self.codec:
+            w = w.option("compression", self.codec)
+        w.parquet(path)
         out = self.spark.read.parquet(path)
         entry = {"path": path}
         if self.lineage:
