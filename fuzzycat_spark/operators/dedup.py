@@ -283,6 +283,9 @@ def _star_edges_for_key(
     (one row per key per partition crosses the shuffle), and the join back
     is AQE-skew-splittable (the hot key's member partition splits, the
     single rep row replicates) or broadcast when the rep table is small.
+    (A round-6 experiment unioning both key families through ONE
+    groupBy+join measured consistently SLOWER on the 105k-doc e2e —
+    per-family subplans it is.)
     """
     reps = members.groupBy(key).agg(F.min("id").alias("_rep"))
     return (
@@ -533,25 +536,28 @@ def dedup_stages(
             .when(F.col("reason") == "CANONICAL_LINK", 2)
             .otherwise(3)
         )
-        # min(struct) instead of a row_number window: same winner per pair
-        # (struct ordering is lexicographic, and reason → status is a
-        # function, so (prio, reason, status) ordering ≡ the old
-        # (prio, reason) window order), but an aggregate does map-side
-        # partial aggregation — duplicate verdicts collapse BEFORE the
-        # exchange — and needs no per-partition sort on the reduce side.
-        best = F.min(
-            F.struct(
-                prio.alias("p"), F.col("reason").alias("r"), F.col("status").alias("s")
-            )
-        ).alias("_b")
+        # min(packed string) instead of a row_number window: same winner
+        # per pair — (prio, reason, status) packed with a ' ' separator
+        # compares lexicographically exactly like the tuple (the separator
+        # sorts below every identifier character, and reason → status is a
+        # function, so this ≡ the old (prio, reason) window order) — but
+        # an aggregate does map-side partial aggregation (duplicate
+        # verdicts collapse BEFORE the exchange), and a STRING min stays a
+        # HashAggregate where a struct min falls back to SortAggregate and
+        # reintroduces the per-partition sorts (measured ~1 s on the
+        # 105k-doc e2e).
+        packed = F.concat_ws(
+            " ", prio.cast("string"), F.col("reason"), F.col("status")
+        )
+        sp = F.split(F.col("_b"), " ")
         return (
             unioned.groupBy("id_a", "id_b")
-            .agg(best)
+            .agg(F.min(packed).alias("_b"))
             .select(
                 "id_a",
                 "id_b",
-                F.col("_b.s").alias("status"),
-                F.col("_b.r").alias("reason"),
+                sp.getItem(2).alias("status"),
+                sp.getItem(1).alias("reason"),
             )
         )
 
