@@ -1520,24 +1520,24 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    # Generate barrier (explode of a one-struct array) between the two
-    # projections: the 32 per-bit aggregates read the materialized `hashes`
-    # attribute instead of re-hashing every token 32x, with NO exchange —
-    # round 5 used repartition("doc_id") as the CollapseProject barrier and
-    # paid a full shuffle for it. No localCheckpoint (round 1's version
-    # used one and was the lone driver-gate hash mismatch — block-manager
-    # round-trips don't guarantee a canonical layout); the final global
-    # sort makes the output row order deterministic and identical to the
-    # oracle's ORDER BY.
+    # the exchange between the two projections is a CollapseProject barrier:
+    # the 32 per-bit aggregates read the materialized `hashes` attribute
+    # instead of re-hashing every token 32x. A round-6 experiment replaced
+    # it with the shuffle-free Generate barrier (explode of a one-struct
+    # array) and was REVERTED: an exchange lets column pruning drop the
+    # hash computation entirely for consumers that don't read it (e.g. a
+    # bare count()), while a Generate must evaluate its input struct to
+    # produce rows — the exchange is the cheaper barrier for every
+    # projection-pruning consumer and identical for full reads. No
+    # localCheckpoint (round 1's version used one and was the lone
+    # driver-gate hash mismatch — block-manager round-trips don't
+    # guarantee a canonical layout); the final global sort makes the
+    # output row order deterministic and identical to the oracle's
+    # ORDER BY.
     staged = (
         _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(F.struct(token_hashes32(tokens_col("text")).alias("hashes")))
-            ).alias("_g"),
-        )
-        .select("doc_id", F.col("_g.hashes").alias("hashes"))
+        .select("doc_id", token_hashes32(tokens_col("text")).alias("hashes"))
+        .repartition("doc_id")
     )
     return staged.select(
         "doc_id", simhash32_from_hashes(F.col("hashes")).alias("simhash")
