@@ -53,6 +53,14 @@ from fuzzycat_spark.plans.checkpoint import StageCheckpointer
 # contraction contributed nothing. Each step is one self-join of the
 # fixed-width (id, label) map, fused into the round's single labels write.
 _JUMPS_PER_ROUND = 3
+# Round-6 experiment, measured then REVERTED: dropping to 1 jump/round
+# once the contracted edge set is tiny (< ~4k rows) saved ~10% CC wall on
+# the dedup tail (every jump self-joins the FULL label map regardless of
+# how few edges remain) and produced byte-identical assignments — but it
+# weakens the operator's round bound from ~log8 to ~log3 of the surviving
+# chain depth, which the convergence tests pin (a 33-node chain must
+# finish within 8 rounds). Bounded rounds are the contract; the tail
+# savings were not worth trading it.
 
 
 def connected_components(
