@@ -120,6 +120,18 @@ def bpe_train(
     argmax, so an exhausted round cannot wipe the word table)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    # materialize the INITIAL word table: `words` is usually a lazy
+    # bpe_word_table plan over the raw corpus, and every round's pair
+    # aggregation (plus every rewrite consumer) would re-scan and
+    # re-tokenize the documents — the module docstring's "corpus touched
+    # ONCE" shape only held with a checkpointer. One vocab-sized write
+    # makes it true for the ephemeral path too.
+    if checkpointer is not None:
+        words = checkpointer.write(words, f"{stage_prefix}_words_0")
+    else:
+        from fuzzycat_spark.plans.checkpoint import materialize
+
+        words = materialize(words, f"{stage_prefix}_words_0")
     merge_steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -133,6 +145,18 @@ def bpe_train(
         )
         if checkpointer is not None:
             best = checkpointer.write(best, f"{stage_prefix}_best_{step}")
+        else:
+            # ephemeral ONE-ROW materialization per round: the argmax row
+            # is consumed twice (the merges output and the rewrite
+            # broadcast), and lazily each later round's pair count
+            # re-derives every earlier round's argmax inside its own
+            # broadcasts — quadratic re-aggregation of the word table.
+            # A 1-row parquet write per round caps that at one evaluation
+            # (measured at sf0.001: bpe_merges/bpe_encode gate walls
+            # dropped ~3x; values bit-identical — exact strings/longs).
+            from fuzzycat_spark.plans.checkpoint import materialize
+
+            best = materialize(best, f"{stage_prefix}_best_{step}")
         merge_steps.append(
             best.select(
                 F.lit(step).alias("step"),

@@ -176,6 +176,11 @@ def lloyd_fit(
         )
         if checkpointer is not None:
             cents = checkpointer.write(cents, f"{stage_prefix}_iter_{i}")
+        # no default per-iteration materialization: a round-6 A/B showed
+        # the tiny writes are pure overhead for single-evaluation fits
+        # (kmeans_assign 1.4 s → 3.7 s at sf0.01) — callers whose plans
+        # evaluate the fit repeatedly cut the chain themselves at the
+        # operator level (ivfadc_knn materializes the final centroids)
     return kmeans_assign(vecs, cents, id_col=id_col), cents
 
 

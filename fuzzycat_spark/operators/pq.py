@@ -40,12 +40,16 @@ Scale shape:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fuzzycat_spark.operators.kmeans import _sqdist, lloyd_fit, quantize_vec
+from fuzzycat_spark.operators.kmeans import (
+    _sqdist,
+    kmeans_assign,
+    lloyd_fit,
+    quantize_vec,
+)
+from fuzzycat_spark.plans.checkpoint import materialize
 
 __all__ = ["pq_fit", "pq_encode", "pq_knn", "ivfadc_knn"]
 
@@ -85,22 +89,97 @@ def pq_fit(
     return _fit_subspaces(vecs, m, k, iters, sd, id_col, checkpointer)
 
 
+def _slices(col: str, m: int, sd: int) -> Column:
+    """array of the M subspace slices of an array<long> column."""
+    return F.array(*[F.slice(col, j * sd + 1, sd) for j in range(m)])
+
+
 def _fit_subspaces(
     vecs: DataFrame, m: int, k: int, iters: int, sd: int, id_col: str,
     checkpointer=None,
 ) -> DataFrame:
     """M independent Lloyd fits over sliced views of an already-quantized
     (id_col, qv) table — shared by pq_fit (raw vectors) and ivfadc_knn
-    (coarse-cell residuals)."""
-    books = []
-    for j in range(m):
-        sub = vecs.select(F.col(id_col), F.slice("qv", j * sd + 1, sd).alias("qv"))
-        _, cents = lloyd_fit(
-            sub, k, iters, id_col=id_col,
-            checkpointer=checkpointer, stage_prefix=f"pq_sub{j}",
+    (coarse-cell residuals).
+
+    Executed as ONE fused loop over the subspace-tagged slice table
+    instead of M sequential `lloyd_fit` loops: the per-subspace fits are
+    independent, so tagging each slice row with its subspace index and
+    keying every aggregate by (m, cluster) computes the SAME seeds (the
+    k smallest-md5 ids are the same for every subspace — slicing doesn't
+    touch the id), the SAME integer component sums, and the SAME
+    truncated means, while scanning the corpus once per iteration
+    instead of M times and running iters jobs instead of M·iters
+    (guide §2.4 "remove shuffles outright" / §1.2 "the distributed
+    algorithm"). Measured on the sf0.01 gate corpus: ivfadc_knn
+    50–63 s → see OPTIMIZATION_r06.md. Per-iteration centroids are
+    materialized (m·k rows — a tiny parquet write) so iteration i+1's
+    assignment broadcast never re-evaluates iteration i's chain; with a
+    `checkpointer` the writes land in its resumable dir instead.
+    """
+    sub = vecs.select(
+        F.col(id_col),
+        F.posexplode(_slices("qv", m, sd)).alias("m", "qv"),
+    )
+    # seeds: the k rows with the smallest md5(id) — identical ids (and
+    # cid numbering) for every subspace, so seed once and slice
+    seed_rows = vecs.orderBy(F.md5(F.col(id_col).cast("string"))).limit(k)
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    # cid BEFORE the explode: a generator in the same projection as the
+    # window would run first and number all m·k exploded rows
+    seeded = seed_rows.select(F.row_number().over(w).alias("cid"), "qv")
+    cents = seeded.select(
+        "cid", F.posexplode(_slices("qv", m, sd)).alias("m", "cv")
+    ).select("m", "cid", "cv")
+    for i in range(iters):
+        assign = _assign_sub(sub, cents, id_col)
+        comp_sums = (
+            sub.join(assign, on=[id_col, "m"])
+            .select("m", "cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("m", "cluster", "pos")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
         )
-        books.append(cents.select(F.lit(j).alias("m"), "cid", "cv"))
-    return reduce(DataFrame.unionByName, books)
+        # truncated-mean per component: Spark DIV ≡ DuckDB // (both
+        # truncate toward zero) — same contract as kmeans.lloyd_fit
+        comp_means = comp_sums.selectExpr("m", "cluster", "pos", "sx DIV n AS mn")
+        upd = comp_means.groupBy("m", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mn")))),
+                lambda s: s["mn"],
+            ).alias("cv_new")
+        )
+        cents = (
+            cents.join(
+                upd.withColumnRenamed("cluster", "cid"), on=["m", "cid"], how="left"
+            )
+            .select("m", "cid", F.coalesce("cv_new", "cv").alias("cv"))
+        )
+        if checkpointer is not None:
+            cents = checkpointer.write(cents, f"pq_fused_iter_{i}")
+        else:
+            cents = materialize(cents, f"pq_fused_iter_{i}")
+    return cents
+
+
+def _assign_sub(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, m, cluster): per-subspace nearest centroid for the fused
+    slice table — the kmeans_assign sorted-struct fold, with the centroid
+    array picked from the broadcast per-subspace row by the row's own
+    subspace index (m is 0..M-1 and _bym is m-sorted, so position m+1)."""
+    row = F.broadcast(_codebook_row(cents))
+    return sub.crossJoin(row).select(
+        id_col,
+        "m",
+        F.array_sort(
+            F.transform(
+                F.element_at(F.col("_bym"), (F.col("m") + 1).cast("int"))["cents"],
+                lambda c: F.struct(
+                    _sqdist(F.col("qv"), c["cv"]).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )[0]["cid"].alias("cluster"),
+    )
 
 
 def _codebook_row(codebooks: DataFrame) -> DataFrame:
@@ -283,10 +362,25 @@ def ivfadc_knn(
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sd = dim // m
     vecs = _quantized(emb, id_col, vec_col, scale)
-    coarse_assign, coarse_cents = lloyd_fit(
+    _, coarse_cents = lloyd_fit(
         vecs, kc, iters, id_col=id_col,
         checkpointer=checkpointer, stage_prefix="ivfadc_coarse",
     )
+    # materialize the kc-row centroid table (tiny) so the coarse Lloyd
+    # chain evaluates exactly ONCE: lazily it would re-run inside the
+    # coarse-assignment join, the cc_row broadcast, every residual
+    # consumer (M-subspace fit iterations, encoding), and the probe-side
+    # cell selection — the dominant cost of this operator before this
+    # change (guide §5 "caching is only worth it when a DataFrame is
+    # reused"; measured sf0.01: 50–63 s → see OPTIMIZATION_r06.md).
+    # Assignment is then recomputed against the materialized centroids —
+    # the same kmeans_assign expression lloyd_fit returns, so rows are
+    # bit-identical.
+    if checkpointer is not None:
+        coarse_cents = checkpointer.write(coarse_cents, "ivfadc_coarse_cents")
+    else:
+        coarse_cents = materialize(coarse_cents, "ivfadc_coarse_cents")
+    coarse_assign = kmeans_assign(vecs, coarse_cents, id_col=id_col)
     cc_row = F.broadcast(
         coarse_cents.groupBy().agg(
             F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias(
@@ -309,6 +403,14 @@ def ivfadc_knn(
             F.zip_with("qv", "_ccv", lambda x, y: x - y).alias("qv"),
         )
     )
+    # the residual table is read by the fused subspace fit (once per
+    # iteration), the encoder, and nothing else — one narrow (id, cell,
+    # dim longs) materialization replaces those re-joins (the "one
+    # materialized narrow prep" pattern, guide §8)
+    if checkpointer is not None:
+        resid = checkpointer.write(resid, "ivfadc_resid")
+    else:
+        resid = materialize(resid, "ivfadc_resid")
     books = _fit_subspaces(
         resid.select(id_col, "qv"), m, k, iters, sd, id_col, checkpointer
     )
