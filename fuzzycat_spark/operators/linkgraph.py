@@ -216,6 +216,23 @@ def pagerank_fp(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     )
+    # materialize the loop-invariant tables once: lazily the edge plan
+    # (often a URL-parse over raw events), the nodes distinct, and the
+    # out-weight aggregate are all nested into EVERY iteration of the
+    # score chain — 3·iters re-evaluations of upstream work for tables
+    # that never change inside the loop. With a checkpointer they land
+    # in its resumable dir; ephemeral otherwise. Fixed-point ints
+    # round-trip losslessly, so scores are bit-identical.
+    if checkpointer is not None:
+        e = checkpointer.write(e, "pagerank_edges")
+    else:
+        from fuzzycat_spark.plans.checkpoint import materialize
+
+        e = materialize(e, "pagerank_edges")
+    # nodes/outw stay lazy over the materialized edge parquet: their
+    # per-iteration re-evaluation is now a cheap scan+agg, and an A/B
+    # showed two more tiny writes cost more than they save on
+    # fixture-sized graphs (identical exchanges are also AQE-reusable)
     nodes = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
