@@ -151,3 +151,32 @@ def test_ivfadc_deterministic_across_runs(spark):
     a = sorted(map(tuple, ivfadc_knn(emb, probes, topk=4, kc=2, m=2, k=2, nprobe=2, dim=4).collect()))
     b = sorted(map(tuple, ivfadc_knn(emb, probes, topk=4, kc=2, m=2, k=2, nprobe=2, dim=4).collect()))
     assert a == b
+
+
+def test_fused_subspace_fit_matches_sequential_lloyd(spark):
+    """Round-6 refactor pin: `_fit_subspaces` runs ONE fused Lloyd loop
+    over the subspace-tagged slice table; the codebooks must be
+    row-for-row identical to the reference composition it replaced —
+    M independent `lloyd_fit` runs over sliced views."""
+    from pyspark.sql import functions as F
+
+    from fuzzycat_spark.operators.kmeans import lloyd_fit, quantize_vec
+    from fuzzycat_spark.operators.pq import _fit_subspaces
+
+    emb = _emb(spark, _blobs())
+    m, k, iters, sd = 2, 2, 2, 2
+    vecs = emb.select(
+        F.col("vec_id"), quantize_vec("embedding", S).alias("qv")
+    )
+    fused = sorted(
+        (r.m, r.cid, tuple(r.cv))
+        for r in _fit_subspaces(vecs, m, k, iters, sd, "vec_id").collect()
+    )
+    seq = []
+    for j in range(m):
+        sub = vecs.select(
+            F.col("vec_id"), F.slice("qv", j * sd + 1, sd).alias("qv")
+        )
+        _, cents = lloyd_fit(sub, k, iters, id_col="vec_id")
+        seq.extend((j, r.cid, tuple(r.cv)) for r in cents.collect())
+    assert fused == sorted(seq)
