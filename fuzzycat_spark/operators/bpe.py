@@ -102,6 +102,21 @@ def _adjacent_pairs(words: DataFrame) -> DataFrame:
     )
 
 
+def _round_argmax(words: DataFrame) -> DataFrame:
+    """One round's best pair: (left, right, pair_count) with the
+    deterministic tiebreak, planned as TakeOrderedAndProject(1) — a
+    per-partition 1-heap + driver merge, never a global sort (pinned by
+    tests/test_bpe.py on THIS frame; bpe_train materializes it, so the
+    terminal merges plan only shows the materialized read)."""
+    return (
+        _adjacent_pairs(words)
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(1)
+    )
+
+
 def bpe_train(
     words: DataFrame,
     n_merges: int,
@@ -134,15 +149,7 @@ def bpe_train(
         words = materialize(words, f"{stage_prefix}_words_0")
     merge_steps: list[DataFrame] = []
     for step in range(1, n_merges + 1):
-        best = (
-            _adjacent_pairs(words)
-            .groupBy("left", "right")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(
-                F.desc("pair_count"), F.asc("left"), F.asc("right")
-            )
-            .limit(1)
-        )
+        best = _round_argmax(words)
         if checkpointer is not None:
             best = checkpointer.write(best, f"{stage_prefix}_best_{step}")
         else:

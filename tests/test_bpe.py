@@ -170,7 +170,13 @@ def test_checkpointer_variant_matches_lazy(spark, tmp_path):
 
 
 def test_argmax_plans_as_take_ordered_not_global_sort(spark):
+    # the round-6 per-round materialization means the terminal merges
+    # plan only reads the argmax parquet; the plan under test is the
+    # argmax frame the materialize job executes
+    from fuzzycat_spark.operators.bpe import _round_argmax
+
     df = spark.createDataFrame([("0", "low lower")], "id string, text string")
-    merges, _ = bpe_train(bpe_word_table(df), 1)
-    plan = merges._jdf.queryExecution().executedPlan().toString()
+    best = _round_argmax(bpe_word_table(df))
+    plan = best._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
