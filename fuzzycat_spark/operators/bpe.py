@@ -159,7 +159,7 @@ def bpe_train(
             # re-derives every earlier round's argmax inside its own
             # broadcasts — quadratic re-aggregation of the word table.
             # A 1-row parquet write per round caps that at one evaluation
-            # (measured at sf0.001: bpe_merges/bpe_encode gate walls
+            # (measured at sf0.01: bpe_merges/bpe_encode spark walls
             # dropped ~3x; values bit-identical — exact strings/longs).
             from fuzzycat_spark.plans.checkpoint import materialize
 
